@@ -1,0 +1,220 @@
+"""Reference-faithful semantics, encoded once, rendered for two dialects.
+
+The reference's data model is a DynamoDB task table (one row per work
+item) plus a nested ``TaskScript``/``Log`` map per item
+(/root/reference/PyAnamo Schema.md:14-57, code/manager.py:291-349).
+Per SURVEY.md §1.5 we normalize the string-vs-map union into an exploded
+child ``nests`` table. Because the driver's correctness oracle is DuckDB
+over the same parquet fixtures, the task-table fixture is *derived
+deterministically from the ``orders`` table* with pure arithmetic, so the
+exact same rows are reproducible in both engines (FIXTURES.md §B).
+
+Non-standard semantics preserved from the reference (SURVEY.md §7.4.2):
+  - ``'NULL'`` string sentinels instead of real nulls
+    (code/manager.py:295-298)
+  - ``dd/MM/yyyy-HH:mm:ss`` date strings (code/modifier.py:78)
+  - failure dates encoded as ``'Error-' || date`` (code/modifier.py:167)
+  - progress pct = trunc(Log_Length / Nested_Tasks * 100) with buckets
+    todo(0) / Q1 [1,25] / Q2 (25,50] / Q3 (50,75] / Q4 (75,99] /
+    done(100), computed over *locked* items only; todo/done item states
+    short-circuit to their buckets (code/manager.py:880-903)
+  - ``Log_Length`` means stdout newline count for single items but
+    done-nest count for nested items (PyAnamo Schema.md:40)
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+#: ItemState enum (code/modifier.py:199-202, PyAnamo Schema.md:32)
+ITEM_STATES = ("todo", "locked", "done", "Wall_Time_Exceeded")
+
+#: the reference's string null sentinel (code/manager.py:295-298)
+NULL_SENTINEL = "NULL"
+
+#: log-sink routing cutoffs in bytes (code/executor.py:180-184)
+LOG_INLINE_MAX = 2048
+LOG_CLOUDWATCH_MAX = 10 * 1024 * 1024
+
+#: salvage tag for oversized logs (code/executor.py:109-113)
+SALVAGE_TAG = "PyAnamo:"
+
+#: reference date format (code/modifier.py:78) in each dialect
+DATE_FMT_SPARK = "dd/MM/yyyy-HH:mm:ss"
+DATE_FMT_DUCKDB = "%d/%m/%Y-%H:%M:%S"
+
+
+def fmt_date(col: str, dialect: str) -> str:
+    """Render a timestamp column to the reference's date-string format."""
+    if dialect == SPARK:
+        return f"date_format({col}, '{DATE_FMT_SPARK}')"
+    return f"strftime({col}, '{DATE_FMT_DUCKDB}')"
+
+
+def _tasks_body(dialect: str) -> str:
+    """The tasks fixture: one row per ``orders`` row, pure arithmetic.
+
+    Mirrors the item schema at /root/reference/code/manager.py:291-301
+    (single) and :338-349 (nested). State distribution covers all four
+    ItemStates; Log_Length/Nested_Tasks ratios sweep 0..100% so every
+    histogram bucket boundary is exercised (FIXTURES.md §B).
+    """
+    d = fmt_date("o_orderdate", dialect)
+    return f"""
+SELECT
+  'item_' || CAST(o_orderkey AS STRING)                          AS itemID,
+  'task_' || CAST(o_custkey % 100 AS STRING)                     AS taskID,
+  (o_orderkey % 4 = 0)                                           AS is_nested,
+  'seq ' || CAST(1 + (o_orderkey % 8) AS STRING)                 AS task_script,
+  CASE
+    WHEN o_orderkey % 10 <= 2 THEN 'todo'
+    WHEN o_orderkey % 10 <= 4 THEN 'locked'
+    WHEN o_orderkey % 10 = 9 THEN 'Wall_Time_Exceeded'
+    ELSE 'done'
+  END                                                            AS ItemState,
+  CASE WHEN o_orderkey % 10 <= 2 THEN 'NULL'
+       ELSE 'aws-batch-' || CAST(o_orderkey % 17 AS STRING)
+  END                                                            AS InstanceID,
+  CASE WHEN o_orderkey % 10 <= 2 THEN 'NULL'
+       ELSE 'lock' || CAST((o_orderkey * 7919) % 1000000 AS STRING)
+  END                                                            AS lockID,
+  CASE WHEN o_orderkey % 10 <= 2 THEN 'NULL'
+       ELSE {d}
+  END                                                            AS Lock_Date,
+  CASE
+    WHEN o_orderkey % 10 IN (5, 6, 7, 8) THEN {d}
+    WHEN o_orderkey % 10 = 9 THEN 'Error-' || {d}
+    ELSE 'NULL'
+  END                                                            AS Done_Date,
+  CASE WHEN o_orderkey % 4 = 0
+       THEN CAST(1 + (o_orderkey % 97) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT)
+  END                                                            AS Nested_Tasks,
+  CASE WHEN o_orderkey % 4 = 0
+       THEN CAST((o_orderkey * 13) % (2 + (o_orderkey % 97)) AS BIGINT)
+       ELSE CAST(1 + (o_orderkey % 5) AS BIGINT)
+  END                                                            AS Log_Length
+FROM orders
+""".strip()
+
+
+def _nests_body(dialect: str) -> str:
+    """Exploded child table of per-item nested tasks.
+
+    Normalizes the reference's ``TaskScript`` map
+    (code/manager.py:326-335) per SURVEY.md §1.5: row (itemID, nestID,
+    status, script, stdout, stderr); nest i is 'done' iff i < Log_Length
+    (matching Log_Length = done-nest count, code/modifier.py:240-249).
+    stdout for done nests carries the 'PyAnamo:\\t' salvage tag
+    (code/executor.py:109-113) and a varying newline count.
+    """
+    stdout_expr = (
+        "'PyAnamo:' || chr(9) || itemID || '_T' || CAST(i AS STRING) || chr(10) "
+        "|| repeat('out' || chr(10), CAST(i % 4 AS INT))"
+    )
+    inner_cols = (
+        "itemID, taskID, task_script, ItemState, Nested_Tasks, Log_Length"
+    )
+    if dialect == SPARK:
+        src = f"""
+  SELECT {inner_cols}, i
+  FROM (SELECT * FROM tasks WHERE is_nested)
+  LATERAL VIEW explode(sequence(0, CAST(Nested_Tasks AS INT) - 1)) _e AS i
+""".strip()
+    else:
+        src = f"""
+  SELECT {inner_cols},
+         unnest(generate_series(0, CAST(Nested_Tasks AS BIGINT) - 1)) AS i
+  FROM tasks WHERE is_nested
+""".strip()
+    return f"""
+SELECT
+  itemID,
+  taskID,
+  'Task_' || CAST(i AS STRING)                                   AS nestID,
+  CAST(i AS BIGINT)                                              AS nest_idx,
+  CASE WHEN i < Log_Length THEN 'done' ELSE 'todo' END           AS status,
+  task_script || ' ' || CAST(i AS STRING)                        AS script,
+  CASE WHEN i < Log_Length THEN {stdout_expr} ELSE 'NULL' END    AS stdout,
+  CASE WHEN i < Log_Length AND i % 7 = 0 THEN 'warn: slow' ELSE '' END AS stderr,
+  ItemState,
+  Nested_Tasks,
+  Log_Length
+FROM (
+{src}
+)
+""".strip()
+
+
+def _job_states_body(dialect: str) -> str:
+    """External job-state dimension for the J1 enrichment join
+    (code/manager.py:943-995): jobID derived from InstanceID string
+    surgery joins against AWS Batch describe_jobs results — here a
+    deterministic dimension derived from ``nation``."""
+    return """
+SELECT
+  'aws-batch:' || CAST(n_nationkey AS STRING) AS jobID,
+  CASE CAST(n_nationkey % 4 AS INT)
+    WHEN 0 THEN 'SUCCEEDED'
+    WHEN 1 THEN 'FAILED'
+    WHEN 2 THEN 'RUNNING'
+    ELSE 'OTHER'
+  END AS job_status
+FROM nation
+WHERE n_nationkey < 17
+""".strip()
+
+
+_VIEW_BODIES = {
+    "tasks": _tasks_body,
+    "nests": _nests_body,
+    "job_states": _job_states_body,
+}
+
+#: dependency order — nests reads tasks
+VIEW_ORDER = ("tasks", "nests", "job_states")
+
+
+def view_sql(name: str, dialect: str) -> str:
+    return _VIEW_BODIES[name](dialect)
+
+
+_VIEWS_READY: dict[tuple[int, str], bool] = {}
+
+
+def ensure_views(spark, sf_dir: str) -> None:
+    """Register base fixture views + derived semantic views in Spark.
+
+    Memoized per (session, sf_dir): re-registering 13 temp views for
+    every query call costs ~1 s each on the driver for no plan change.
+    """
+    from pyanamo_spark.catalog import register_base_views
+
+    key = (id(spark), sf_dir)
+    if _VIEWS_READY.get(key):
+        return
+    register_base_views(spark, sf_dir)
+    for name in VIEW_ORDER:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {view_sql(name, SPARK)}"
+        )
+    _VIEWS_READY[key] = True
+
+
+def oracle_with_views(sql: str, needs: tuple[str, ...] = VIEW_ORDER) -> str:
+    """Wrap oracle SQL with CTE definitions of the semantic views.
+
+    The driver's DuckDB session pre-registers only the base parquet
+    tables, so any oracle referencing tasks/nests/job_states inlines
+    them as CTEs here.
+    """
+    ordered = [v for v in VIEW_ORDER if v in needs]
+    if not ordered:
+        return sql
+    ctes = ",\n".join(f"{v} AS (\n{view_sql(v, DUCKDB)}\n)" for v in ordered)
+    body = sql.strip()
+    if body.upper().startswith("WITH"):
+        # merge with the query's own CTE list
+        return f"WITH {ctes},\n{body[4:].lstrip()}"
+    return f"WITH {ctes}\n{body}"

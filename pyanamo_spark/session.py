@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the target workload.
+
+Local testing runs on local[N] (one JVM); the config is nonetheless
+written for a multi-executor cluster at ~100 TB:
+  - AQE on (runtime coalesce, skew-join splitting, dynamic join strategy)
+  - shuffle partitions sized to cores locally; on a real cluster AQE
+    coalesces from a deliberately-high initial number
+  - Arrow enabled so the few Pandas-UDF stages batch-transfer
+  - UTC session timezone so timestamp semantics match the DuckDB oracle
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pyanamo_spark", cpus: int | str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in catalog.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
