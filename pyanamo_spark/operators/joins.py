@@ -1,1 +1,214 @@
-"""placeholder — filled in during round 1."""
+"""Joins — the reference's single enrichment join plus the full Spark
+join family the rebuild gets natively (SURVEY.md §2.3, §2.10 X6).
+
+Scale notes (100 TB):
+  - J1's dimension (job states) is tiny → explicit ``broadcast()``; the
+    fact side never shuffles.
+  - The equi-join suite joins fact tables on their keys; AQE picks
+    broadcast vs sort-merge at runtime, and nation/region dims are
+    hinted broadcast.
+  - The range join is expressed as fact × broadcast-banded dim — the
+    scalable pattern for banding (a shuffle range-join on 100 TB would
+    be a cross-product disaster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+
+@register(
+    "q_state_join",
+    oracle="""
+SELECT COALESCE(j.job_status, 'ERROR_FETCHING') AS job_status,
+       COUNT(*) AS n_items,
+       string_agg(t.itemID, ',' ORDER BY t.itemID) AS items
+FROM (
+  SELECT itemID,
+         regexp_replace(InstanceID, '-([^-]*)$', ':\\1') AS jobID
+  FROM tasks
+  WHERE ItemState = 'locked' AND InstanceID <> 'NULL'
+) t
+LEFT JOIN job_states j ON t.jobID = j.jobID
+GROUP BY 1
+""",
+    needs_views=("tasks", "job_states"),
+)
+def q_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 getItem_JobStates (manager.py:943-995): project locked items,
+    derive jobID from InstanceID by string surgery — split on '-',
+    rejoin, ':' + last token (manager.py:977-978) — then enrich with
+    job states and bucket counts per status (manager.py:985-992).
+
+    The reference probes AWS Batch once per row; here it is one
+    broadcast left join against the job-state dimension, so 100 TB of
+    locked items never shuffles.
+    """
+    tasks = spark.table("tasks")
+    derived = (
+        tasks.filter(
+            (F.col("ItemState") == "locked") & (F.col("InstanceID") != "NULL")
+        )
+        .withColumn("parts", F.split("InstanceID", "-"))
+        .withColumn(
+            "jobID",
+            F.concat_ws(
+                ":",
+                F.array_join(F.slice("parts", 1, F.size("parts") - 1), "-"),
+                F.element_at("parts", -1),
+            ),
+        )
+        .select("itemID", "jobID")
+    )
+    job_states = spark.table("job_states")
+    return (
+        derived.join(F.broadcast(job_states), "jobID", "left")
+        .withColumn(
+            "job_status", F.coalesce(F.col("job_status"), F.lit("ERROR_FETCHING"))
+        )
+        .groupBy("job_status")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.array_join(F.sort_array(F.collect_list("itemID")), ",").alias(
+                "items"
+            ),
+        )
+    )
+
+
+@register(
+    "q_map_align",
+    oracle="""
+SELECT itemID, nestID, script, stdout
+FROM nests
+WHERE status = 'done'
+""",
+    needs_views=("tasks", "nests"),
+)
+def q_map_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 Log↔TaskScript key alignment (modifier.py:226-237,
+    managing-item-logs.py:61-71): the reference pairs two parallel maps
+    by Task_i key; in the exploded child-table model this is an
+    equi-join on (itemID, nestID) between the script and log
+    projections — co-partitioned on the same key, one shuffle."""
+    nests = spark.table("nests")
+    scripts = nests.select("itemID", "nestID", "script")
+    logs = nests.filter(F.col("status") == "done").select(
+        "itemID", "nestID", "stdout"
+    )
+    return scripts.join(logs, ["itemID", "nestID"], "inner").select(
+        "itemID", "nestID", "script", "stdout"
+    )
+
+
+@register(
+    "q_join_equi",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 equi-join chain: orders ⨝ customer ⨝ nation → revenue per
+    nation. nation is broadcast (25 rows); orders⨝customer is a key
+    shuffle AQE can convert to broadcast at small SF."""
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 left-semi: customers having at least one finished order.
+    Semi-join ships no payload columns from the probe side."""
+    customer = spark.table("customer")
+    orders = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 left-anti: customers with no orders (the delete-by-id shape
+    M11 also uses, manager.py:690-723)."""
+    customer = spark.table("customer")
+    orders = spark.table("orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+WITH bands AS (
+  SELECT r_name AS band,
+         900.0 + r_regionkey * 20.0 AS lo,
+         900.0 + (r_regionkey + 1) * 20.0 AS hi
+  FROM region
+)
+SELECT b.band,
+       COUNT(*) AS n_parts,
+       ROUND(AVG(p.p_retailprice), 4) AS avg_price
+FROM part p
+JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 range (non-equi) join: parts banded by retail-price interval.
+    The band dimension is derived from region (5 rows) and broadcast —
+    a nested-loop join against a broadcast side, which is the only
+    range-join shape that survives 100 TB (the fact side streams)."""
+    part = spark.table("part")
+    bands = spark.table("region").select(
+        F.col("r_name").alias("band"),
+        (F.lit(900.0) + F.col("r_regionkey") * 20.0).alias("lo"),
+        (F.lit(900.0) + (F.col("r_regionkey") + 1) * 20.0).alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )

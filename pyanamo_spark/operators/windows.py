@@ -1,1 +1,127 @@
-"""placeholder — filled in during round 1."""
+"""Window functions — the timeKeeper rolling average plus the ranking
+suite the rebuild exposes natively (SURVEY.md §2.5, §2.10 X7).
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id, order status) so state is bounded per partition; none uses a
+global ORDER BY without PARTITION BY (which would funnel 100 TB through
+one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+
+@register(
+    "q_rolling_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_avg
+FROM events
+""",
+)
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 timeKeeper semantics (timeKeeper.py:50-58): running average
+    of the last ≤15 elapsed times, used to predict whether the next
+    task fits the wall-time budget. Expressed as a bounded rows window
+    per user over the events fixture."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, W.currentRow)
+    )
+    return spark.table("events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+       ) AS rn,
+       RANK() OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+       ) AS rnk
+FROM orders
+QUALIFY rn <= 5
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 ranking: top-5 orders by price per status. row_number with a
+    key tiebreak keeps the result deterministic for the oracle."""
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+       LEAD(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 lag/lead: per-user deltas between consecutive events."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return spark.table("events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_event_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 monitoring loop, batch-equivalent form (manager.py:220-237):
+    tumbling hourly counts per event type. The Structured Streaming
+    variant (same aggregation over readStream + watermark) lives in
+    pyanamo_spark.streaming.monitor; this batch shape is what the
+    DuckDB oracle can check (SURVEY §7.4.6)."""
+    return (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
