@@ -109,9 +109,19 @@ def _nests_body(dialect: str) -> str:
     stdout for done nests carries the 'PyAnamo:\\t' salvage tag
     (code/executor.py:109-113) and a varying newline count.
     """
+    # done-nest stdout: a 'PyAnamo:\t' salvage tag line, a varying number
+    # of filler lines, then either a 7-tab-field result line (the
+    # golden-output contract of managing-item-logs.py:63-67, produced by
+    # gVCF_Check.sh:35) or a malformed line — so log mining has both
+    # Completed and Failed outcomes to find.
+    line7 = (
+        "itemID || chr(9) || CAST(i AS STRING) || chr(9) || 'ok' || chr(9) || "
+        "'0' || chr(9) || 'x' || chr(9) || 'y' || chr(9) || 'z'"
+    )
     stdout_expr = (
         "'PyAnamo:' || chr(9) || itemID || '_T' || CAST(i AS STRING) || chr(10) "
-        "|| repeat('out' || chr(10), CAST(i % 4 AS INT))"
+        "|| repeat('out' || chr(10), CAST(i % 4 AS INT)) "
+        f"|| CASE WHEN i % 3 = 0 THEN {line7} ELSE 'partial result' END"
     )
     inner_cols = (
         "itemID, taskID, task_script, ItemState, Nested_Tasks, Log_Length"
