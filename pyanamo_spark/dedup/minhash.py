@@ -1,1 +1,97 @@
-"""placeholder — filled in during round 1."""
+"""MinHash + LSH near-duplicate detection (X2), fully in DataFrame ops.
+
+Pipeline (the standard shingle → minhash → band → bucket-join shape):
+  1. word 3-shingles per doc
+  2. 32-permutation MinHash signature — permutation s is
+     min(xxhash64(s || shingle)); xxhash64 is a JVM built-in, so the
+     whole signature is one codegen'd expression, no UDF
+  3. 8 bands × 4 rows: band hash groups docs into buckets
+  4. docs sharing any band bucket become candidate pairs (self-join on
+     the band key — the only shuffle, and it carries 16 bytes/row)
+  5. candidates verified with exact shingle-set Jaccard
+
+At 100 TB the band self-join is the scale bottleneck; bucket sizes are
+bounded because identical band hashes imply near-identical docs, and
+AQE's skew-join handles the pathological all-same-doc corpus.
+
+Declared rows-only: xxhash64 has no DuckDB equivalent, so the oracle
+cannot replay the signature; determinism within Spark is seeded by
+construction and asserted in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.dedup import corpus_with_mutants, shingles
+from pyanamo_spark.registry import register
+
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def minhash_signature(shingle_col):
+    """32-long array: element s = min over shingles of
+    xxhash64(s, shingle)."""
+    return F.expr(
+        f"transform(sequence(0, {N_PERM - 1}),"
+        f" s -> array_min(transform({shingle_col},"
+        f"   sh -> xxhash64(cast(s AS STRING), sh))))"
+    )
+
+
+def band_structs(sig_col):
+    """Explodeable array of (band_idx, band_hash) structs."""
+    return F.expr(
+        f"transform(sequence(0, {N_BANDS - 1}),"
+        f" b -> struct(b AS band_idx,"
+        f"   xxhash64(array_join(transform("
+        f"     slice({sig_col}, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+        f"     x -> cast(x AS STRING)), ',')) AS band_hash))"
+    )
+
+
+def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket."""
+    sigs = (
+        corpus.withColumn("sh", F.array_distinct(shingles("text")))
+        .withColumn("sig", minhash_signature("sh"))
+        .select("doc_id", "sh", F.explode(band_structs("sig")).alias("band"))
+        .select("doc_id", "sh", "band.band_idx", "band.band_hash")
+    )
+    left = sigs.alias("a")
+    right = sigs.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register("q_dedup_near", oracle=None)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup dedup: MinHash-LSH candidates verified by exact
+    shingle Jaccard ≥ 0.5 over the mutant corpus."""
+    corpus = corpus_with_mutants(spark)
+    pairs = candidate_pairs(spark, corpus)
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )

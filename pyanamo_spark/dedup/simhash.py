@@ -1,1 +1,94 @@
-"""placeholder — filled in during round 1."""
+"""SimHash near-duplicate detection (north star).
+
+The 64-bit SimHash is computed in a vectorized Pandas UDF (Arrow batch
+transfer — the sanctioned slow path for bit-twiddling Spark expressions
+can't do cheaply); everything downstream is DataFrame ops:
+
+  - candidate blocking: split the 64-bit signature into 4 × 16-bit
+    chunks; by pigeonhole, any pair within Hamming distance 3 shares at
+    least one exact chunk → self-join on (chunk_idx, chunk_value)
+  - verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side
+
+Token hashes use md5 (stable across workers/runs — never Python's
+builtin hash(), which is salted per process).
+
+Rows-only: DuckDB has no SimHash; Spark-side determinism is asserted in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from pyanamo_spark.dedup import corpus_with_mutants
+from pyanamo_spark.registry import register
+
+HAMMING_MAX = 3
+N_CHUNKS = 4
+CHUNK_BITS = 16
+
+
+def _simhash64(text: str) -> int:
+    acc = [0] * 64
+    for tok in text.split(" "):
+        h = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+        )
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if acc[b] > 0:
+            sig |= 1 << b
+    # interpret as signed 64-bit for Spark LongType
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash64)
+
+
+def _chunks(sig_col):
+    """4 × (chunk_idx, 16-bit chunk value) structs from a signed i64."""
+    return F.expr(
+        f"transform(sequence(0, {N_CHUNKS - 1}),"
+        f" c -> struct(c AS chunk_idx,"
+        f"   (shiftrightunsigned({sig_col}, c * {CHUNK_BITS})"
+        f"    & {2**CHUNK_BITS - 1}) AS chunk_val))"
+    )
+
+
+@register("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star SimHash dedup: pairs within Hamming distance 3 over
+    the mutant corpus, found via chunk-blocked self-join."""
+    corpus = corpus_with_mutants(spark).withColumn(
+        "sig", simhash_udf(F.col("text"))
+    )
+    chunked = corpus.select(
+        "doc_id", "sig", F.explode(_chunks("sig")).alias("ch")
+    ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,1 +1,188 @@
-"""placeholder — filled in during round 1."""
+"""Text analysis for training-data pipelines (SURVEY.md §2.10 X4 + the
+north-star text operators): token counting, language ID heuristic,
+quality scoring, document fingerprinting, corpus statistics.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+codegen) — no Python UDFs. At 100 TB each of these is a single scan
+with partial aggregation; nothing shuffles except the final group-bys
+on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: tiny English stopword set for the language-ID heuristic
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus statistics per language: doc counts, exact distinct
+    sources, char/token length profiles — one scan, partial aggs."""
+    docs = spark.table("documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 4).alias(
+            "avg_tokens"
+        ),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 approx_count_distinct: HyperLogLog++ cardinality of the token
+    vocabulary per language. Rows-only: DuckDB's approx sketch is a
+    different algorithm, so exact-match against it is impossible by
+    design; the exact counterpart is checked in q_text_stats
+    (n_sources) and the HLL estimate is asserted within rsd in
+    tests/test_text.py."""
+    docs = spark.table("documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.approx_count_distinct("tok", 0.02).alias("approx_vocab"))
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star token counting: whitespace tokens plus a BPE-ish
+    regex tokenization (alnum runs | single punctuation) — the standard
+    pre-tokenizer shape, all in JVM regex."""
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> t IN ({_STOP_LIST_SQL})))
+                 >= 0.05 * len(string_split(text, ' '))
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM documents
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star language ID: n-gram/stopword-ratio heuristic —
+    a doc is 'en' when ≥5% of its tokens are English stopwords. A real
+    deployment swaps the token list for per-language profiles; the
+    plan shape (filter-lambda over the token array, zero shuffles) is
+    what matters at scale."""
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(stop_hits >= 0.05 * F.size(toks), "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(
+         LEAST(100, len(string_split(text, ' '))) * 4
+         + CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 300 ELSE 0 END
+         + LEAST(300, (3000 * len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({_STOP_LIST_SQL}))))
+                      // len(string_split(text, ' ')))
+       AS BIGINT) AS quality_milli
+FROM documents
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star quality scoring: composite of length band, token
+    count, and stopword ratio (the Gopher-rules shape) — pure
+    expressions, one scan, no UDF.
+
+    Scored in integer milli-units (0-1000): token term up to 400,
+    length-band term 300, stopword-ratio term up to 300. Integer
+    arithmetic keeps the score bit-exact across engines — float
+    ROUND is implementation-defined on boundary-adjacent doubles
+    (Spark HALF_UP vs DuckDB rounding the same double the other way).
+    """
+    docs = spark.table("documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    stop_term = F.expr(
+        f"(3000 * size(filter(split(text, ' '), t -> t IN ({_STOP_LIST_SQL}))))"
+        f" div size(split(text, ' '))"
+    ).cast("int")
+    quality = (
+        F.least(F.lit(100), n_toks) * 4
+        + F.when(F.col("n_chars").between(50, 2000), 300).otherwise(0)
+        + F.least(F.lit(300), stop_term)
+    )
+    return docs.select("doc_id", quality.cast("long").alias("quality_milli"))
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(text)) AS fingerprint,
+       substring(md5(lower(text)), 1, 4) AS shard_key
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting: content hash of the
+    normalized text plus a hash-prefix shard key — the join/partition
+    key for exact dedup at 100 TB (dedupe on the 128-bit digest, never
+    on the raw text)."""
+    docs = spark.table("documents")
+    fp = F.md5(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

@@ -1,1 +1,119 @@
-"""placeholder — filled in during round 1."""
+"""Top-k vector similarity search (X3): brute-force baseline plus an
+LSH-bucketed scale path.
+
+Brute force: broadcast the (small) query set against the embedding
+table, exact cosine per pair, per-query top-k via a ranking window
+partitioned by query — the fact side streams once, no shuffle besides
+the window's per-query partition (bounded by k per query after AQE).
+
+Scale path (q_knn_lsh): random-hyperplane sign-LSH — 8 deterministic
+hyperplanes (coefficients derived from xxhash64(plane, dim), so no
+stored model), bucket = 8-bit sign pattern; queries probe only their
+bucket. At 100 TB the bucket column is a partition key: a probe touches
+1/256th of the data. Recall is traded for the 256× scan reduction;
+tests/test_similarity.py asserts bucket determinism and self-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyanamo_spark.functions.vectors import cosine, duckdb_cosine_sql
+from pyanamo_spark.registry import register
+
+K = 5
+N_QUERIES = 3
+N_PLANES = 8
+
+#: oracle-side cosine in pure DOUBLE (see duckdb_cosine_sql docstring)
+COS = duckdb_cosine_sql("q.embedding", "v.embedding")
+
+
+@register(
+    "q_knn_topk",
+    oracle=f"""
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND({COS}, 6) AS cos_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND({COS}, 6) DESC,
+                  v.vec_id
+       ) AS BIGINT) AS rnk
+FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+CROSS JOIN embeddings v
+QUALIFY rnk <= {K}
+""",
+)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 brute-force cosine top-k: queries are vec_id < 3; exact
+    cosine against every vector; top-5 per query (self-match included —
+    rank 1 at cos 1.0 is the built-in sanity check)."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def _bucket(emb_col: str):
+    """8-bit sign-LSH bucket from deterministic pseudo-random planes.
+
+    Plane p's coefficient for dimension d is derived from
+    xxhash64(p, d) mapped into [-0.5, 0.5) — reproducible anywhere with
+    no model artifact to ship.
+    """
+    plane_dot = (
+        f"aggregate(zip_with({emb_col},"
+        f"  transform(sequence(0, size({emb_col}) - 1),"
+        f"    d -> (cast(pmod(xxhash64(cast(p AS STRING), cast(d AS STRING)),"
+        f"          1000000) AS DOUBLE) / 1000000.0) - 0.5),"
+        f"  (x, c) -> cast(x AS DOUBLE) * c),"
+        f" cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {N_PLANES - 1}),"
+        f"  p -> CASE WHEN {plane_dot} > 0 THEN shiftleft(1, p) ELSE 0 END),"
+        f" 0, (acc, v) -> acc + v)"
+    )
+
+
+@register("q_knn_lsh", oracle=None)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: sign-LSH bucketed top-k — queries probe only
+    their own bucket. Rows-only (xxhash-derived planes have no DuckDB
+    mirror); recall vs q_knn_topk is measured in tests."""
+    emb = spark.table("embeddings").withColumn("bucket", _bucket("embedding"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
