@@ -4,9 +4,12 @@ The 64-bit SimHash is computed in a vectorized Pandas UDF (Arrow batch
 transfer — the sanctioned slow path for bit-twiddling Spark expressions
 can't do cheaply); everything downstream is DataFrame ops:
 
-  - candidate blocking: split the 64-bit signature into 4 × 16-bit
-    chunks; by pigeonhole, any pair within Hamming distance 3 shares at
-    least one exact chunk → self-join on (chunk_idx, chunk_value)
+  - candidate blocking: split the 64-bit signature into 8 × 8-bit
+    chunks; by pigeonhole, any pair within Hamming distance 7 differs
+    in at most 7 chunks and therefore shares at least one exact chunk
+    → self-join on (chunk_idx, chunk_value). Detection within the
+    radius is guaranteed, not probabilistic; pairs beyond it are out
+    of scope (the classic SimHash blocking trade)
   - verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side
 
 Token hashes use md5 (stable across workers/runs — never Python's
@@ -28,9 +31,9 @@ from pyspark.sql.types import LongType
 from pyanamo_spark.dedup import corpus_with_mutants
 from pyanamo_spark.registry import register
 
-HAMMING_MAX = 3
-N_CHUNKS = 4
-CHUNK_BITS = 16
+HAMMING_MAX = 7
+N_CHUNKS = 8
+CHUNK_BITS = 8
 
 
 def _simhash64(text: str) -> int:
@@ -66,7 +69,7 @@ def _chunks(sig_col):
 
 @register("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star SimHash dedup: pairs within Hamming distance 3 over
+    """North-star SimHash dedup: pairs within Hamming distance 7 over
     the mutant corpus, found via chunk-blocked self-join."""
     corpus = corpus_with_mutants(spark).withColumn(
         "sig", simhash_udf(F.col("text"))

@@ -1,1 +1,147 @@
-"""placeholder — filled in during round 1."""
+"""Multimodal column plumbing (north star): image/audio/video as opaque
+``binary`` columns with typed metadata, processed in Arrow-batched
+Pandas stages.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (``decode_image`` raises NotImplementedError unless
+a codec is registered); everything Spark-side is real and tested:
+  - the asset schema (payload binary + metadata struct)
+  - deterministic byte-level feature extraction over mapInPandas
+    (per-asset byte histogram + entropy — real math on the binary
+    payload, the same batch shape a JPEG decoder would slot into)
+  - frame-sampling plumbing: offset computation for K evenly-spaced
+    frames, returning (asset_id, frame_idx, byte_offset) rows
+
+At 100 TB: binary payloads ride parquet byte arrays; metadata columns
+let Catalyst prune/filter without touching payload bytes (select the
+metadata struct → the scan never reads the binary column); the Pandas
+stages see bounded Arrow batches via maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: pluggable codec registry — empty in this container (no PIL/ffmpeg);
+#: a deployment registers e.g. {"image/png": pil_decode}
+CODECS: dict[str, Callable[[bytes], object]] = {}
+
+ASSET_SCHEMA = (
+    "asset_id bigint, payload binary, "
+    "meta struct<mime string, n_bytes bigint, n_frames int>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, mime string, n_bytes bigint, "
+    "byte_hist array<double>, entropy double"
+)
+
+
+def decode_image(payload: bytes, mime: str):
+    """STUB: decode a binary payload with a registered codec.
+
+    Image/audio libraries are not available in this container; the
+    Spark-side plumbing (schema, batching, partitioning) is real and
+    the decoder slots in here.
+    """
+    if mime not in CODECS:
+        raise NotImplementedError(
+            f"no codec registered for {mime}; register one in "
+            f"pyanamo_spark.multimodal.pipeline.CODECS"
+        )
+    return CODECS[mime](payload)
+
+
+def synthetic_assets(spark: SparkSession) -> DataFrame:
+    """Deterministic binary assets derived from the documents fixture:
+    payload = utf-8 bytes of the text (an opaque blob as far as the
+    pipeline is concerned), metadata struct alongside."""
+    docs = spark.table("documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/x-fixture").alias("mime"),
+            F.octet_length(F.encode("text", "utf-8"))
+            .cast("long")
+            .alias("n_bytes"),
+            (F.col("doc_id") % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-asset byte histogram (4 buckets) + Shannon entropy —
+    real byte-level math standing where a decoder+featurizer would."""
+    for pdf in batches:
+        rows = []
+        for asset_id, payload, meta in zip(
+            pdf["asset_id"], pdf["payload"], pdf["meta"]
+        ):
+            data = bytes(payload)
+            n = len(data) or 1
+            counts = [0, 0, 0, 0]
+            freq: dict[int, int] = {}
+            for byte in data:
+                counts[byte >> 6] += 1
+                freq[byte] = freq.get(byte, 0) + 1
+            entropy = -sum(
+                (c / n) * math.log2(c / n) for c in freq.values()
+            )
+            rows.append(
+                {
+                    "asset_id": asset_id,
+                    "mime": meta["mime"],
+                    "n_bytes": len(data),
+                    "byte_hist": [round(c / n, 6) for c in counts],
+                    "entropy": round(entropy, 6),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["asset_id", "mime", "n_bytes", "byte_hist", "entropy"],
+        )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    return assets.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, k: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: K evenly-spaced frame indices with byte
+    offsets (n_bytes div n_frames stride) — pure expressions; the
+    decode of each frame is the stubbed step."""
+    return assets.select(
+        "asset_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                f"j -> (j * meta.n_frames) div {k})"
+            )
+        ).alias("frame_pos", "frame_idx"),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"j -> ((j * meta.n_frames) div {k}) "
+            f"     * (meta.n_bytes div meta.n_frames))"
+        ).alias("_offsets"),
+    ).select(
+        "asset_id",
+        "frame_idx",
+        F.expr("_offsets[frame_pos]").alias("byte_offset"),
+    )
+
+
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal pipeline: binary assets → Arrow-batched
+    byte-feature extraction. Rows-only (byte histograms are not
+    practically SQL-expressible in the oracle); determinism and schema
+    are asserted in tests/test_multimodal.py."""
+    return extract_features(synthetic_assets(spark))

@@ -121,6 +121,26 @@ def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_nest_filter",
+    oracle="""
+SELECT itemID, nestID, script
+FROM nests
+WHERE status = 'todo'
+""",
+    needs_views=("tasks", "nests"),
+)
+def q_nest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 nest-status filter (runner.py:101-105): skip nests whose
+    Status != 'todo' — the per-item Python loop becomes a filter over
+    the exploded nest table."""
+    return (
+        spark.table("nests")
+        .filter(F.col("status") == "todo")
+        .select("itemID", "nestID", "script")
+    )
+
+
 @register("q_rand_order", oracle=None)
 def q_rand_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 random work-order shuffle (client.py:133, runner.py:97):

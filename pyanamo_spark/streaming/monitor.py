@@ -1,0 +1,84 @@
+"""Structured Streaming monitors (SURVEY.md §2.9 T1).
+
+The reference's monitors poll-and-reaggregate in a sleep loop
+(monitor_task at manager.py:209-244, monitor_nestedTasks at
+manager.py:915-939). The streaming-native form is one continuous
+aggregation the engine keeps up to date:
+
+  - ``state_count_stream``: complete-mode counts per state — the
+    monitor_task analogue (the batch form is q_state_counts).
+  - ``windowed_event_stream``: watermarked tumbling-window counts over
+    an event-time column — the q_event_window analogue with late-data
+    handling, which the polling reference cannot express at all.
+
+Tests drive both with ``Trigger.AvailableNow`` over the parquet
+fixtures into memory sinks, so the streaming plans are exercised
+without wall-clock waits. DuckDB cannot check streams, so these carry
+no declared oracle; their batch-equivalent shapes are the
+hash-checked q_state_counts / q_event_window (SURVEY §7.4.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def state_count_stream(
+    spark: SparkSession, tasks_path: str, schema: str
+) -> DataFrame:
+    """Continuous per-state item counts (monitor_task analogue).
+
+    ``tasks_path`` is a directory of task-table parquet; new files are
+    incrementally aggregated — the reference's poll loop with the poll
+    removed.
+    """
+    stream = spark.readStream.schema(schema).parquet(tasks_path)
+    return stream.groupBy("ItemState").agg(F.count("*").alias("n_items"))
+
+
+def windowed_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window event counts: late rows beyond the
+    watermark are dropped, state for closed windows is evicted — the
+    property that bounds memory at 100 TB/day event volumes."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # fixture parquet stores TIMESTAMP(NANOS) → scanned as long
+        # (see catalog.py); convert to a real event-time column
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drain everything currently available into an in-memory table and
+    stop — the deterministic test/monitor-snapshot harness."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query

@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: schema, deterministic byte features,
+frame-sample offsets, and the clearly-marked decode stub."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyanamo_spark.multimodal.pipeline import (
+    decode_image,
+    extract_features,
+    sample_frames,
+    synthetic_assets,
+)
+from pyanamo_spark import semantics
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "image/png")
+
+
+def test_feature_extraction_real_math(spark, sf_dir):
+    semantics.ensure_views(spark, sf_dir)
+    assets = synthetic_assets(spark)
+    feats = extract_features(assets)
+    assert feats.schema.simpleString() == (
+        "struct<asset_id:bigint,mime:string,n_bytes:bigint,"
+        "byte_hist:array<double>,entropy:double>"
+    )
+    row = feats.filter("asset_id = 0").collect()[0]
+    text = (
+        spark.table("documents").filter("doc_id = 0").collect()[0].text
+    )
+    data = text.encode("utf-8")
+    assert row.n_bytes == len(data)
+    assert sum(row.byte_hist) == pytest.approx(1.0, abs=1e-4)
+    # entropy recomputed independently
+    freq = {}
+    for b in data:
+        freq[b] = freq.get(b, 0) + 1
+    expected = -sum(
+        (c / len(data)) * math.log2(c / len(data)) for c in freq.values()
+    )
+    assert row.entropy == pytest.approx(expected, abs=1e-5)
+
+
+def test_frame_sampling_offsets(spark, sf_dir):
+    semantics.ensure_views(spark, sf_dir)
+    assets = synthetic_assets(spark).filter("asset_id = 3")
+    meta = assets.select("meta.*").collect()[0]
+    frames = sample_frames(assets, k=4).collect()
+    assert len(frames) == 4
+    stride = meta.n_bytes // meta.n_frames
+    for f in frames:
+        assert f.byte_offset == f.frame_idx * stride
+        assert 0 <= f.frame_idx < meta.n_frames

