@@ -36,48 +36,92 @@ prepped AS (
            i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
          )) AS sh
   FROM corpus
+),
+sized AS (
+  SELECT doc_id, lang, size_bucket, sh, len(sh) AS n_sh FROM prepped
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         a.n_sh AS na, b.n_sh AS nb
+  FROM sized a
+  JOIN sized b
+    ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+   AND a.doc_id < b.doc_id
+   AND LEAST(a.n_sh, b.n_sh)
+       >= CAST({THRESHOLD} AS DOUBLE) * GREATEST(a.n_sh, b.n_sh)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM prepped a
-JOIN prepped b
-  ON a.lang = b.lang AND a.size_bucket = b.size_bucket
- AND a.doc_id < b.doc_id
-WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {THRESHOLD}
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM scored
+WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {THRESHOLD}
 """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star n-gram Jaccard dedup: blocked self-join +
-    trigram-set Jaccard ≥ 0.6 over the mutant corpus."""
+    trigram-set Jaccard ≥ 0.6 over the mutant corpus.
+
+    Two scale optimizations (both result-preserving):
+      - size-ratio prefilter: jaccard ≥ t implies
+        min(|A|,|B|) ≥ t·max(|A|,|B|), checked on precomputed set sizes
+        before any set intersection runs
+      - |A∪B| = |A|+|B|-|A∩B|, so only the intersection is computed —
+        array_union over every candidate pair was ~half the work
+    """
     from pyanamo_spark.dedup import corpus_with_mutants
 
     corpus = corpus_with_mutants(spark)
+    # Inverted-index set-similarity join (PPJoin-style, exact):
+    #   1. shingles hashed to 64-bit longs (|distinct hashes| =
+    #      |distinct shingles| absent a ~1e-15 collision, so jaccard is
+    #      unchanged and the string-set oracle still matches)
+    #   2. explode (doc, shingle) and self-join on the shingle within
+    #      the block — work is proportional to shingles actually
+    #      SHARED by pairs, not |A|·|B| per candidate pair
+    #   3. count shared shingles per pair → |A∩B|;
+    #      |A∪B| = |A|+|B|-|A∩B|
+    # Pairs sharing nothing never materialize (their jaccard is 0).
     prepped = corpus.select(
         "doc_id",
         "lang",
         (F.size(F.split("text", " ")) / 20).cast("int").alias("size_bucket"),
-        F.array_distinct(shingles("text")).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles("text"), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    postings = prepped.select(
+        "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )
-    a, b = prepped.alias("a"), prepped.alias("b")
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prefilter: jaccard ≥ t ⟹ min ≥ t·max
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(THRESHOLD).cast("double")
+                * F.greatest("a.n_sh", "b.n_sh")
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
     jaccard = F.round(
-        F.size(F.array_intersect("a.sh", "b.sh"))
-        / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("jaccard", jaccard)
+        pair_counts.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
-        )
+        .select("doc_a", "doc_b", "jaccard")
     )

@@ -1,0 +1,113 @@
+"""Physical-plan audit: for every declared query, capture
+``explain("formatted")`` and grade the plan against the 100 TB design
+rules (SURVEY.md §4, the repo's scale contract):
+
+  - scans: is the filter pushed (PushedFilters) and the projection
+    pruned (ReadSchema narrower than the table)?
+  - joins: did the small side broadcast (BroadcastHashJoin /
+    BroadcastNestedLoopJoin) where expected?
+  - codegen: are the hot operators inside WholeStageCodegen spans?
+  - shuffles: count Exchange nodes — flag queries with more exchanges
+    than their shape warrants.
+
+Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+Writes PLANS.md with one section per query.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyanamo_spark.registry import QUERIES, load_all
+from pyanamo_spark.session import get_spark
+
+#: queries whose shape legitimately needs N exchanges (joins/groupbys);
+#: anything above its entry is flagged. Default budget is 2.
+EXCHANGE_BUDGET = {
+    "q_setops": 12,  # 3 set-ops × re-aggregated branches (static count;
+    # ReuseExchange/AQE dedups identical subtrees at runtime — the
+    # single-scan rewrite is q_setops_fused)
+    "q_text_stats": 4,  # exact count(distinct) alongside other aggs
+    # plans as Expand + two-stage aggregation: 2 extra exchanges are
+    # inherent to the distinct rewrite
+    "q_dedup_near": 5,  # band self-join + dedup + verify
+    "q_dedup_simhash": 5,
+    "q_dedup_ngram": 4,
+    "q_state_join": 3,
+    "q_join_equi": 3,
+    "q_map_align": 3,
+    "q_knn_topk": 3,  # window over scored pairs
+    "q_knn_lsh": 3,
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    budget = EXCHANGE_BUDGET.get(name, 2)
+    if n_exchange > budget:
+        flags.append(f"FLAG: {n_exchange} exchanges (budget {budget})")
+    if "SortMergeJoin" in plan and "broadcast" in name:
+        flags.append("FLAG: expected broadcast join, got sort-merge")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for cols in scans:
+        n_cols = len(cols.split(",")) if cols else 0
+        if n_cols > 12:
+            flags.append(f"FLAG: scan reads {n_cols} columns — prune?")
+    # formatted explain marks codegen'd operators with a '*' prefix;
+    # AQE-wrapped plans (isFinalPlan=false) hide them until execution,
+    # so the check only applies to non-adaptive plans
+    has_codegen = bool(re.search(r"^\s*[+:]?-?\s*\* ", plan, re.M)) or (
+        "WholeStageCodegen" in plan
+    )
+    if (
+        not has_codegen
+        and "InPandas" not in plan
+        and "AdaptiveSparkPlan" not in plan
+    ):
+        flags.append("FLAG: no whole-stage-codegen operators")
+    return flags
+
+
+def tree_only(plan: str) -> str:
+    """Keep the operator tree; drop the per-node detail sections
+    (they run to hundreds of lines for sketch aggregates)."""
+    cut = plan.find("\n(1)")
+    return plan[:cut] if cut != -1 else plan
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    load_all()
+    names = args[1:] or sorted(QUERIES)
+    spark = get_spark("plan-audit")
+    sections = []
+    flagged = 0
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        flags = audit_plan(name, plan)
+        flagged += bool(flags)
+        status = "; ".join(flags) if flags else "ok"
+        print(f"[{'FLAG' if flags else 'ok  '}] {name}: {status}")
+        sections.append(
+            f"## {name}\n\n{status}\n\n```\n{tree_only(plan).strip()}\n```\n"
+        )
+    Path("PLANS.md").write_text(
+        "# Physical-plan audit (explain formatted)\n\n"
+        f"sf_dir: {sf_dir}; {flagged} of {len(names)} queries flagged.\n\n"
+        + "\n".join(sections)
+    )
+    print(f"\n{flagged} of {len(names)} flagged; full plans in PLANS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
