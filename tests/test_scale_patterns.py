@@ -1,0 +1,76 @@
+"""Scale-pattern tests: bucketed co-located joins (no exchange) and
+salted aggregation equivalence — the two shuffle-elimination tools the
+100 TB design leans on beyond AQE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyanamo_spark.functions.skew import salted_agg
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    """bucketBy on the join key co-locates both sides at write time;
+    the later join needs no shuffle at all — the plan must contain no
+    Exchange (vs two for the plain-parquet sort-merge join)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        customer.withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_customer")
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: the join reads both sides in place
+        assert "Exchange" not in plan, plan
+        # and it still returns the right rows
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        for name in ("b_orders", "b_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        (r.event_type): (r.n, round(r.total, 6))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total, 6))
+        for r in salted_agg(
+            events,
+            ["event_type"],
+            {"n": ("count", "*"), "total": ("sum", "value")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
