@@ -14,6 +14,23 @@ from pyspark.sql import functions as F
 from pyanamo_spark.registry import register
 
 
+def duckdb_dot_sql(a: str, b: str) -> str:
+    """DuckDB dot product in pure DOUBLE (matches the Spark
+    zip_with/aggregate fold element-for-element)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+    )
+
+
+def duckdb_sq_sum_sql(v: str) -> str:
+    """DuckDB Σx² in pure DOUBLE."""
+    return (
+        f"list_sum(list_transform({v},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def duckdb_cosine_sql(a: str, b: str) -> str:
     """DuckDB SQL for cosine similarity computed entirely in DOUBLE.
 

@@ -3,8 +3,9 @@ LSH-bucketed scale path.
 
 Brute force: broadcast the (small) query set against the embedding
 table, exact cosine per pair, per-query top-k via a ranking window
-partitioned by query — the fact side streams once, no shuffle besides
-the window's per-query partition (bounded by k per query after AQE).
+partitioned by query — the fact side streams once. Norms are
+precomputed per row on both sides of the pair stage (recomputing them
+per pair triples the flops; see dedup/embedding.py).
 
 Scale path (q_knn_lsh): random-hyperplane sign-LSH — 8 deterministic
 hyperplanes (coefficients derived from xxhash64(plane, dim), so no
@@ -19,46 +20,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pyanamo_spark.functions.vectors import cosine, duckdb_cosine_sql
+from pyanamo_spark.functions.vectors import (
+    dot,
+    duckdb_dot_sql,
+    duckdb_sq_sum_sql,
+)
 from pyanamo_spark.registry import register
 
 K = 5
 N_QUERIES = 3
 N_PLANES = 8
 
-#: oracle-side cosine in pure DOUBLE (see duckdb_cosine_sql docstring)
-COS = duckdb_cosine_sql("q.embedding", "v.embedding")
+_DOT = duckdb_dot_sql("q.embedding", "v.embedding")
+#: oracle-side cosine with precomputed norms — same association as Spark
+COS = f"({_DOT} / (q.nrm * v.nrm))"
 
 
-@register(
-    "q_knn_topk",
-    oracle=f"""
-SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
-       ROUND({COS}, 6) AS cos_sim,
-       CAST(ROW_NUMBER() OVER (
-         PARTITION BY q.vec_id
-         ORDER BY ROUND({COS}, 6) DESC,
-                  v.vec_id
-       ) AS BIGINT) AS rnk
-FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
-CROSS JOIN embeddings v
-QUALIFY rnk <= {K}
-""",
-)
-def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 brute-force cosine top-k: queries are vec_id < 3; exact
-    cosine against every vector; top-5 per query (self-match included —
-    rank 1 at cos 1.0 is the built-in sanity check)."""
-    emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    scored = emb.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
-    )
+
+
+def _topk(scored: DataFrame) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
@@ -67,6 +51,47 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= K)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+@register(
+    "q_knn_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({duckdb_sq_sum_sql("embedding")}) AS nrm
+  FROM embeddings
+)
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND({COS}, 6) AS cos_sim,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND({COS}, 6) DESC, v.vec_id
+       ) AS BIGINT) AS rnk
+FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+CROSS JOIN e v
+QUALIFY rnk <= {K}
+""",
+)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 brute-force cosine top-k: queries are vec_id < 3; exact
+    cosine against every vector; top-5 per query (self-match included —
+    rank 1 at cos 1.0 is the built-in sanity check)."""
+    emb = _with_norm(spark.table("embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    return _topk(scored)
 
 
 def _bucket(emb_col: str):
@@ -96,10 +121,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: sign-LSH bucketed top-k — queries probe only
     their own bucket. Rows-only (xxhash-derived planes have no DuckDB
     mirror); recall vs q_knn_topk is measured in tests."""
-    emb = spark.table("embeddings").withColumn("bucket", _bucket("embedding"))
+    emb = _with_norm(spark.table("embeddings")).withColumn(
+        "bucket", _bucket("embedding")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
     scored = emb.join(
@@ -107,13 +135,10 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= K)
-        .select("query_id", "vec_id", "cos_sim", "rnk")
-    )
+    return _topk(scored)
