@@ -33,13 +33,24 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 JACCARD_THRESHOLD = 0.5
 
 
-def minhash_signature(shingle_col):
-    """32-long array: element s = min over shingles of
-    xxhash64(s, shingle)."""
+def shingle_hashes(shingle_col):
+    """Hash every shingle string once — the permutations below mix the
+    integer, so the strings are never re-hashed."""
+    return F.expr(f"transform({shingle_col}, sh -> xxhash64(sh))")
+
+
+def minhash_signature(hash_col):
+    """32-long array over a shingle-hash array: element s =
+    min over hashes h of murmur3(s, h).
+
+    Hashing the shingle *strings* 32× was the suite's hottest
+    expression (≈40M string hashes at sf0.1); mixing the precomputed
+    64-bit hash with murmur3(seed, h) is equivalent for LSH purposes
+    and far cheaper. Arithmetic mixing (h*A+B) is not an option under
+    ANSI mode (long overflow throws); murmur is overflow-free."""
     return F.expr(
         f"transform(sequence(0, {N_PERM - 1}),"
-        f" s -> array_min(transform({shingle_col},"
-        f"   sh -> xxhash64(cast(s AS STRING), sh))))"
+        f" s -> array_min(transform({hash_col}, h -> hash(s, h))))"
     )
 
 
@@ -58,7 +69,8 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket."""
     sigs = (
         corpus.withColumn("sh", F.array_distinct(shingles("text")))
-        .withColumn("sig", minhash_signature("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .withColumn("sig", minhash_signature("hs"))
         .select("doc_id", "sh", F.explode(band_structs("sig")).alias("band"))
         .select("doc_id", "sh", "band.band_idx", "band.band_hash")
     )
