@@ -213,18 +213,19 @@ SELECT 'Failed' AS subset, itemID, nestID FROM mined WHERE NOT ok
 )
 def q_partition_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completed-vs-Failed split of done tasks by the 7-tab-field
-    golden-output contract (managing-item-logs.py:103-127): a
-    partition-by-predicate expressed as two filters unioned with a
-    subset tag — the filters share one scan (Catalyst reuses it)."""
+    golden-output contract (managing-item-logs.py:103-127).
+
+    A partition-by-predicate: the two-filters-unioned form evaluates
+    the derived nests view (and the contract predicate) twice, so the
+    split is computed in ONE pass as a tag column — identical rows,
+    half the work. The genuine set-op family lives in q_setops."""
     done = spark.table("nests").filter(F.col("status") == "done")
     ok = F.exists(
         F.split(F.col("stdout"), "\n"),
         lambda line: F.size(F.split(line, "\t")) == 7,
     )
-    completed = done.filter(ok).select(
-        F.lit("Completed").alias("subset"), "itemID", "nestID"
+    return done.select(
+        F.when(ok, "Completed").otherwise("Failed").alias("subset"),
+        "itemID",
+        "nestID",
     )
-    failed = done.filter(~ok).select(
-        F.lit("Failed").alias("subset"), "itemID", "nestID"
-    )
-    return completed.unionByName(failed)

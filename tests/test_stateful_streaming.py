@@ -1,0 +1,87 @@
+"""Custom stateful operator + foreachBatch sink-router integration
+tests — the two streaming paths beyond plain aggregations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyanamo_spark.streaming.stateful import running_user_totals
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
+    events_dir = str(tmp_path / "events")
+    batch_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_events.write.parquet(events_dir)
+
+    stream_df = running_user_totals(spark, events_dir, EVENTS_SCHEMA)
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    try:
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 4), r.last_event_id)
+            for r in spark.table("user_totals").collect()
+        }
+    finally:
+        query.stop()
+
+    expected = {
+        r.user_id: (r.n, round(r.total, 4), r.last)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_foreachbatch_sink_router_integration(spark, tmp_path):
+    """Drive route_and_write as a real foreachBatch sink over a
+    file stream — the streaming form of the S12 log router."""
+    from pyanamo_spark.executor.sink_router import route_and_write
+
+    logs_dir = tmp_path / "logs_in"
+    out_dir = tmp_path / "routed"
+    df = spark.createDataFrame(
+        [("i1", "short"), ("i2", "PyAnamo:\tkeep\n" + "x" * 5000)],
+        "itemID string, stdout string",
+    )
+    df.write.parquet(str(logs_dir))
+
+    stream = spark.readStream.schema("itemID string, stdout string").parquet(
+        str(logs_dir)
+    )
+    batches = []
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: batches.append(
+                route_and_write(b, str(out_dir), batch_id=bid)
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    assert batches, "foreachBatch must have fired"
+    paths = batches[0]
+    inline = spark.read.parquet(paths["inline"])
+    assert [r.itemID for r in inline.collect()] == ["i1"]
+    cw = spark.read.parquet(paths["cloudwatch"])
+    row = cw.collect()[0]
+    assert row.itemID == "i2" and row.salvaged == "keep"
