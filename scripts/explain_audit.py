@@ -31,6 +31,10 @@ EXCHANGE_BUDGET = {
     "q_setops": 12,  # 3 set-ops × re-aggregated branches (static count;
     # ReuseExchange/AQE dedups identical subtrees at runtime — the
     # single-scan rewrite is q_setops_fused)
+    "q_pivot": 4,  # Spark's native two-phase pivot: first exchange on
+    # (status, priority) partials, second on the already-tiny pivoted
+    # intermediate — the conditional-agg single-exchange form is what
+    # the oracle uses
     "q_text_stats": 4,  # exact count(distinct) alongside other aggs
     # plans as Expand + two-stage aggregation: 2 extra exchanges are
     # inherent to the distinct rewrite
