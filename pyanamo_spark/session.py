@@ -30,6 +30,9 @@ def get_spark(app_name: str = "pyanamo_spark", cpus: int | str | None = None) ->
         # fixture parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let Python data sources (sources/item_store.py) accept pushed
+        # filters — the GSI-seek semantics at the source boundary
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,145 @@
+"""Custom Python Data Source for a PyAnamo-style item store
+(SURVEY.md §4 verdict / north star: "DynamoDB via connector becomes an
+optional source/sink").
+
+The reference's table is DynamoDB; its hot access path is the
+``ItemState = :state`` GSI seek (client.py:88, workflow-gsi-index.json).
+This source is the connector-shaped stand-in: a directory of JSON-lines
+item documents ("one shard per file" ≈ one DynamoDB partition), exposed
+through Spark 4's Python Data Source API with:
+
+  - one InputPartition per shard file → parallel split reads, no
+    driver materialization (the reference paginates everything into
+    client RAM — SURVEY §4 R4)
+  - **filter pushdown** for ItemState/itemID equality — the GSI-seek
+    semantics: a pushed state filter skips non-matching rows at the
+    source, and Spark drops the filter from the plan
+  - a write path (append) producing one shard per task
+
+A real DynamoDB deployment swaps the file I/O for the AWS SDK calls;
+partition planning, pushdown, and schema stay identical.
+
+Register per session:  spark.dataSource.register(ItemStoreDataSource)
+then                   spark.read.format("pyanamo_items").load(path)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+ITEM_SCHEMA_DDL = (
+    "itemID string, taskID string, task_script string, "
+    "ItemState string, lockID string, Log_Length bigint"
+)
+
+#: columns whose equality filters the source handles (the 4 GSIs all
+#: key on ItemState; itemID is the table hash key)
+PUSHABLE = {"ItemState", "itemID", "taskID"}
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ItemStoreReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyanamo_items requires a path")
+        self._pushed: list[tuple[str, object]] = []
+        self._not_null: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept equality (and its companion IsNotNull) on key/index
+        columns — the GSI seek; everything else stays in the Spark
+        plan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in PUSHABLE:
+                self._pushed.append((f.attribute[0], f.value))
+            elif isinstance(f, IsNotNull) and f.attribute[0] in PUSHABLE:
+                self._not_null.append(f.attribute[0])
+            else:
+                yield f
+
+    def partitions(self) -> list[_ShardPartition]:
+        shards = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+        )
+        return [_ShardPartition(p) for p in shards] or [
+            _ShardPartition("")
+        ]
+
+    def read(self, partition: _ShardPartition):
+        if not partition.path:
+            return
+        fields = [f.name for f in self.schema.fields]
+        with open(partition.path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                doc = json.loads(line)
+                if any(doc.get(col) != val for col, val in self._pushed):
+                    continue
+                if any(doc.get(col) is None for col in self._not_null):
+                    continue
+                yield tuple(doc.get(name) for name in fields)
+
+
+class _Commit(WriterCommitMessage):
+    pass
+
+
+class ItemStoreWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows) -> _Commit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"shard-{pid:05d}.jsonl")
+        with open(out, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict()) + "\n")
+        return _Commit()
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
+class ItemStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyanamo_items"
+
+    def schema(self) -> str:
+        return ITEM_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> ItemStoreReader:
+        return ItemStoreReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ItemStoreWriter:
+        return ItemStoreWriter(self.options)
