@@ -34,6 +34,36 @@ def test_lsh_selfmatch_and_subset_of_bucket(spark, sf_dir):
         assert len(group) <= K
 
 
+def test_ivf_selfmatch_and_probe_bound(spark, sf_dir):
+    rows = QUERIES["q_knn_ivf"](spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(N_QUERIES))
+    for qid, group in by_query.items():
+        # the query's own vector lives in one of its probed lists
+        # (its cluster IS its nearest centroid) → self-match at rank 1
+        top = min(group, key=lambda r: r.rnk)
+        assert top.vec_id == qid
+        assert abs(top.cos_sim - 1.0) < 1e-6
+        assert len(group) <= K
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {}
+    for r in QUERIES["q_knn_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in QUERIES["q_knn_ivf"](spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    # probing 2/16 lists: expect meaningful overlap with the exact
+    # top-5 — at minimum the self-match; record-and-floor the rest
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert all(r >= 1 / 5 for r in recalls)
+
+
 def test_lsh_deterministic(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
