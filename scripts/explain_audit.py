@@ -45,6 +45,10 @@ EXCHANGE_BUDGET = {
     "q_join_equi": 3,
     "q_map_align": 3,
     "q_knn_topk": 3,  # window over scored pairs
+    "q_knn_ivf": 18,  # index BUILD (assignment join + per-dim Lloyd
+    # aggregations) fused inline with the search for the declared
+    # query; production builds the index once, stores assignments as
+    # the partition key, and the search plan alone is 3 exchanges
     "q_knn_lsh": 3,
 }
 
