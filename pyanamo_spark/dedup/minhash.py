@@ -66,17 +66,25 @@ def band_structs(sig_col):
 
 
 def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band bucket."""
-    sigs = (
-        corpus.withColumn("sh", F.array_distinct(shingles("text")))
-        .withColumn("hs", shingle_hashes("sh"))
+    """LSH candidate pairs: docs sharing at least one band bucket.
+
+    The band self-join and the pair dedup carry only (doc_id, band)
+    ids — 16 bytes/row — NOT the shingle arrays; the arrays are joined
+    back onto the deduped pairs afterwards (two narrow hash joins on
+    doc_id), so the hottest shuffles never ship document content.
+    """
+    prepped = corpus.withColumn(
+        "sh", F.array_distinct(shingles("text"))
+    ).select("doc_id", "sh")
+    bands = (
+        prepped.withColumn("hs", shingle_hashes("sh"))
         .withColumn("sig", minhash_signature("hs"))
-        .select("doc_id", "sh", F.explode(band_structs("sig")).alias("band"))
-        .select("doc_id", "sh", "band.band_idx", "band.band_hash")
+        .select("doc_id", F.explode(band_structs("sig")).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_hash")
     )
-    left = sigs.alias("a")
-    right = sigs.alias("b")
-    return (
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pair_ids = (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -86,11 +94,16 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = prepped.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = prepped.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
 
 
 @register("q_dedup_near", oracle=None)

@@ -92,6 +92,12 @@ def run_engine(
     n_ok = F.coalesce(F.col("n_ok"), F.lit(0))
     n_run = F.coalesce(F.col("n_run"), F.lit(0))
     new_done_nests = F.col("Log_Length") + n_ok
+    # Done_Date stamping (modifier.py:129-175): finalized items get the
+    # reference's date string; failures carry the 'Error-' prefix
+    # (modifier.py:167, preserved verbatim — SURVEY §7.4.2)
+    from pyanamo_spark.semantics import DATE_FMT_SPARK
+
+    now_str = F.date_format(F.current_timestamp(), DATE_FMT_SPARK)
     post = (
         joined.withColumn(
             "new_state",
@@ -114,6 +120,15 @@ def run_engine(
             F.when(is_todo & F.col("is_nested"), new_done_nests)
             .when(is_todo, F.coalesce(F.col("total_lines"), F.lit(0)))
             .otherwise(F.col("Log_Length")),
+        )
+        .withColumn(
+            "Done_Date",
+            F.when(is_todo & (F.col("new_state") == "done"), now_str)
+            .when(
+                is_todo & (F.col("new_state") == "Wall_Time_Exceeded"),
+                F.concat(F.lit("Error-"), now_str),
+            )
+            .otherwise(F.col("Done_Date")),
         )
         .drop("ItemState", "n_run", "n_ok", "total_lines")
         .withColumnRenamed("new_state", "ItemState")

@@ -45,14 +45,20 @@ def _run_scripts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["itemID"], pdf["nestID"], pdf["script"]
         ):
             try:
+                argv = shlex.split(script or "")
+                if not argv:
+                    raise ValueError("empty task script")
                 proc = subprocess.run(
-                    shlex.split(script),
+                    argv,
                     capture_output=True,
                     text=True,
                     timeout=60,
                 )
                 out, err, code = proc.stdout, proc.stderr, proc.returncode
-            except (OSError, subprocess.TimeoutExpired) as exc:
+            except (OSError, subprocess.TimeoutExpired, ValueError) as exc:
+                # ValueError: unbalanced quotes or empty script — mark
+                # THIS item failed instead of crashing the Spark task
+                # (which would abort every other item's work)
                 out, err, code = "", str(exc), -1
             rows.append(
                 {

@@ -28,8 +28,13 @@ from pyanamo_spark.semantics import (
 
 
 def with_sink(df: DataFrame, log_col: str = "stdout") -> DataFrame:
-    """Attach the routing decision column (pure expression)."""
-    size = F.octet_length(F.col(log_col))
+    """Attach the routing decision column (pure expression).
+
+    NULL logs route inline (size 0): without the coalesce, a NULL
+    payload falls through both when() branches into the gzip tier,
+    where the text writer rejects null rows and fails the batch.
+    """
+    size = F.coalesce(F.octet_length(F.col(log_col)), F.lit(0))
     return df.withColumn(
         "sink",
         F.when(size < LOG_INLINE_MAX, "inline")

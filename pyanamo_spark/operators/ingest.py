@@ -34,10 +34,20 @@ Nested_2|SeqPair|seq|4,9
 
 
 def _fixture_path() -> str:
-    path = os.path.join(tempfile.gettempdir(), "pyanamo_spark_import_items.csv")
+    # content-addressed name: editing IMPORT_CSV yields a fresh file
+    # (a fixed name would silently serve the stale cached copy), and
+    # concurrent users writing identical content collide harmlessly
+    import hashlib
+
+    digest = hashlib.md5(IMPORT_CSV.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"pyanamo_spark_import_items_{digest}.csv"
+    )
     if not os.path.exists(path):
-        with open(path, "w") as fh:
+        tmp = path + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(IMPORT_CSV)
+        os.replace(tmp, path)
     return path
 
 

@@ -190,26 +190,29 @@ def view_sql(name: str, dialect: str) -> str:
     return _VIEW_BODIES[name](dialect)
 
 
-_VIEWS_READY: dict[tuple[int, str], bool] = {}
+_VIEWS_CONF_KEY = "pyanamo_spark.views.sf_dir"
 
 
 def ensure_views(spark, sf_dir: str) -> None:
     """Register base fixture views + derived semantic views in Spark.
 
-    Memoized per (session, sf_dir): re-registering 13 temp views for
+    Memoized via a session conf key: re-registering 13 temp views for
     every query call costs ~1 s each on the driver for no plan change.
+    The marker lives in the session itself (not a dict keyed on
+    id(spark)), so a different sf_dir — or a brand-new session reusing
+    a GC'd id — always re-registers instead of silently serving views
+    bound to the wrong directory.
     """
     from pyanamo_spark.catalog import register_base_views
 
-    key = (id(spark), sf_dir)
-    if _VIEWS_READY.get(key):
+    if spark.conf.get(_VIEWS_CONF_KEY, None) == sf_dir:
         return
     register_base_views(spark, sf_dir)
     for name in VIEW_ORDER:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {view_sql(name, SPARK)}"
         )
-    _VIEWS_READY[key] = True
+    spark.conf.set(_VIEWS_CONF_KEY, sf_dir)
 
 
 def oracle_with_views(sql: str, needs: tuple[str, ...] = VIEW_ORDER) -> str:

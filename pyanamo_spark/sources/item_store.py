@@ -105,29 +105,52 @@ class ItemStoreReader(DataSourceReader):
 
 
 class _Commit(WriterCommitMessage):
-    pass
+    def __init__(self, tmp_path: str, final_path: str):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
 
 
 class ItemStoreWriter(DataSourceWriter):
-    def __init__(self, options):
+    """Append/overwrite writer with task-temp staging.
+
+    Tasks write to uniquely-named ``.tmp`` files (job uuid + partition
+    id — concurrent/repeated appends never collide on shard names);
+    ``commit`` renames them to visible ``.jsonl`` shards and, for
+    overwrite mode, removes pre-existing shards; ``abort`` deletes the
+    temps, so a failed job leaves nothing visible.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows) -> _Commit:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = os.path.join(self.path, f"shard-{pid:05d}.jsonl")
-        with open(out, "w") as fh:
+        base = f"shard-{self.job_id}-{pid:05d}"
+        tmp = os.path.join(self.path, base + ".tmp")
+        with open(tmp, "w") as fh:
             for row in rows:
                 fh.write(json.dumps(row.asDict()) + "\n")
-        return _Commit()
+        return _Commit(tmp, os.path.join(self.path, base + ".jsonl"))
 
     def commit(self, messages) -> None:
-        return None
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.rename(m.tmp_path, m.final_path)
 
     def abort(self, messages) -> None:
-        return None
+        for m in messages:
+            if m and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class ItemStoreDataSource(DataSource):
@@ -142,4 +165,4 @@ class ItemStoreDataSource(DataSource):
         return ItemStoreReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ItemStoreWriter:
-        return ItemStoreWriter(self.options)
+        return ItemStoreWriter(self.options, overwrite)

@@ -19,6 +19,25 @@ from pyanamo_spark.executor.timekeeper import (
 )
 
 
+def test_pipe_survives_malformed_scripts(spark):
+    """Unbalanced quotes / empty scripts mark the item failed instead
+    of crashing the Spark task (which would abort the whole run)."""
+    work = spark.createDataFrame(
+        [
+            ("i1", "Task_0", 'echo "unterminated'),
+            ("i2", "Task_0", ""),
+            ("i3", "Task_0", "   "),
+            ("i4", "Task_0", "seq 2"),
+        ],
+        "itemID string, nestID string, script string",
+    )
+    rows = {r.itemID: r for r in execute_nests(work).collect()}
+    assert rows["i1"].exit_code == -1 and rows["i1"].stderr
+    assert rows["i2"].exit_code == -1
+    assert rows["i3"].exit_code == -1
+    assert rows["i4"].exit_code == 0 and rows["i4"].stdout == "1\n2\n"
+
+
 def test_pipe_runs_real_subprocesses(spark):
     work = spark.createDataFrame(
         [
@@ -114,6 +133,17 @@ def test_sink_router_tiers_and_gzip(spark, tmp_path):
         with gzip.open(path, "rt") as fh:
             content += fh.read()
     assert content.startswith("y" * 100)
+
+
+def test_sink_router_null_log_routes_inline(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", "hi")], "itemID string, stdout string"
+    )
+    tiers = {
+        r.itemID: r.sink
+        for r in with_sink(df).select("itemID", "sink").collect()
+    }
+    assert tiers == {"a": "inline", "b": "inline"}
 
 
 def test_sink_router_is_foreachbatch_compatible(spark, tmp_path):

@@ -74,6 +74,29 @@ def test_unpushable_filter_stays_in_plan(registered, tmp_path):
     assert re.search(r"\bFilter\b", plan)
 
 
+def test_append_twice_keeps_both_batches(registered, tmp_path):
+    store = tmp_path / "store"
+    _write_shards(store, n_shards=1, items_per=2)
+    df = registered.read.format("pyanamo_items").load(str(store))
+    out = tmp_path / "out"
+    df.write.format("pyanamo_items").mode("append").save(str(out))
+    df.write.format("pyanamo_items").mode("append").save(str(out))
+    back = registered.read.format("pyanamo_items").load(str(out))
+    assert back.count() == 4  # two appends, no shard clobbering
+
+
+def test_overwrite_removes_stale_shards(registered, tmp_path):
+    store = tmp_path / "store"
+    _write_shards(store, n_shards=3, items_per=2)
+    df = registered.read.format("pyanamo_items").load(str(store))
+    out = tmp_path / "out"
+    df.write.format("pyanamo_items").mode("append").save(str(out))
+    one = df.filter("itemID = 'item_0_0'").coalesce(1)
+    one.write.format("pyanamo_items").mode("overwrite").save(str(out))
+    back = registered.read.format("pyanamo_items").load(str(out))
+    assert [r.itemID for r in back.collect()] == ["item_0_0"]
+
+
 def test_write_round_trip(registered, tmp_path):
     store = tmp_path / "store"
     _write_shards(store)
