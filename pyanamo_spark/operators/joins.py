@@ -91,16 +91,17 @@ WHERE status = 'done'
 def q_map_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 Log↔TaskScript key alignment (modifier.py:226-237,
     managing-item-logs.py:61-71): the reference pairs two parallel maps
-    by Task_i key; in the exploded child-table model this is an
-    equi-join on (itemID, nestID) between the script and log
-    projections — co-partitioned on the same key, one shuffle."""
-    nests = spark.table("nests")
-    scripts = nests.select("itemID", "nestID", "script")
-    logs = nests.filter(F.col("status") == "done").select(
-        "itemID", "nestID", "stdout"
-    )
-    return scripts.join(logs, ["itemID", "nestID"], "inner").select(
-        "itemID", "nestID", "script", "stdout"
+    by Task_i key. In the exploded child-table model both maps land on
+    the SAME row keyed (itemID, nestID), so the alignment "join"
+    collapses to a filter + projection — zero shuffles, one derivation
+    of the nests view instead of two (the naive scripts⨝logs self-join
+    re-derives the view, including its stdout reconstruction, on both
+    sides and shuffles each). The genuine distributed join shapes live
+    in q_join_* / q_state_join."""
+    return (
+        spark.table("nests")
+        .filter(F.col("status") == "done")
+        .select("itemID", "nestID", "script", "stdout")
     )
 
 

@@ -164,6 +164,72 @@ def q_delete_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert",
+    oracle="""
+WITH source AS (
+  SELECT itemID, 'done' AS ItemState, Log_Length + 1 AS Log_Length
+  FROM tasks WHERE taskID = 'task_2'
+  UNION ALL
+  SELECT 'item_new_' || CAST(i AS STRING) AS itemID,
+         'todo' AS ItemState, CAST(0 AS BIGINT) AS Log_Length
+  FROM generate_series(0, 4) AS g(i)
+)
+SELECT t.itemID,
+       COALESCE(s.ItemState, t.ItemState) AS ItemState,
+       COALESCE(s.Log_Length, t.Log_Length) AS Log_Length
+FROM tasks t LEFT JOIN source s USING (itemID)
+UNION ALL
+SELECT s.itemID, s.ItemState, s.Log_Length
+FROM source s ANTI JOIN tasks t USING (itemID)
+""",
+    needs_views=("tasks",),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a transform: WHEN MATCHED THEN UPDATE, WHEN NOT
+    MATCHED THEN INSERT — the Delta/Iceberg MERGE semantics over the
+    plain-parquet post-state model (SURVEY §7.4.5). The source batch is
+    a deterministic re-ingest: every task_2 item finalized (state done,
+    log grown), plus five brand-new todo items.
+
+    Scale plan: NOT a full-outer join (which would shuffle every
+    target column both ways). Updates apply via a *broadcast* left
+    join — the source batch is small by construction, so the 100 TB
+    target never moves; inserts come from a left-anti of the source
+    against the target's key column only. Production then writes the
+    union back with partition overwrite (or hands the same source to
+    MERGE INTO on a transactional table format — same plan shape,
+    file-pruned)."""
+    t = spark.table("tasks")
+    target = t.select("itemID", "ItemState", "Log_Length")
+    upd_src = t.filter(F.col("taskID") == "task_2").select(
+        "itemID",
+        F.lit("done").alias("ItemState"),
+        (F.col("Log_Length") + 1).alias("Log_Length"),
+    )
+    new_src = spark.range(5).select(
+        F.concat(F.lit("item_new_"), F.col("id").cast("string")).alias(
+            "itemID"
+        ),
+        F.lit("todo").alias("ItemState"),
+        F.lit(0).cast("long").alias("Log_Length"),
+    )
+    source = upd_src.unionByName(new_src)
+    updated = (
+        target.alias("t")
+        .join(F.broadcast(source).alias("s"), "itemID", "left")
+        .select(
+            "itemID",
+            F.coalesce("s.ItemState", "t.ItemState").alias("ItemState"),
+            F.coalesce("s.Log_Length", "t.Log_Length").alias("Log_Length"),
+        )
+    )
+    inserts = source.join(
+        target.select("itemID"), "itemID", "left_anti"
+    )
+    return updated.unionByName(inserts)
+
+
+@register(
     "q_nest_build",
     oracle="""
 SELECT doc_id,

@@ -57,21 +57,12 @@ def _nearest(df: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
     )
 
 
-def build_index(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    """Returns (assignments, centroids): the inverted lists and the
-    coarse quantizer after one Lloyd refinement of seed centroids."""
-    emb = spark.table("embeddings").withColumn(
-        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    assign0 = _nearest(emb, seeds, 1)
-    # Lloyd step: per-(cluster, dim) mean → re-assembled centroid arrays
-    refined = (
-        emb.join(assign0, "vec_id")
+def _lloyd_step(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd iteration: assign, then per-(cluster, dim) means
+    re-assembled into centroid arrays."""
+    assign = _nearest(emb, centroids, 1)
+    return (
+        emb.join(assign, "vec_id")
         .select(
             "centroid_id", F.posexplode("embedding").alias("dim", "val")
         )
@@ -89,8 +80,125 @@ def build_index(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
         )
         .withColumn("c_nrm", F.sqrt(dot(F.col("c_emb"), F.col("c_emb"))))
     )
-    assignments = _nearest(emb, refined, 1)
-    return assignments, refined
+
+
+def _materialize_centroids(spark: SparkSession, centroids: DataFrame):
+    """Collect the (tiny) centroid table to the driver and re-create it
+    — the small-model-to-driver move every k-means implementation makes.
+    Each Lloyd iteration otherwise doubles the lineage (its assignment
+    join re-derives every previous iteration), turning iteration N into
+    O(2^N) recomputation."""
+    rows = centroids.collect()
+    return spark.createDataFrame(
+        rows, "centroid_id bigint, c_emb array<double>, c_nrm double"
+    )
+
+
+def build_index(
+    spark: SparkSession, iters: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (assignments, centroids): the inverted lists and the
+    coarse quantizer after ``iters`` Lloyd refinements of the seed
+    centroids. Each iteration is one pass over the data (assignment
+    broadcast join + per-dim aggregation); the 16-row centroid model
+    is materialized on the driver between iterations."""
+    emb = spark.table("embeddings").withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    centroids = seeds
+    for _ in range(max(1, iters)):
+        centroids = _materialize_centroids(
+            spark, _lloyd_step(emb, centroids)
+        )
+    assignments = _nearest(emb, centroids, 1)
+    return assignments, centroids
+
+
+def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
+    """Persist the IVF index: inverted lists as parquet PARTITIONED BY
+    centroid_id (the probe unit), centroids as a side table.
+
+    This is the production shape the inline q_knn_ivf only simulates:
+    build once, then every search is a partition-pruned read of
+    nprobe/N_CENTROIDS of the corpus — the scan never touches
+    unprobed lists. Re-partitioning by centroid_id also co-locates
+    each list into its own files, so a probe is sequential I/O."""
+    assignments, centroids = build_index(spark, iters)
+    emb = spark.table("embeddings").withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    (
+        emb.join(assignments, "vec_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/lists")
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Search a stored IVF index: probe selection against the tiny
+    centroid table, then a partition-pruned scan of only the probed
+    inverted lists.
+
+    The probed centroid ids are collected (≤ nprobe × n_queries
+    values) and pushed as a literal IN filter on the partition column —
+    static partition pruning the scan planner honors unconditionally
+    (the broadcast-join-driven alternative relies on runtime dynamic
+    partition pruning; the literal form is guaranteed and testable).
+
+    ``queries`` needs (vec_id, embedding) columns."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    q = queries.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    probes = _nearest(q, centroids, nprobe).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    probe_ids = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").collect()}
+    )
+    q_side = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).join(probes, "query_id")
+    scored = (
+        lists.filter(F.col("centroid_id").isin(probe_ids))
+        .join(F.broadcast(q_side), "centroid_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
 
 
 @register("q_knn_ivf", oracle=None)

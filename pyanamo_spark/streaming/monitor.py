@@ -68,6 +68,47 @@ def windowed_event_stream(
     )
 
 
+def session_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: ``session_window`` merges each user's
+    events whose gaps stay under ``gap`` — the continuous twin of the
+    batch gaps-and-islands q_sessionize, with state for a session held
+    only until the watermark passes its close (bounded memory under
+    unbounded users, which the lag-window batch form cannot offer).
+
+    Boundary note: session_window merges two events iff their distance
+    is strictly UNDER the gap, while the batch lag form keeps events
+    exactly ``gap`` apart together; fixture timestamps are not
+    minute-aligned so the two agree there (asserted by the test).
+    """
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ):

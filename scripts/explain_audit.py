@@ -43,13 +43,26 @@ EXCHANGE_BUDGET = {
     "q_dedup_ngram": 4,
     "q_state_join": 3,
     "q_join_equi": 3,
-    "q_map_align": 3,
     "q_knn_topk": 3,  # window over scored pairs
     "q_knn_ivf": 18,  # index BUILD (assignment join + per-dim Lloyd
     # aggregations) fused inline with the search for the declared
     # query; production builds the index once, stores assignments as
     # the partition key, and the search plan alone is 3 exchanges
     "q_knn_lsh": 3,
+    "q_custdist": 4,  # orders pre-agg + final distribution agg (over
+    # an already customer-cardinality input) + 2 broadcasts
+    "q_idle_customers": 4,  # cohort-avg scalar (exchange + 1-row
+    # broadcast) + anti-join broadcast + final group agg
+    "q_supplier_parts": 4,  # count-distinct plans as two-phase
+    # aggregation (2 exchanges) like q_text_stats, + broadcast + final
+    "q_top_supplier": 5,  # the persisted revenue aggregate's build
+    # plan (1 exchange) is PRINTED under both of its InMemoryRelation
+    # reference sites; at runtime the cache builds once and the live
+    # exchanges are: revenue groupBy, singleton max, 2 broadcasts
+    "q_small_qty_revenue": 5,  # same cache double-print: the persisted
+    # part-filtered fact slice appears under both the threshold agg and
+    # the final compare; live exchanges: partkey groupBy, singleton
+    # final agg, broadcasts
 }
 
 

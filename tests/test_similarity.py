@@ -3,6 +3,8 @@ bucket determinism, and LSH recall against the exact baseline."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyanamo_spark.registry import QUERIES, load_all
 from pyanamo_spark.similarity.knn import K, N_QUERIES
 
@@ -58,6 +60,58 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         approx.setdefault(r.query_id, set()).add(r.vec_id)
     # probing 2/16 lists: expect meaningful overlap with the exact
     # top-5 — at minimum the self-match; record-and-floor the rest
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert all(r >= 1 / 5 for r in recalls)
+
+
+def test_stored_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted index must turn probes into partition pruning:
+    the search scan's PartitionFilters carry the probed centroid ids,
+    and results still self-match + meet the recall floor."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.similarity.ivf import search_index, write_index
+
+    semantics.ensure_views(spark, sf_dir)
+    index_dir = str(tmp_path / "ivf")
+    write_index(spark, index_dir, iters=3)
+
+    import os
+
+    parts = [
+        d
+        for d in os.listdir(f"{index_dir}/lists")
+        if d.startswith("centroid_id=")
+    ]
+    assert parts, "inverted lists must be centroid-partitioned"
+
+    queries = spark.table("embeddings").filter(F.col("vec_id") < N_QUERIES)
+    result = search_index(spark, index_dir, queries)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    rows = result.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(N_QUERIES))
+    for qid, group in by_query.items():
+        top = min(group, key=lambda r: r.rnk)
+        assert top.vec_id == qid
+        assert abs(top.cos_sim - 1.0) < 1e-6
+
+    exact = {}
+    for r in QUERIES["q_knn_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {q: {r.vec_id for r in g} for q, g in by_query.items()}
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]

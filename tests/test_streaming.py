@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyanamo_spark.streaming.monitor import (
     run_available_now,
+    session_event_stream,
     state_count_stream,
     windowed_event_stream,
 )
@@ -39,6 +40,35 @@ def test_windowed_event_stream_matches_batch(spark, sf_dir, tmp_path):
         (r.window_start, r.event_type): (r.n_events, r.total_value)
         for r in QUERIES["q_event_window"](spark, sf_dir).collect()
     }
+    assert got == batch
+
+
+def test_session_stream_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """The streaming session_window must carve the same sessions as the
+    batch gaps-and-islands q_sessionize: compare the multiset of
+    (user_id, n_events, session_value) across all sessions. Complete
+    output mode emits every session (no watermark holdback), making the
+    comparison exact."""
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+    stream_df = session_event_stream(spark, events_dir, EVENTS_SCHEMA)
+    assert stream_df.isStreaming
+    query = run_available_now(stream_df, "sessions", output_mode="complete")
+    try:
+        got = sorted(
+            (r.user_id, r.n_events, r.session_value)
+            for r in spark.table("sessions").collect()
+        )
+    finally:
+        query.stop()
+
+    from pyanamo_spark.registry import QUERIES, load_all
+
+    load_all()
+    batch = sorted(
+        (r.user_id, r.n_events, r.session_value)
+        for r in QUERIES["q_sessionize"](spark, sf_dir).collect()
+    )
     assert got == batch
 
 
