@@ -72,15 +72,28 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     ids — 16 bytes/row — NOT the shingle arrays; the arrays are joined
     back onto the deduped pairs afterwards (two narrow hash joins on
     doc_id), so the hottest shuffles never ship document content.
+
+    The shingled corpus is persisted: it feeds the band branch AND both
+    array join-backs, and without materialization each consumer
+    re-tokenizes the full corpus (3x the dominant cost). Production
+    materializes this table to parquet anyway — it IS the minhash
+    index.
     """
-    prepped = corpus.withColumn(
-        "sh", F.array_distinct(shingles("text"))
-    ).select("doc_id", "sh")
+    prepped = (
+        corpus.withColumn("sh", F.array_distinct(shingles("text")))
+        .select("doc_id", "sh")
+        .persist()
+    )
+    # the band table is persisted too: the self-join otherwise computes
+    # the 128-permutation signature on BOTH sides (ReuseExchange does
+    # not kick in across the a/b aliases) — 16 ids/doc is far cheaper
+    # to hold than to recompute
     bands = (
         prepped.withColumn("hs", shingle_hashes("sh"))
         .withColumn("sig", minhash_signature("hs"))
         .select("doc_id", F.explode(band_structs("sig")).alias("band"))
         .select("doc_id", "band.band_idx", "band.band_hash")
+        .persist()
     )
     left = bands.alias("a")
     right = bands.alias("b")

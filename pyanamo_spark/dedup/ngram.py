@@ -88,7 +88,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(shingles("text"), lambda s: F.xxhash64(s))
         ).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    ).withColumn("n_sh", F.size("sh")).persist()
+    # persisted: both sides of the posting self-join re-tokenize the
+    # corpus otherwise; the explode itself is cheap to redo
     postings = prepped.select(
         "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )

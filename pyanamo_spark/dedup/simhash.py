@@ -108,9 +108,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_mutants(spark).withColumn(
         "sig", simhash_udf(F.col("text"))
     )
-    chunked = corpus.select(
-        "doc_id", "sig", F.explode(_chunks("sig")).alias("ch")
-    ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    # persisted: the self-join otherwise runs the simhash pandas UDF
+    # over the full corpus on BOTH aliases; 4 skinny rows/doc is far
+    # cheaper to hold than a second UDF pass over all text
+    chunked = (
+        corpus.select(
+            "doc_id", "sig", F.explode(_chunks("sig")).alias("ch")
+        )
+        .select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+        .persist()
+    )
     a, b = chunked.alias("a"), chunked.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
