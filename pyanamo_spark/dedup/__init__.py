@@ -44,8 +44,16 @@ def corpus_with_mutants(spark: SparkSession) -> DataFrame:
 
 
 def shingles(col, k: int = 3):
-    """Word k-shingles as an array column (distinct not applied)."""
+    """Word k-shingles as an array column (distinct not applied).
+
+    The tokenization is bound once per row via a single-element
+    ``transform`` wrapper: higher-order functions are interpreted with
+    no common-subexpression elimination, so naming ``split`` inside the
+    per-shingle lambda would re-split the text once per output element
+    (~50x per doc on the fixture corpus).
+    """
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
-        f" i -> array_join(slice(split({col}, ' '), i, {k}), ' '))"
+        f"transform(array(split({col}, ' ')),"
+        f" w -> transform(sequence(1, greatest(size(w) - {k - 1}, 1)),"
+        f"   i -> array_join(slice(w, i, {k}), ' ')))[0]"
     )

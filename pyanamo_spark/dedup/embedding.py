@@ -3,17 +3,33 @@ oracle-checked.
 
 Pairs are blocked on ``label`` (standing in for an ANN/LSH bucket — at
 100 TB the blocking key comes from pyanamo_spark.similarity.lsh, same
-join shape) and verified with exact cosine similarity. Norms are
-precomputed per vector *before* the self-join — computing them inside
-the pair stage triples the per-pair flops (dot(a,a) and dot(b,b) are
-recomputed for every partner). The threshold filter applies to the
-*rounded* value on both engines so borderline pairs can't diverge on
-last-ulp noise; the oracle mirrors the exact association
-``dot / (norm_a * norm_b)`` with the same precomputed-norm CTE.
+join shape) and resolved in two stages:
+
+  1. **Candidate stage** — per-block ``applyInPandas`` computes the full
+     similarity matrix with one numpy float64 matmul and emits only the
+     pairs at or above ``THRESHOLD - CAND_MARGIN``. Vectorized BLAS is
+     ~100x the throughput of evaluating a per-pair expression, and the
+     output is just (vec_a, vec_b) id pairs — the quadratic pair space
+     never materializes as rows.
+  2. **Verify stage** — the few survivors re-join the embeddings (two
+     broadcast hash joins, no shuffle) and the cosine is recomputed with
+     the *exact* sequential-fold expression the DuckDB oracle mirrors
+     (``dot / (nrm_a * nrm_b)``, every element cast to double, left-to-
+     right aggregate). Output values therefore match the oracle
+     bit-for-bit at the rounded precision; numpy only ever *selects*
+     pairs, with a margin wider than matmul-vs-fold reassociation noise
+     AND the half-ulp of ROUND(x, 6), so it can neither drop nor add a
+     pair relative to the one-stage plan.
+
+At 100 TB this is the standard block-then-verify ANN shape: blocks are
+bounded (LSH bucket), the matmul is per-block local work after one
+shuffle on the blocking key, and only id pairs cross the wire.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,9 +41,29 @@ from pyanamo_spark.functions.vectors import (
 from pyanamo_spark.registry import register
 
 THRESHOLD = 0.35
+# wider than both float64 reassociation noise (~1e-13 for 64-dim unit
+# vectors) and the 5e-7 half-step of ROUND(x, 6) at the boundary
+CAND_MARGIN = 2e-6
 
 _DOT = duckdb_dot_sql("a.embedding", "b.embedding")
 _COS = f"({_DOT} / (a.nrm * b.nrm))"
+
+
+def _block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One label block -> candidate (vec_a, vec_b) pairs by full-matrix
+    cosine in float64."""
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0  # zero vectors match nothing either way
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    ai, bi = np.nonzero(np.triu(sims >= THRESHOLD - CAND_MARGIN, k=1))
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(ids[ai], ids[bi]),
+            "vec_b": np.maximum(ids[ai], ids[bi]),
+        }
+    )
 
 
 @register(
@@ -47,29 +83,39 @@ WHERE ROUND({_COS}, 6) >= {THRESHOLD}
 """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star embedding near-dup: label-blocked self-join + cosine
-    ≥ 0.35 (the fixture's random vectors top out near 0.46, so the
-    threshold selects the true high-similarity tail)."""
-    emb = spark.table("embeddings").withColumn(
+    """North-star embedding near-dup: label-blocked numpy candidate
+    matmul, exact-expression verify at cosine ≥ 0.35 (the fixture's
+    random vectors top out near 0.46, so the threshold selects the true
+    high-similarity tail)."""
+    emb = spark.table("embeddings")
+    candidates = (
+        emb.select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(_block_candidates, "vec_a long, vec_b long")
+    )
+    with_norm = emb.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    ea = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        F.broadcast(candidates)
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cos_sim",
-        )
+        .select("vec_a", "vec_b", "cos_sim")
     )

@@ -8,7 +8,8 @@ Pipeline (the standard shingle → minhash → band → bucket-join shape):
   3. 8 bands × 4 rows: band hash groups docs into buckets
   4. docs sharing any band bucket become candidate pairs (self-join on
      the band key — the only shuffle, and it carries 16 bytes/row)
-  5. candidates verified with exact shingle-set Jaccard
+  5. candidates verified with exact Jaccard over the hashed shingle
+     sets (longs, not strings — see candidate_pairs)
 
 At 100 TB the band self-join is the scale bottleneck; bucket sizes are
 bounded because identical band hashes imply near-identical docs, and
@@ -31,12 +32,6 @@ N_PERM = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
 JACCARD_THRESHOLD = 0.5
-
-
-def shingle_hashes(shingle_col):
-    """Hash every shingle string once — the permutations below mix the
-    integer, so the strings are never re-hashed."""
-    return F.expr(f"transform({shingle_col}, sh -> xxhash64(sh))")
 
 
 def minhash_signature(hash_col):
@@ -73,15 +68,28 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     back onto the deduped pairs afterwards (two narrow hash joins on
     doc_id), so the hottest shuffles never ship document content.
 
-    The shingled corpus is persisted: it feeds the band branch AND both
-    array join-backs, and without materialization each consumer
-    re-tokenizes the full corpus (3x the dominant cost). Production
-    materializes this table to parquet anyway — it IS the minhash
-    index.
+    The corpus is prepped straight to *hashed* shingle sets (one
+    xxhash64 per shingle string, then array_distinct on the longs): the
+    signature, the bands, AND the exact-Jaccard verify all run on the
+    64-bit hashes, so shingle strings are hashed exactly once and never
+    stored, shipped, or compared again. Jaccard over distinct hashes
+    equals Jaccard over distinct shingles up to xxhash64 collisions
+    (~1e-9 at fixture scale, and a collision only perturbs one
+    set-element out of ~100).
+
+    The hashed corpus is persisted: it feeds the band branch AND both
+    join-backs, and without materialization each consumer re-tokenizes
+    the full corpus (3x the dominant cost). Production materializes
+    this table to parquet anyway — it IS the minhash index.
     """
     prepped = (
-        corpus.withColumn("sh", F.array_distinct(shingles("text")))
-        .select("doc_id", "sh")
+        corpus.withColumn(
+            "hs",
+            F.array_distinct(
+                F.transform(shingles("text"), lambda s: F.xxhash64(s))
+            ),
+        )
+        .select("doc_id", "hs")
         .persist()
     )
     # the band table is persisted too: the self-join otherwise computes
@@ -89,8 +97,7 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     # not kick in across the a/b aliases) — 16 ids/doc is far cheaper
     # to hold than to recompute
     bands = (
-        prepped.withColumn("hs", shingle_hashes("sh"))
-        .withColumn("sig", minhash_signature("hs"))
+        prepped.withColumn("sig", minhash_signature("hs"))
         .select("doc_id", F.explode(band_structs("sig")).alias("band"))
         .select("doc_id", "band.band_idx", "band.band_hash")
         .persist()
@@ -111,10 +118,10 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sh_a = prepped.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
     )
     sh_b = prepped.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")
     )
     return pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
 

@@ -212,7 +212,39 @@ def ensure_views(spark, sf_dir: str) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {view_sql(name, SPARK)}"
         )
+    _materialize_derived(spark, sf_dir)
     spark.conf.set(_VIEWS_CONF_KEY, sf_dir)
+
+
+#: derived views worth storing: tasks/nests re-derive LATERAL-exploded
+#: synthetic columns from ``orders`` on every consuming query otherwise.
+#: job_states is 17 rows — stays a plain view.
+_MATERIALIZED_VIEWS = ("tasks", "nests")
+
+
+def _materialize_derived(spark, sf_dir: str) -> None:
+    """Store the tasks/nests fixtures as session-scoped parquet and
+    rebind their names to columnar scans.
+
+    In a real deployment these are stored tables (the reference's
+    DynamoDB table and its exploded TaskScript map); deriving them
+    per-query from ``orders`` is fixture scaffolding, and ~20 declared
+    queries pay the same string-synthesis + explode repeatedly. The
+    derivation is deterministic pure arithmetic, so the parquet rows
+    are byte-identical to the view's rows — DuckDB oracles keep
+    inlining the CTE form. Set SPARK_GRAFT_MATERIALIZE_VIEWS=0 to keep
+    plain views (plan-shape debugging).
+    """
+    import os
+    import tempfile
+
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_VIEWS", "1") == "0":
+        return
+    root = tempfile.mkdtemp(prefix="pyanamo_fixtures_")
+    for name in _MATERIALIZED_VIEWS:
+        path = os.path.join(root, name)
+        spark.table(name).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
 
 
 def oracle_with_views(sql: str, needs: tuple[str, ...] = VIEW_ORDER) -> str:
