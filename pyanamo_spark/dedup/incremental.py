@@ -27,9 +27,12 @@ has).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
 
 
 def fingerprint_batch(batch: DataFrame) -> DataFrame:
@@ -62,3 +65,58 @@ def accept_batch(
 def accepted_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
     """The full accepted fingerprint set (all batch partitions)."""
     return spark.read.option("basePath", store_dir).parquet(store_dir)
+
+
+#: cross-batch duplicate id offset for the declared query's corpus
+DUP_OFFSET = 2_000_000
+#: batch-packing radix for the oracle's argmin (ids stay below it)
+_RADIX = 10_000_000
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, md5(text) AS fp, CAST(doc_id % 3 AS INT) AS batch
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, md5(text), 2
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT fp AS fingerprint,
+       CAST(MIN(batch * {_RADIX} + doc_id) % {_RADIX} AS BIGINT) AS doc_id,
+       CAST(MIN(batch * {_RADIX} + doc_id) // {_RADIX} AS INT) AS batch
+FROM corpus
+GROUP BY fp
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup as a declared query: three batches (docs split
+    by doc_id % 3, plus every 10th doc re-arriving in the last batch as
+    a cross-batch duplicate) flow through the fingerprint store, and
+    the result is the full accepted corpus with each keeper's batch.
+
+    The oracle replays first-accepted-wins declaratively: the keeper of
+    a fingerprint is argmin over (batch, doc_id), packed into one
+    integer so a plain MIN expresses the lexicographic order. Each call
+    builds its store under a fresh temp dir — the query is about the
+    accept protocol, not the storage location.
+    """
+    docs = spark.table("documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    third = F.col("doc_id") % 3
+    batches = [
+        docs.filter(third == 0),
+        docs.filter(third == 1),
+        docs.filter(third == 2).unionByName(dups),
+    ]
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="pyanamo_incr_dedup_"), "prints"
+    )
+    for batch_id, batch in enumerate(batches):
+        accept_batch(spark, batch, store, batch_id)
+    return accepted_corpus(spark, store).select(
+        "fingerprint", "doc_id", F.col("batch").cast("int").alias("batch")
+    )
