@@ -1,0 +1,150 @@
+"""Training-data curation operators (north star): deterministic
+train/val/test splitting, pattern scrubbing, benchmark decontamination.
+
+These are the pipeline stages between dedup and training that the
+reference's ETL orchestration implies but never ships (its items carry
+opaque task scripts — see SURVEY.md §2.10); here they are first-class
+declared queries over the ``documents`` table.
+
+Scale notes (100 TB):
+  - hash-split is a pure narrow projection — no shuffle, no state, and
+    the assignment is stable under repartitioning/backfill because it
+    depends only on the row's own key
+  - scrubbing is one codegen'd regexp pass per row — at scale the only
+    cost is the scan itself
+  - decontamination broadcasts the benchmark n-gram set (benchmarks are
+    tiny relative to the corpus) and aggregates map-side; the corpus
+    side never shuffles document text, only (doc_id, hit) pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.dedup import shingles
+from pyanamo_spark.registry import register
+
+#: hex-prefix boundaries: 12/16 train, 2/16 val, 2/16 test
+_VAL_LO, _TEST_LO = "c", "e"
+
+#: entity terms standing in for PII patterns — the fixture corpus is a
+#: closed-vocabulary word soup, so real email/phone regexes would match
+#: nothing; the expression shape (alternation -> placeholder + count)
+#: is exactly what a production scrubber compiles to
+_SCRUB_PATTERN = r"\b(customer|supplier)\b"
+_PLACEHOLDER = "<ENTITY>"
+
+#: benchmark membership: every 500th doc
+_BENCH_MOD = 500
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{_VAL_LO}'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{_TEST_LO}'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from a content-free,
+    engine-portable hash of the document key (md5 hex prefix:
+    12/16 train, 2/16 val, 2/16 test).
+
+    Keying on doc_id rather than a random() draw makes the split stable
+    across reruns, engines, partitionings, and incremental arrivals —
+    the property a training pipeline actually needs from its split."""
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return spark.table("documents").select(
+        "doc_id",
+        F.when(prefix < _VAL_LO, "train")
+        .when(prefix < _TEST_LO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q_scrub",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(text, '{_SCRUB_PATTERN}', '{_PLACEHOLDER}', 'g')
+         AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS BIGINT)
+         AS n_scrubbed
+FROM documents
+""",
+)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing: replace entity terms with a placeholder and
+    count replacements per doc — one vectorized regexp pass, the same
+    plan a PII scrubber (emails/phones/ids) runs at scale."""
+    return spark.table("documents").select(
+        "doc_id",
+        F.regexp_replace("text", _SCRUB_PATTERN, _PLACEHOLDER).alias(
+            "scrubbed"
+        ),
+        F.regexp_count("text", F.lit(_SCRUB_PATTERN))
+        .cast("long")
+        .alias("n_scrubbed"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS gram, doc_id AS bench_id
+  FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(sh) AS gram
+  FROM grams WHERE doc_id % {_BENCH_MOD} != 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+FROM corpus c
+JOIN bench b USING (gram)
+GROUP BY c.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    trigram with a held-out benchmark set (every 500th doc), with the
+    count of distinct benchmark docs hit.
+
+    Production uses longer n-grams (e.g. 13-grams); the fixture's ~30
+    word vocabulary needs trigrams for non-degenerate overlap. The
+    benchmark side collapses to distinct (gram, bench_id) pairs and is
+    broadcast — the corpus side's text never shuffles."""
+    docs = spark.table("documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text"))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("gram", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("long").alias("n_bench_hits")
+        )
+    )

@@ -41,6 +41,11 @@ EXCHANGE_BUDGET = {
     "q_dedup_near": 5,  # band self-join + dedup + verify
     "q_dedup_simhash": 5,
     "q_dedup_ngram": 4,
+    "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
+    # (1) + count-distinct's two-phase Expand aggregation; every
+    # exchanged row is an id pair — document text stays map-side
+    "q_dedup_incremental": 6,  # three accept rounds, each one groupBy
+    # on within-batch fingerprints; rows are 16-byte digests
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs

@@ -1,0 +1,37 @@
+"""Curation operators (operators/curation.py): value correctness is
+oracle-checked by test_parity/driver_sim; these pin the *properties*
+a training pipeline relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import QUERIES
+
+
+def test_hash_split_fractions_and_stability(spark, sf_dir):
+    rows = QUERIES["q_hash_split"](spark, sf_dir).collect()
+    n = len(rows)
+    frac = {
+        s: sum(1 for r in rows if r.split == s) / n
+        for s in ("train", "val", "test")
+    }
+    # 12/16 : 2/16 : 2/16 with generous tolerance at small n
+    assert 0.65 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.20
+    assert 0.05 < frac["test"] < 0.20
+    # same assignment on a rerun — the split is a pure function of key
+    again = {r.doc_id: r.split for r in QUERIES["q_hash_split"](spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_scrub_removes_every_occurrence(spark, sf_dir):
+    df = QUERIES["q_scrub"](spark, sf_dir)
+    assert df.filter(F.col("scrubbed").rlike(r"\b(customer|supplier)\b")).count() == 0
+    assert df.filter(F.col("n_scrubbed") > 0).count() > 0
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    df = QUERIES["q_decontaminate"](spark, sf_dir)
+    assert df.filter(F.col("doc_id") % 500 == 0).count() == 0
+    assert df.filter(F.col("n_bench_hits") <= 0).count() == 0
