@@ -52,7 +52,12 @@ def accept_batch(
     the batch's own ``batch=<id>`` partition, return the accepted
     (fingerprint, doc_id) rows."""
     prints = fingerprint_batch(batch)
-    if os.path.exists(store_dir):
+    # "seen" means actual batch partitions — the directory may already
+    # exist holding only hidden side-state (a streaming _checkpoint)
+    has_batches = os.path.isdir(store_dir) and any(
+        d.startswith("batch=") for d in os.listdir(store_dir)
+    )
+    if has_batches:
         seen = spark.read.parquet(store_dir).select("fingerprint")
         prints = prints.join(seen, "fingerprint", "left_anti")
     out = os.path.join(store_dir, f"batch={batch_id}")

@@ -70,6 +70,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.tpch_mart  # noqa: F401
     import pyanamo_spark.operators.advanced  # noqa: F401
     import pyanamo_spark.operators.curation  # noqa: F401
+    import pyanamo_spark.operators.packing  # noqa: F401
     import pyanamo_spark.functions.text  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401

@@ -1,0 +1,46 @@
+"""Sequence-packing invariants (operators/packing.py) — rows-only
+query, so the properties that make a packing usable are pinned here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyanamo_spark.operators.packing import BIN_CAPACITY
+from pyanamo_spark.registry import QUERIES
+
+
+def test_every_doc_packed_exactly_once(spark, sf_dir):
+    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    n_docs = spark.table("documents").count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+
+def test_bins_respect_capacity(spark, sf_dir):
+    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+    )
+    # a bin may exceed capacity only as a single oversized doc
+    assert bins.filter(
+        (F.col("tok") > BIN_CAPACITY) & (F.col("n") > 1)
+    ).count() == 0
+
+
+def test_packing_deterministic_and_efficient(spark, sf_dir):
+    a = {
+        (r.doc_id, r.bin_id)
+        for r in QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.bin_id)
+        for r in QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert a == b
+    # fill efficiency: total bins within 25% of the token-mass lower
+    # bound (FFD guarantees far better; this catches gross regressions)
+    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    n_bins = packed.select("bin_id").distinct().count()
+    lower_bound = -(-total_tokens // BIN_CAPACITY)
+    assert n_bins <= 1.25 * lower_bound + 16  # +1 tail bin per bucket
