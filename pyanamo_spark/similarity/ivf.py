@@ -21,6 +21,8 @@ tests/test_similarity.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -34,63 +36,78 @@ N_QUERIES = 3
 
 
 def _nearest(df: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
-    """Attach each row's n nearest centroid ids by cosine."""
-    scored = df.join(F.broadcast(centroids)).withColumn(
-        "c_cos",
-        dot(F.col("embedding"), F.col("c_emb"))
-        / (F.col("nrm") * F.col("c_nrm")),
+    """Attach each row's n nearest centroid ids by cosine.
+
+    The centroid model is tiny by construction (N_CENTROIDS rows), so
+    it rides into every task as a closure-captured numpy matrix and the
+    scoring is one BLAS matmul per Arrow batch inside ``mapInPandas`` —
+    no cross join, no per-(vector, centroid) row blowup, no argmin
+    shuffle. The earlier DataFrame form (broadcast cross join +
+    max-of-struct groupBy) shuffled |corpus| × |centroids| scored rows
+    to reduce them straight back down; this emits exactly n rows per
+    vector map-side. Ties break toward the lower centroid id (argmax on
+    a stable sort), matching the struct-ordering tie-break it replaces."""
+    rows = sorted(
+        centroids.collect(), key=lambda r: r.centroid_id
     )
-    if n == 1:
-        # argmin without a window: max of (cos, centroid_id) structs
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.max(F.struct("c_cos", "centroid_id")).alias("best"))
-            .select("vec_id", F.col("best.centroid_id").alias("centroid_id"))
-        )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("crnk", F.row_number().over(w))
-        .filter(F.col("crnk") <= n)
-        .select("vec_id", "centroid_id")
+    c_ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in rows])
+    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    take = min(n, len(c_ids))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            sims = (mat / nrm[:, None]) @ c_unit.T
+            # n is 1 or 2 here; argsort on N_CENTROIDS cols is cheap
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), take
+                    ),
+                    "centroid_id": c_ids[order].ravel(),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, centroid_id bigint"
     )
 
 
 def _lloyd_step(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd iteration: assign, then per-(cluster, dim) means
-    re-assembled into centroid arrays."""
+    """One Lloyd iteration: assign, then a per-cluster vectorized mean
+    — one shuffle of (centroid_id, embedding) and a numpy column mean
+    per group. The earlier posexplode → per-(cluster, dim) aggregation
+    form shuffled |corpus| × dim scalar rows for the same result."""
     assign = _nearest(emb, centroids, 1)
+
+    def mean_centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            np.stack(pdf["embedding"].to_numpy())
+            .astype(np.float64)
+            .mean(axis=0)
+        )
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "c_emb": [m.tolist()],
+                "c_nrm": [float(np.linalg.norm(m))],
+            }
+        )
+
     return (
         emb.join(assign, "vec_id")
-        .select(
-            "centroid_id", F.posexplode("embedding").alias("dim", "val")
-        )
-        .groupBy("centroid_id", "dim")
-        .agg(F.avg("val").alias("mean"))
+        .select("centroid_id", "embedding")
         .groupBy("centroid_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "mean"))
-            ).alias("dims")
+        .applyInPandas(
+            mean_centroid,
+            "centroid_id bigint, c_emb array<double>, c_nrm double",
         )
-        .select(
-            "centroid_id",
-            F.expr("transform(dims, d -> d.mean)").alias("c_emb"),
-        )
-        .withColumn("c_nrm", F.sqrt(dot(F.col("c_emb"), F.col("c_emb"))))
-    )
-
-
-def _materialize_centroids(spark: SparkSession, centroids: DataFrame):
-    """Collect the (tiny) centroid table to the driver and re-create it
-    — the small-model-to-driver move every k-means implementation makes.
-    Each Lloyd iteration otherwise doubles the lineage (its assignment
-    join re-derives every previous iteration), turning iteration N into
-    O(2^N) recomputation."""
-    rows = centroids.collect()
-    return spark.createDataFrame(
-        rows, "centroid_id bigint, c_emb array<double>, c_nrm double"
     )
 
 
@@ -99,9 +116,11 @@ def build_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, centroids): the inverted lists and the
     coarse quantizer after ``iters`` Lloyd refinements of the seed
-    centroids. Each iteration is one pass over the data (assignment
-    broadcast join + per-dim aggregation); the 16-row centroid model
-    is materialized on the driver between iterations."""
+    centroids. Each iteration is one pass over the data. Lineage stays
+    flat across iterations because ``_nearest`` collects the incoming
+    16-row centroid model to the driver — the small-model-to-driver
+    move every k-means implementation makes; without it iteration N
+    re-derives every previous iteration."""
     emb = spark.table("embeddings").withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
@@ -112,9 +131,7 @@ def build_index(
     )
     centroids = seeds
     for _ in range(max(1, iters)):
-        centroids = _materialize_centroids(
-            spark, _lloyd_step(emb, centroids)
-        )
+        centroids = _lloyd_step(emb, centroids)
     assignments = _nearest(emb, centroids, 1)
     return assignments, centroids
 

@@ -49,10 +49,12 @@ EXCHANGE_BUDGET = {
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
-    "q_knn_ivf": 18,  # index BUILD (assignment join + per-dim Lloyd
-    # aggregations) fused inline with the search for the declared
-    # query; production builds the index once, stores assignments as
-    # the partition key, and the search plan alone is 3 exchanges
+    "q_knn_ivf": 5,  # index BUILD (assignment + per-cluster Lloyd
+    # mean) fused inline with the search for the declared query;
+    # assignment itself is shuffle-free mapInPandas since the centroid
+    # model rides into tasks as a numpy constant. Production builds
+    # once, stores assignments as the partition key, and the search
+    # plan alone is 3 exchanges
     "q_knn_lsh": 3,
     "q_custdist": 4,  # orders pre-agg + final distribution agg (over
     # an already customer-cardinality input) + 2 broadcasts
