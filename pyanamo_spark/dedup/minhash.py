@@ -2,9 +2,10 @@
 
 Pipeline (the standard shingle → minhash → band → bucket-join shape):
   1. word 3-shingles per doc
-  2. 32-permutation MinHash signature — permutation s is
-     min(xxhash64(s || shingle)); xxhash64 is a JVM built-in, so the
-     whole signature is one codegen'd expression, no UDF
+  2. 32-permutation MinHash signature — shingles are xxhash64'd once
+     JVM-side, then an Arrow-batched pandas UDF derives all 32
+     permutations as one uint64 outer product per doc (see
+     minhash_signature for why this beat the pure-expression forms)
   3. 8 bands × 4 rows: band hash groups docs into buckets
   4. docs sharing any band bucket become candidate pairs (self-join on
      the band key — the only shuffle, and it carries 16 bytes/row)
@@ -22,8 +23,11 @@ construction and asserted in tests/test_dedup.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from pyanamo_spark.dedup import corpus_with_mutants, shingles
 from pyanamo_spark.registry import register
@@ -33,20 +37,37 @@ N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
 JACCARD_THRESHOLD = 0.5
 
+#: universal-hash permutation constants (seeded, odd multipliers) —
+#: fixed at import so signatures are deterministic across executors
+_rng = np.random.RandomState(0xDED0)
+_PERM_A = (
+    _rng.randint(1, 2**63, size=N_PERM, dtype=np.int64).view(np.uint64) | 1
+)
+_PERM_B = _rng.randint(1, 2**63, size=N_PERM, dtype=np.int64).view(np.uint64)
 
-def minhash_signature(hash_col):
-    """32-long array over a shingle-hash array: element s =
-    min over hashes h of murmur3(s, h).
 
-    Hashing the shingle *strings* 32× was the suite's hottest
-    expression (≈40M string hashes at sf0.1); mixing the precomputed
-    64-bit hash with murmur3(seed, h) is equivalent for LSH purposes
-    and far cheaper. Arithmetic mixing (h*A+B) is not an option under
-    ANSI mode (long overflow throws); murmur is overflow-free."""
-    return F.expr(
-        f"transform(sequence(0, {N_PERM - 1}),"
-        f" s -> array_min(transform({hash_col}, h -> hash(s, h))))"
-    )
+# type object, not a DDL string: string return types are parsed at
+# decoration time and require an active session, but this module loads
+# before any SparkSession exists
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_signature(hs: pd.Series) -> pd.Series:
+    """32-long MinHash signature over a shingle-hash array: element s =
+    min over hashes h of (a_s * h + b_s) mod 2^64.
+
+    Three generations of this expression: hashing the shingle *strings*
+    32x was the suite's hottest expression (~40M string hashes at
+    sf0.1); mixing the precomputed 64-bit hash with JVM murmur3(s, h)
+    cut that to one string hash per shingle but stayed interpreted
+    (higher-order lambdas don't codegen) — ~8M boxed hash calls. The
+    numpy form does the same mix as one (N_PERM x |hs|) uint64 outer
+    product per doc, where overflow wraps for free; ANSI mode forbids
+    that arithmetic JVM-side (long overflow throws)."""
+    out = []
+    for h in hs:
+        hh = np.asarray(h, dtype=np.int64).view(np.uint64)
+        sig = (_PERM_A[:, None] * hh[None, :] + _PERM_B[:, None]).min(axis=1)
+        out.append(sig.view(np.int64))
+    return pd.Series(out)
 
 
 def band_structs(sig_col):
