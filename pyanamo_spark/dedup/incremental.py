@@ -27,6 +27,7 @@ has).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,52 @@ def accept_batch(
 def accepted_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
     """The full accepted fingerprint set (all batch partitions)."""
     return spark.read.option("basePath", store_dir).parquet(store_dir)
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Rewrite every ``batch=*`` partition down to one file.
+
+    Each ``accept_batch`` write inherits the anti-join's shuffle
+    parallelism, so a batch partition lands as up to
+    ``spark.sql.shuffle.partitions`` small files; after thousands of
+    accepted batches the store is a classic small-files swamp — every
+    future anti-join probe pays an open/footer-read per file.
+    Compaction clusters each batch into a single task
+    (``repartition("batch")``) and rewrites the partitions through a
+    shadow directory, swapping them in only after the full rewrite
+    succeeds. Hidden side-state in the store root (a streaming
+    ``_checkpoint``) is untouched, the partition set and the accepted
+    (fingerprint, doc_id, batch) rows are byte-identical, and a crash
+    mid-compaction leaves either the old or the new layout per
+    partition — never a torn one, since os.rename is atomic per dir.
+
+    Returns the number of batch partitions compacted. Not safe to run
+    concurrently with ``accept_batch`` (production fences with the same
+    batch-directory convention: a compactor lease partition).
+    """
+    batches = [
+        d for d in os.listdir(store_dir) if d.startswith("batch=")
+    ]
+    if not batches:
+        return 0
+    shadow = store_dir.rstrip("/") + "__compacting"
+    shutil.rmtree(shadow, ignore_errors=True)
+    (
+        accepted_corpus(spark, store_dir)
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(shadow)
+    )
+    for d in batches:
+        new = os.path.join(shadow, d)
+        if not os.path.isdir(new):  # never true: every batch has rows
+            continue
+        old = os.path.join(store_dir, d)
+        shutil.rmtree(old)
+        os.rename(new, old)
+    shutil.rmtree(shadow)
+    return len(batches)
 
 
 #: cross-batch duplicate id offset for the declared query's corpus

@@ -85,14 +85,33 @@ def _run_scripts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def execute_nests(nests: DataFrame, parallelism: int | None = None) -> DataFrame:
+def substitute_vars(scripts, env: dict[str, str]):
+    """F4 (executor.py:75): expand ``${VAR}`` placeholders in task
+    scripts from a fixed mapping — the reference rewrites
+    ``${PYANAMO}``/``${PIPELINE}`` to install paths before Popen. One
+    codegen'd replace chain, no UDF; sorted so the expression tree is
+    deterministic for a given mapping."""
+    col = F.col(scripts) if isinstance(scripts, str) else scripts
+    for key, val in sorted(env.items()):
+        col = F.replace(col, F.lit("${%s}" % key), F.lit(val))
+    return col
+
+
+def execute_nests(
+    nests: DataFrame,
+    parallelism: int | None = None,
+    env: dict[str, str] | None = None,
+) -> DataFrame:
     """Run every (itemID, nestID, script) row as a subprocess.
 
     ``repartition(parallelism)`` spreads the work items evenly before
     the pipe stage — the two-level multiprocessing fan-out of
     parallel_processes.py:15-143 expressed as partition count.
+    ``env`` expands ``${VAR}`` placeholders in scripts first (F4).
     """
     work = nests.select("itemID", "nestID", "script")
+    if env:
+        work = work.withColumn("script", substitute_vars("script", env))
     if parallelism:
         work = work.repartition(parallelism)
     return work.mapInPandas(_run_scripts, schema=RESULT_SCHEMA)

@@ -152,3 +152,16 @@ def test_sink_router_is_foreachbatch_compatible(spark, tmp_path):
     )
     paths = route_and_write(df, str(tmp_path), batch_id=7)
     assert paths["inline"].endswith("inline/batch_7")
+
+
+def test_pipe_env_var_substitution(spark):
+    """F4 (executor.py:75): ${VAR} placeholders expand before Popen."""
+    df = spark.createDataFrame(
+        [("i1", "Task_0", "${PYANAMO} hello ${PIPELINE}")],
+        "itemID string, nestID string, script string",
+    )
+    row = execute_nests(
+        df, env={"PYANAMO": "echo", "PIPELINE": "world"}
+    ).collect()[0]
+    assert row.exit_code == 0
+    assert row.stdout == "hello world\n"

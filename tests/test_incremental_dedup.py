@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pyanamo_spark import semantics
-from pyanamo_spark.dedup.incremental import accept_batch, accepted_corpus
+from pyanamo_spark.dedup.incremental import (
+    accept_batch,
+    accepted_corpus,
+    compact_store,
+)
 
 
 def test_three_batch_arrival_equals_global_dedup(spark, sf_dir, tmp_path):
@@ -71,3 +75,62 @@ def test_store_layout_is_batch_partitioned(spark, sf_dir, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(store, "batch=7"))
+
+
+def test_compaction_preserves_corpus_and_merges_files(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    semantics.ensure_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    store = str(tmp_path / "prints")
+    third = F.col("doc_id") % 3
+    # AQE's partition coalescing collapses these tiny batches to one
+    # output file each — disable it so the store gets the multi-file
+    # partitions compaction exists to fix
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for batch_id in range(3):
+            accept_batch(
+                spark, docs.filter(third == batch_id), store, batch_id
+            )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    # hidden side-state (streaming checkpoint) must survive untouched
+    os.makedirs(os.path.join(store, "_checkpoint"))
+    with open(os.path.join(store, "_checkpoint", "offsets"), "w") as f:
+        f.write("epoch 2")
+
+    def parquet_files():
+        return {
+            os.path.join(d, f)
+            for d, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before_rows = sorted(
+        (r.fingerprint, r.doc_id, r.batch)
+        for r in accepted_corpus(spark, store).collect()
+    )
+    n_files_before = len(parquet_files())
+    assert n_files_before > 3  # multi-file partitions exist
+
+    assert compact_store(spark, store) == 3
+
+    files = parquet_files()
+    assert len(files) == 3  # exactly one file per batch partition
+    after_rows = sorted(
+        (r.fingerprint, r.doc_id, r.batch)
+        for r in accepted_corpus(spark, store).collect()
+    )
+    assert after_rows == before_rows
+    assert {os.path.basename(os.path.dirname(f)) for f in files} == {
+        "batch=0", "batch=1", "batch=2"
+    }
+    with open(os.path.join(store, "_checkpoint", "offsets")) as f:
+        assert f.read() == "epoch 2"
+    assert not os.path.isdir(store + "__compacting")
