@@ -55,35 +55,53 @@ def _simhash64(text: str) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized simhash: per doc, token hashes become a (n_tokens,)
-    uint64 array; the 64 per-bit ±1 accumulations are one numpy
-    broadcast instead of a Python loop (≈5× over the reference impl).
-    Token md5s are memoized across the batch — the fixture vocabulary
-    is tiny, and real corpora repeat tokens heavily too."""
-    cache: dict[str, int] = {}
+#: executor-lifetime token→hash memo; real corpora repeat tokens
+#: heavily (Zipf), so this converges to the vocabulary and stays small
+_TOK_CACHE: dict[str, int] = {}
 
-    def tok_hash(tok: str) -> int:
-        h = cache.get(tok)
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Whole-batch-vectorized simhash, no per-document Python loop:
+
+      1. one pandas str.split over the batch; all docs' tokens flatten
+         into a single array with per-doc offsets
+      2. factorize the flat tokens → md5 runs ONCE per distinct token
+         (memoized across batches too); a take() rebuilds the flat
+         uint64 hash stream
+      3. np.unpackbits views the hashes as a (total_tokens, 64) 0/1
+         matrix — little-endian bit order makes column b exactly
+         ``(h >> b) & 1`` — at 1 byte per bit instead of 8
+      4. np.add.reduceat at the doc offsets → per-doc bit votes; the
+         majority test and a shift-dot repack the 64 sign bits
+
+    The earlier per-doc form (loop + per-doc broadcast) spent ~90% of
+    q_dedup_simhash's wall time in this UDF; this form is one C pass
+    per stage over the whole Arrow batch.
+    """
+    toks = texts.str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    codes, uniques = pd.factorize(flat)
+    uniq_hashes = np.empty(len(uniques), dtype=np.uint64)
+    for i, tok in enumerate(uniques):
+        h = _TOK_CACHE.get(tok)
         if h is None:
             h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            cache[tok] = h
-        return h
-
+            _TOK_CACHE[tok] = h
+        uniq_hashes[i] = h
+    hashes = uniq_hashes[codes]
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    set_bits = 2 * votes > lens[:, None]
     bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        hashes = np.fromiter(
-            (tok_hash(t) for t in text.split(" ")),
-            dtype=np.uint64,
-        )
-        # bits[t, b] ∈ {0,1} → column sums vs token count/2 decide bit b
-        bits = (hashes[:, None] >> bit_idx) & np.uint64(1)
-        votes = bits.sum(axis=0, dtype=np.int64)
-        set_bits = 2 * votes > len(hashes)
-        sig = (set_bits.astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
-        out[i] = sig.astype(np.int64)
-    return pd.Series(out)
+    sig = (set_bits.astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(sig.view(np.int64))
 
 
 @F.pandas_udf(LongType())

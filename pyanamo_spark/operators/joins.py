@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pyanamo_spark.registry import register
 
@@ -172,6 +173,80 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+WITH sub AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+           OVER w AS last_click_us,
+         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id
+  FROM sub
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+       last_click_us, last_click_id
+FROM m WHERE side = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (X6 extension): each purchase matched to the SAME
+    user's latest click at-or-before it — the attribution shape pandas
+    spells merge_asof and time-series stores spell ASOF JOIN.
+
+    Expressed as the sorted-merge form, not a join: both sides interleave
+    in one window ordered (ts, side, event_id) per user, and a running
+    last-ignoring-nulls over the click-only columns is exactly "most
+    recent right row ≤ t". One hash shuffle on user_id + an in-partition
+    sort; the naive inequality join is clicks × purchases per user
+    before its max — a per-key cross product no 100 TB plan survives.
+    Ties: a click at the purchase's exact microsecond matches (side
+    orders clicks first); equal-time clicks resolve to max event_id.
+    Per-user history length bounds partition memory; production bounds
+    it further by time-slicing with carried-over last-click state.
+    """
+    sub = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("side"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("us", "side", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    click_only = lambda c: F.when(F.col("side") == 0, F.col(c))
+    return (
+        sub.withColumn(
+            "last_click_us", F.last(click_only("us"), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_id",
+            F.last(click_only("event_id"), ignorenulls=True).over(w),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "last_click_us",
+            "last_click_id",
+        )
+    )
 
 
 @register(
