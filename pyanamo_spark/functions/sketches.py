@@ -1,0 +1,93 @@
+"""Sketch-based approximate analytics (north star: the summaries a
+100 TB pipeline computes instead of exact global state).
+
+Three sketch families, each in its scale-native Spark form:
+
+  - quantiles: ``percentile_approx`` (Greenwald-Khanna style summary,
+    mergeable map-side; rank error ≤ n/accuracy) — the scale path the
+    exact q_percentiles docstring points at
+  - heavy hitters: ``stat.freqItems`` (Karp/Misra-Gries counter,
+    single pass, NO shuffle, per-partition state ≤ 1/support) for
+    candidate generation, then one exact count pass over candidates
+    only. Because the sketch guarantees a SUPERSET of the true heavy
+    hitters, the verified result is exactly the true set — so this
+    sketch query is oracle-checkable even though the sketch itself is
+    approximate. This candidates-then-verify is the production shape:
+    the full groupBy alternative shuffles every distinct key; this
+    shuffles only rows whose key is in the driver-sized candidate set.
+  - cardinality: HyperLogLog (q_approx_distinct in functions/text.py);
+    sketch mergeability — union of per-group sketches == one global
+    sketch — is pinned in tests/test_sketches.py, the property that
+    lets 100 TB rollups pre-aggregate sketches per partition/day and
+    still answer global questions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: q_heavy_hitters support: a user is "heavy" above this share of all
+#: events (chosen to split the fixture's user distribution)
+HH_SUPPORT = 0.0075
+
+#: GK accuracy: rank error ≤ n / accuracy
+PCT_ACCURACY = 10_000
+
+
+@register("q_percentiles_approx", oracle=None)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles of order value: the mergeable-
+    summary path that replaces q_percentiles' exact sort at scale.
+    Rows-only by design — DuckDB's approx_quantile is a different
+    sketch, so cross-engine equality is impossible; the rank-error
+    guarantee (≤ n/accuracy per group) is asserted in
+    tests/test_sketches.py against exactly-computed ranks."""
+    orders = spark.table("orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75], PCT_ACCURACY
+        ).alias("approx_q"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > {HH_SUPPORT} * (SELECT COUNT(*) FROM events)
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: users with more than ``HH_SUPPORT`` of all
+    events, via sketch-then-verify.
+
+    Pass 1 (freqItems) streams the table once with a bounded counter
+    per partition and no shuffle, returning a driver-sized candidate
+    superset of every key exceeding the support. Pass 2 counts ONLY
+    candidate rows (an isin filter pushed to the scan) and keeps those
+    strictly above support x total. False-positive candidates are
+    filtered by the exact pass, so the output equals the plain
+    GROUP BY/HAVING oracle while shuffling a candidate-bounded key set
+    instead of every distinct key — the difference between a bounded
+    and an unbounded-cardinality exchange at 100 TB.
+    """
+    events = spark.table("events")
+    candidates = [
+        int(c)
+        for c in events.stat.freqItems(["user_id"], HH_SUPPORT).collect()[
+            0
+        ][0]
+    ]
+    total = events.count()
+    return (
+        events.filter(F.col("user_id").isin(candidates))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > F.lit(HH_SUPPORT) * F.lit(total))
+    )

@@ -73,6 +73,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.packing  # noqa: F401
     import pyanamo_spark.functions.text  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401
+    import pyanamo_spark.functions.sketches  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
     import pyanamo_spark.dedup.minhash  # noqa: F401
     import pyanamo_spark.dedup.simhash  # noqa: F401

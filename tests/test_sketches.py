@@ -1,0 +1,83 @@
+"""Sketch guarantees (functions/sketches.py): the properties that make
+approximate answers usable — error bounds and mergeability — pinned
+against exactly-computed ground truth. q_heavy_hitters' exact-match
+parity is covered by the oracle harness (test_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyanamo_spark.functions.sketches import HH_SUPPORT, PCT_ACCURACY
+from pyanamo_spark.registry import QUERIES
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    got = {
+        r.o_orderstatus: r.approx_q
+        for r in QUERIES["q_percentiles_approx"](spark, sf_dir).collect()
+    }
+    rows = spark.table("orders").select("o_orderstatus", "o_totalprice").collect()
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r.o_orderstatus, []).append(r.o_totalprice)
+    assert set(got) == set(by_group)
+    for status, vals in by_group.items():
+        vals.sort()
+        n = len(vals)
+        for q, v in zip((0.25, 0.5, 0.75), got[status]):
+            # GK guarantee: the returned value's rank is within
+            # n/accuracy of the target rank (allow ±1 for rank
+            # convention at boundaries)
+            import bisect
+
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v) - 1
+            target = q * n
+            tol = n / PCT_ACCURACY + 1
+            assert lo - tol <= target <= hi + tol + 1, (
+                status,
+                q,
+                v,
+                (lo, hi, target),
+            )
+
+
+def test_heavy_hitters_equals_exact(spark, sf_dir):
+    got = {
+        (r.user_id, r.n_events)
+        for r in QUERIES["q_heavy_hitters"](spark, sf_dir).collect()
+    }
+    counts = (
+        spark.table("events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    total = spark.table("events").count()
+    expect = {
+        (r.user_id, r.n)
+        for r in counts.collect()
+        if r.n > HH_SUPPORT * total
+    }
+    assert got == expect
+
+
+def test_hll_sketch_mergeability(spark, sf_dir):
+    """Union of per-group HLL sketches must equal one global sketch —
+    same algorithm, same hashes, so EXACT equality, not approximate.
+    This is what makes per-partition sketch rollups sound."""
+    toks = spark.table("documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    direct = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est")
+    ).collect()[0][0]
+    merged = (
+        toks.groupBy("lang")
+        .agg(F.hll_sketch_agg("tok").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0][0]
+    )
+    assert merged == direct
+    # and the estimate is actually close to truth
+    exact = toks.select("tok").distinct().count()
+    assert math.isclose(merged, exact, rel_tol=0.05)
