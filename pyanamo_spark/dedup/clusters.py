@@ -1,0 +1,138 @@
+"""Duplicate clustering: pair graph → connected components → keeper.
+
+Pair-emitting dedup (q_dedup_ngram / q_dedup_near / q_dedup_simhash)
+answers "who matches whom"; a pipeline needs "which ONE row survives".
+Transitive matches make that a graph problem: A≈B and B≈C must land in
+one cluster even when A and C don't match directly. This module closes
+that gap with connected components over the pair graph, all in
+DataFrame ops:
+
+  - min-label propagation: every node starts as its own component;
+    each round, every node takes the min component id among itself and
+    its neighbors (one union + one groupBy-min shuffle per round),
+    stopping when a round changes nothing. Rounds needed = graph
+    diameter — dup clusters are near-cliques (diameter ≤ ~2-3), so
+    this converges in 2-4 rounds; the O(log n)-round alternating
+    large-star/small-star variant is the drop-in upgrade if a corpus
+    ever produces deep chains.
+  - the cluster id is the min doc_id in the component; the keeper IS
+    that doc — deterministic, no ordering sensitivity.
+
+The oracle replays components declaratively: a recursive CTE closes
+the edge relation and takes min reachable per node — exponential-ish
+in cluster size, fine for fixture-scale clusters, never the production
+path (that's the point of the Spark form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyanamo_spark.dedup.ngram import q_dedup_ngram
+from pyanamo_spark.registry import ORACLES, register
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(a, b) undirected edge pairs → (node, comp) with comp = min node
+    id in the component. Nodes are those appearing in edges.
+
+    One shuffle per round (union + groupBy-min). Each round's labels
+    are eagerly localCheckpoint'ed: persist alone caches the DATA but
+    the logical plan still nests one level per round, and an iterative
+    self-join plan grows until the analyzer itself exhausts the heap —
+    checkpointing is what makes DataFrame iteration viable (on a
+    cluster, ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+    is the fault-tolerant form of the same move). The convergence check
+    is an exact changed-row count — a round that changes nothing proves
+    every node already holds its component's min (monotone fixpoint).
+    """
+    sym = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .union(
+            edges.select(
+                F.col("b").cast("long").alias("a"),
+                F.col("a").cast("long").alias("b"),
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels, sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "comp")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{{ngram_pairs}}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT v AS doc_id,
+       MIN(r) AS cluster_id,
+       v = MIN(r) AS is_keeper
+FROM reach
+GROUP BY v
+""",
+)
+def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: the oracle-exact ngram pair
+    graph (which subsumes exact duplicates — identical text has
+    Jaccard 1) closed into components; each doc gets its cluster id
+    (min doc_id in the component) and a keeper flag. Docs with no
+    duplicate partner are not emitted — at 100 TB the overwhelmingly
+    common case is "no match", and shipping a label per non-duplicate
+    row would dwarf the actual answer."""
+    pairs = q_dedup_ngram(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+# splice the ngram oracle's SELECT into the recursive template; strip
+# its WITH prefix so the clusters oracle owns the single WITH RECURSIVE
+_ngram = ORACLES["q_dedup_ngram"].strip()
+assert _ngram.upper().startswith("WITH")
+_body, _tail = _ngram[4:].rsplit(")\nSELECT", 1)
+ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].format(
+    ngram_pairs="WITH" + _body + ")\nSELECT" + _tail
+)

@@ -1,0 +1,48 @@
+"""Connected-components clustering (dedup/clusters.py). The declared
+query's exact-match parity runs in the oracle harness; here the graph
+algorithm itself is pinned on constructed graphs whose diameter forces
+real iteration."""
+
+from __future__ import annotations
+
+from pyanamo_spark.dedup.clusters import connected_components
+from pyanamo_spark.registry import QUERIES
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: r.comp for r in connected_components(df).collect()
+    }
+
+
+def test_chain_and_island(spark):
+    # A-B-C chain (A,C never directly linked) + D-E island
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # a 12-node path: min label must travel the full diameter
+    edges = [(i, i + 1) for i in range(12)]
+    got = _components(spark, edges)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    got = _components(spark, [(5, 2), (2, 5), (2, 9), (9, 5)])
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_clusters_query_keeper_semantics(spark, sf_dir):
+    rows = QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    assert rows, "mutant corpus must produce at least one cluster"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert len(ids) >= 2  # singletons are not emitted
+        assert cid == ids[0]  # cluster id is the min member
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid
