@@ -38,6 +38,13 @@ _PLACEHOLDER = "<ENTITY>"
 #: benchmark membership: every 500th doc
 _BENCH_MOD = 500
 
+#: stratified-sample keep thresholds, per stratum, as 4-hex-digit
+#: prefixes: keep iff md5(doc_id:lang)[:4] < threshold, i.e. rate =
+#: int(threshold, 16) / 65536. Strata absent from the map keep all
+#: rows. en is ~3x over-represented in the fixture mixture → 0.3125;
+#: zh trimmed lightly → 0.875.
+_STRATA_THRESHOLDS = {"en": "5000", "zh": "e000"}
+
 
 @register(
     "q_hash_split",
@@ -148,3 +155,50 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").cast("long").alias("n_bench_hits")
         )
     )
+
+
+def _strata_case_sql() -> str:
+    whens = "\n".join(
+        f"  WHEN '{lang}' THEN"
+        f" substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)"
+        f" < '{thr}'"
+        for lang, thr in sorted(_STRATA_THRESHOLDS.items())
+    )
+    return f"CASE lang\n{whens}\n  ELSE TRUE END"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_strata_case_sql()}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling for mixture rebalancing: each language
+    stratum keeps a configured fraction of its docs (en downsampled
+    ~3x to level the fixture's language skew), decided per row by a
+    content-free hash of (doc_id, lang).
+
+    Like q_hash_split, hashing the key instead of drawing random()
+    makes the sample a pure row property: stable under reruns,
+    repartitioning, engine changes, and incremental arrivals (a
+    backfilled doc keeps or drops identically), and the whole operator
+    is a narrow codegen'd filter — no shuffle, no sample() RNG state,
+    nothing driver-side. The salt ':'+lang decorrelates the draw from
+    q_hash_split's split assignment so sampling doesn't bias splits.
+    """
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")
+            )
+        ),
+        1,
+        4,
+    )
+    keep = F.lit(True)
+    for lang, thr in _STRATA_THRESHOLDS.items():
+        keep = F.when(F.col("lang") == lang, draw < thr).otherwise(keep)
+    return spark.table("documents").filter(keep).select("doc_id", "lang")

@@ -35,3 +35,38 @@ def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
     df = QUERIES["q_decontaminate"](spark, sf_dir)
     assert df.filter(F.col("doc_id") % 500 == 0).count() == 0
     assert df.filter(F.col("n_bench_hits") <= 0).count() == 0
+
+
+def test_stratified_sample_rates_and_stability(spark, sf_dir):
+    from pyanamo_spark.operators.curation import _STRATA_THRESHOLDS
+
+    docs = spark.table("documents")
+    before = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept_rows = QUERIES["q_stratified_sample"](spark, sf_dir).collect()
+    kept = {}
+    for r in kept_rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    for lang, n in before.items():
+        rate = (
+            int(_STRATA_THRESHOLDS[lang], 16) / 65536
+            if lang in _STRATA_THRESHOLDS
+            else 1.0
+        )
+        if rate == 1.0:
+            # unsampled strata pass through untouched, exactly
+            assert kept.get(lang, 0) == n
+        else:
+            # hash draws are uniform; binomial 4-sigma tolerance
+            import math
+
+            sigma = math.sqrt(n * rate * (1 - rate))
+            assert abs(kept.get(lang, 0) - n * rate) < 4 * sigma + 1
+    # pure function of the key: identical set on rerun
+    again = {
+        (r.doc_id, r.lang)
+        for r in QUERIES["q_stratified_sample"](spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in kept_rows}
