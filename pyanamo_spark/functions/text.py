@@ -186,3 +186,50 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard_key"),
     )
+
+
+@register(
+    "q_repetition",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+         )) AS gram
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(MAX(c) AS BIGINT) AS top_gram_count,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio
+FROM counts
+GROUP BY doc_id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 repetition detection (the Gopher-style quality rule "drop
+    docs whose most frequent n-gram dominates"): per doc, the trigram
+    count, the top trigram's multiplicity, and their ratio.
+
+    Both aggregations collapse map-side: every occurrence of a gram in
+    a doc shares the (doc_id, gram) key within the doc's partition, so
+    the first shuffle ships one row per DISTINCT gram per doc, and the
+    second reduces those to one row per doc. Text itself never
+    shuffles — only gram strings, and only deduplicated ones."""
+    from pyanamo_spark.dedup import shingles
+
+    grams = spark.table("documents").select(
+        "doc_id", F.explode(shingles("text")).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "rep_ratio"
+        ),
+    )

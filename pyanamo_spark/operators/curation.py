@@ -202,3 +202,68 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, thr in _STRATA_THRESHOLDS.items():
         keep = F.when(F.col("lang") == lang, draw < thr).otherwise(keep)
     return spark.table("documents").filter(keep).select("doc_id", "lang")
+
+
+#: context-length chunking: window of CHUNK tokens, stride CHUNK-OVERLAP
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, (greatest(n - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE}
+         )) AS c
+  FROM t
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_idx,
+       array_to_string(toks[c * {_STRIDE} + 1 : c * {_STRIDE} + {_CHUNK}], ' ')
+         AS chunk,
+       CAST(least(n - c * {_STRIDE}, {_CHUNK}) AS BIGINT) AS chunk_tokens
+FROM idx
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: every document becomes overlapping
+    token windows (32 tokens, stride 24 → 8-token overlap), the step
+    between curation and packing when documents exceed the training
+    context. The final window is allowed to run short rather than
+    re-reading tokens, and every token lands in at least one chunk.
+
+    A narrow projection + explode: tokenize once, derive the window
+    starts arithmetically, slice per window — no shuffle, no UDF, and
+    the chunk count per doc is (n - chunk)/stride + 1 so output size
+    is linear in input tokens regardless of document length skew."""
+    return (
+        spark.table("documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "c",
+            F.explode(
+                F.expr(
+                    f"sequence(0, (greatest(n - {_CHUNK}, 0)"
+                    f" + {_STRIDE - 1}) div {_STRIDE})"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("c").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"array_join(slice(toks, c * {_STRIDE} + 1, {_CHUNK}), ' ')"
+            ).alias("chunk"),
+            F.expr(f"least(n - c * {_STRIDE}, {_CHUNK})")
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )

@@ -46,6 +46,8 @@ EXCHANGE_BUDGET = {
     # exchanged row is an id pair — document text stays map-side
     "q_dedup_incremental": 6,  # three accept rounds, each one groupBy
     # on within-batch fingerprints; rows are 16-byte digests
+    "q_repetition": 4,  # two genuine shuffles (distinct-gram counts,
+    # then per-doc max/sum), both fed by map-side partial aggregation
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs

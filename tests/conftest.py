@@ -7,6 +7,13 @@ import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# register every declared query up front so each test FILE is runnable
+# standalone (several pull from registry.QUERIES and previously relied
+# on a sibling module's import side effect)
+from pyanamo_spark.registry import load_all  # noqa: E402
+
+load_all()
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -70,3 +70,28 @@ def test_stratified_sample_rates_and_stability(spark, sf_dir):
         for r in QUERIES["q_stratified_sample"](spark, sf_dir).collect()
     }
     assert again == {(r.doc_id, r.lang) for r in kept_rows}
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    from pyanamo_spark.operators.curation import _CHUNK, _OVERLAP
+
+    chunks = QUERIES["q_chunk_documents"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.table("documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        # dropping each successor's overlap reconstructs the doc exactly
+        toks = rs[0].chunk.split(" ")
+        for r in rs[1:]:
+            toks += r.chunk.split(" ")[_OVERLAP:]
+        assert toks == docs[doc_id]
+        for r in rs:
+            assert 1 <= r.chunk_tokens <= _CHUNK
+            assert r.chunk_tokens == len(r.chunk.split(" "))
