@@ -125,3 +125,68 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_global_ids",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
+FROM documents
+""",
+)
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering at scale.
+
+    The naive form — ``row_number()`` over a window with no
+    partitionBy — collapses the entire table into ONE task (Spark even
+    warns); at 100 TB it simply never finishes. The scale shape keeps
+    the sort distributed:
+
+      1. ``repartitionByRange`` on the order key: one range exchange,
+         partition p holds keys strictly below partition p+1
+      2. a per-partition ``row_number`` (partitioned by
+         ``spark_partition_id``, so every window fits one task)
+      3. per-partition row counts — a count per partition id, driver
+         cumsum over #partitions integers — become offsets, joined
+         back as a broadcast
+
+    global_id = offset(p) + local rank. Deterministic for a unique
+    order key, hence oracle-exact against ROW_NUMBER. The offset
+    table is bounded by partition count, not data size; nothing else
+    leaves its partition after the single range exchange.
+    """
+    ranged = (
+        spark.table("documents")
+        .select("doc_id")
+        .repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # localCheckpoint pins the partitioning: pid must mean the same
+    # physical partition in both the counting pass and the ranking
+    # pass, which re-planning from lineage does not guarantee
+    ranged = ranged.localCheckpoint()
+    counts = [
+        (r.pid, r.n)
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    ]
+    offsets, acc = {}, 0
+    for pid, n in sorted(counts):
+        offsets[pid] = acc
+        acc += n
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(offsets.items()), "pid int, offset long"
+        )
+    )
+    w = W.partitionBy("pid").orderBy("doc_id")
+    return (
+        ranged.join(offset_df, "pid")
+        .withColumn("local", F.row_number().over(w))
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local")).cast("long").alias(
+                "global_id"
+            ),
+        )
+    )
