@@ -97,3 +97,60 @@ def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vec_sum, 4).alias("vec_sum"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
     )
+
+
+#: int8 quantization range
+_QMAX = 127.0
+#: zero-vector guard (ANSI mode turns a 0-divide into a hard error)
+_SCALE_FLOOR = 1e-30
+
+_SCALE_EXPR = (
+    "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+    " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / "
+    f"{_QMAX}, {_SCALE_FLOOR})"
+)
+
+
+@register(
+    "q_quantize",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(
+           embedding, x -> abs(CAST(x AS DOUBLE)))) / {_QMAX},
+           {_SCALE_FLOOR}) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         AS qvec
+FROM s
+""",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector absmax scale,
+    q = round(x / scale) ∈ [-127, 127] — a 4x storage cut for the
+    similarity index with reconstruction error ≤ scale/2 per element
+    (pinned in tests/test_quantize.py).
+
+    All JVM-side higher-order expressions, no UDF. The scale is
+    let-bound via the single-element ``transform(array(e), s -> …)[0]``
+    trick before the per-element lambda uses it — higher-order lambdas
+    are interpreted with no common-subexpression elimination, so a
+    naked alias would re-run the absmax fold once per ELEMENT (64x).
+    Rounding is spelled floor(x/s + 0.5) in both engines: identical
+    IEEE double ops, so the oracle matches bit-for-bit where a
+    half-even vs half-up builtin ROUND would diverge."""
+    qvec = F.expr(
+        f"transform(array({_SCALE_EXPR}), s ->"
+        "  transform(embedding,"
+        "    x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT))"
+        ")[0]"
+    )
+    return spark.table("embeddings").select(
+        "vec_id",
+        F.round(F.expr(_SCALE_EXPR), 9).alias("scale"),
+        qvec.alias("qvec"),
+    )

@@ -1,0 +1,22 @@
+"""int8 quantization invariants (functions/vectors.py::q_quantize);
+value parity is oracle-checked, these pin the numeric guarantees."""
+
+from __future__ import annotations
+
+from pyanamo_spark.registry import QUERIES
+
+
+def test_quantize_range_and_error_bound(spark, sf_dir):
+    rows = QUERIES["q_quantize"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding for r in spark.table("embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        orig = emb[r.vec_id]
+        assert len(r.qvec) == len(orig)
+        # reconstruction error ≤ half a quantization step (scale was
+        # rounded to 9dp for the oracle hash; allow that slack too)
+        for q, x in zip(r.qvec, orig):
+            assert abs(q * r.scale - x) <= r.scale / 2 + 1e-6

@@ -74,3 +74,54 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, no_broadcast):
+    """Semi-join reduction: when a selective dim filter feeds a shuffle
+    join, Spark can build a bloom filter from the dim keys and apply it
+    to the fact scan — fact rows that cannot join die BEFORE the
+    exchange. At 100 TB this turns a full-fact shuffle into a
+    result-sized one; the thresholds here are forced because the local
+    fixture is below the default 10 MB/10 GB trigger sizes."""
+    from pyanamo_spark import semantics
+
+    semantics.ensure_views(spark, sf_dir)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1g",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.table("lineitem")
+        orders = spark.table("orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        got = {(r.o_orderpriority, r.n) for r in joined.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # same answer as the unfiltered-plan join
+    expect = {
+        (r.o_orderpriority, r.n)
+        for r in spark.table("lineitem")
+        .join(
+            spark.table("orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
