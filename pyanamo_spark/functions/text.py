@@ -233,3 +233,75 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_ratio"
         ),
     )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                    tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 3
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 TF-IDF: each document's top-3 most characteristic terms.
+
+    Shuffle profile at scale: tf collapses map-side on (doc_id, term);
+    df aggregates the already-distinct tf pairs per term; the corpus
+    size and the term→df table ride back as broadcasts (vocabulary ≪
+    corpus), so document text crosses the wire only once, as
+    (doc_id, term, count) triples. Ranking ties break on the term
+    itself, making top-3 deterministic for the oracle."""
+    toks = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = spark.table("documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "raw",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("raw").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("raw", 6).alias("tfidf"),
+            "rnk",
+        )
+    )

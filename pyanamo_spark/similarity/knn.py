@@ -142,3 +142,76 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return _topk(scored)
+
+
+#: quantized first stage keeps this many candidates per query before
+#: full-precision rescoring
+RESCORE_POOL = 20
+
+
+@register("q_knn_quantized", oracle=None)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 two-stage retrieval over the int8-quantized index
+    (functions/vectors.py::q_quantize): stage 1 ranks ALL vectors by
+    integer dot product on the 4x-smaller quantized representation and
+    keeps RESCORE_POOL candidates per query; stage 2 rescores only
+    those in full precision — the memory-bound scan runs on int8,
+    float math touches pool x queries rows. This is the standard
+    quantize-then-rescore shape (IVF-PQ readers, vector DBs);
+    production fuses stage 1 with the stored IVF lists so the int8
+    scan is also partition-pruned.
+
+    Rows-only: candidate membership depends on quantized score ties at
+    the pool boundary; recall against exact q_knn_topk is pinned in
+    tests/test_similarity.py instead."""
+    from pyanamo_spark.functions.vectors import q_quantize
+
+    quant = q_quantize(spark, sf_dir)
+    q_quant = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("scale").alias("q_scale"),
+    )
+    # integer dot: zip_with + aggregate on longs — overflow-safe
+    # (127*127*64 « 2^63), no float math in the scan stage
+    int_dot = F.expr(
+        "aggregate(zip_with(qvec, q_qvec, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    stage1 = (
+        quant.crossJoin(F.broadcast(q_quant))
+        .select(
+            "query_id",
+            "vec_id",
+            (int_dot * F.col("scale") * F.col("q_scale")).alias("qscore"),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("vec_id")
+    )
+    pool = (
+        stage1.withColumn("prnk", F.row_number().over(w1))
+        .filter(F.col("prnk") <= RESCORE_POOL)
+        .select("query_id", "vec_id")
+    )
+    # stage 2: exact cosine on the pool only
+    emb = _with_norm(spark.table("embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rescored = (
+        pool.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return _topk(rescored)

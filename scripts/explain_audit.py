@@ -48,6 +48,11 @@ EXCHANGE_BUDGET = {
     # on within-batch fingerprints; rows are 16-byte digests
     "q_repetition": 4,  # two genuine shuffles (distinct-gram counts,
     # then per-doc max/sum), both fed by map-side partial aggregation
+    "q_tfidf": 10,  # the tf aggregation subtree is PRINTED twice (its
+    # own consumer + the df derivation); the two exchanges canonicalize
+    # identically so ReuseExchange dedups them at runtime. Live
+    # profile: tf shuffle, df term shuffle, singleton corpus count, and
+    # the final per-doc window sort; df and n_docs ride back broadcast
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs

@@ -122,3 +122,27 @@ def test_lsh_deterministic(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_quantized_recall_vs_exact(spark, sf_dir):
+    """int8 stage-1 + float rescore must track exact brute force
+    closely: perfect self-match, high top-5 recall, and exact cosine
+    values for every returned pair (stage 2 is full precision)."""
+    exact = {}
+    for r in QUERIES["q_knn_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, {})[r.vec_id] = r.cos_sim
+    got = {}
+    for r in QUERIES["q_knn_quantized"](spark, sf_dir).collect():
+        got.setdefault(r.query_id, {})[r.vec_id] = r.cos_sim
+        if r.vec_id == r.query_id:
+            assert r.rnk == 1 and r.cos_sim == 1.0
+    assert set(got) == set(exact)
+    hits = total = 0
+    for qid, ex in exact.items():
+        hits += len(set(ex) & set(got[qid]))
+        total += len(ex)
+        # any pair both stages returned carries the exact cosine
+        for vid, sim in got[qid].items():
+            if vid in ex:
+                assert sim == ex[vid]
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
