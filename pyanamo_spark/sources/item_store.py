@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     Filter,
     InputPartition,
     IsNotNull,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -104,6 +105,62 @@ class ItemStoreReader(DataSourceReader):
                 yield tuple(doc.get(name) for name in fields)
 
 
+class ItemStoreStreamReader(SimpleDataSourceStreamReader):
+    """Continuous tail of the item store — the DynamoDB-Streams
+    analogue for the connector.
+
+    Shards are append-only and atomically renamed into place by the
+    writer, so "how many shards exist, in name order" is a complete,
+    replayable offset: ``read(start)`` serves every row of shards
+    [start.n, now) and advances to now; ``readBetweenOffsets`` replays
+    exactly the same slice on recovery, giving the engine exactly-once
+    delivery without any side ledger. One offset integer per stream —
+    no per-row bookkeeping — because ordering lives in the shard
+    naming scheme, the same property a real stream's sequence numbers
+    provide.
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyanamo_items requires a path")
+
+    def _shards(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows(self, shards: list[str]):
+        fields = [f.name for f in self.schema.fields]
+        for path in shards:
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        doc = json.loads(line)
+                        yield tuple(doc.get(name) for name in fields)
+
+    def read(self, start: dict):
+        # materialized, not a generator: the engine pickles the
+        # prefetched batch so a failed epoch can be replayed verbatim
+        # (SimpleDataSourceStreamReader is the driver-prefetch API —
+        # right for a control-plane-sized store; a high-volume stream
+        # would use DataSourceStreamReader with real input partitions)
+        shards = self._shards()
+        return list(self._rows(shards[start["n"]:])), {"n": len(shards)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(self._shards()[start["n"]:end["n"]]))
+
+
 class _Commit(WriterCommitMessage):
     def __init__(self, tmp_path: str, final_path: str):
         self.tmp_path = tmp_path
@@ -166,3 +223,6 @@ class ItemStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ItemStoreWriter:
         return ItemStoreWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> ItemStoreStreamReader:
+        return ItemStoreStreamReader(schema, self.options)

@@ -107,3 +107,52 @@ def test_write_round_trip(registered, tmp_path):
     assert sorted(r.itemID for r in back.collect()) == sorted(
         r.itemID for r in df.collect()
     )
+
+
+def test_stream_tails_new_shards_exactly_once(registered, tmp_path):
+    """The simpleStreamReader offset is the shard count: a second
+    availableNow run against the same checkpoint must deliver ONLY
+    shards appended since the first run — the exactly-once tail the
+    connector's atomic shard renames make possible."""
+    store = tmp_path / "store"
+    _write_shards(store, n_shards=2)
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            registered.readStream.format("pyanamo_items")
+            .load(str(store))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    first = {
+        r.itemID for r in registered.read.parquet(str(out)).collect()
+    }
+    assert first == {f"item_{s}_{i}" for s in range(2) for i in range(4)}
+
+    # a late shard arrives; only its rows may appear in run 2
+    with open(store / "shard-9.jsonl", "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "itemID": "item_9_0",
+                    "taskID": "task_9",
+                    "task_script": "seq 1",
+                    "ItemState": "todo",
+                    "lockID": "NULL",
+                    "Log_Length": 0,
+                }
+            )
+            + "\n"
+        )
+    run_stream()
+    rows = registered.read.parquet(str(out)).collect()
+    ids = [r.itemID for r in rows]
+    assert sorted(ids) == sorted(first | {"item_9_0"})  # no re-delivery
