@@ -46,3 +46,37 @@ def test_clusters_query_keeper_semantics(spark, sf_dir):
         assert cid == ids[0]  # cluster id is the min member
         keepers = [m for m in members if m.is_keeper]
         assert len(keepers) == 1 and keepers[0].doc_id == cid
+
+
+def test_components_match_union_find(spark):
+    """Randomized graphs vs an independent union-find: label
+    propagation must agree on every component, for any topology the
+    edge generator produces (stars, chains, merged blobs, isolates)."""
+    import random
+
+    rnd = random.Random(0xC0FFEE)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n))
+            for _ in range(rnd.randrange(10, 45))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {v for e in edges for v in e}
+        expect = {}
+        for v in nodes:
+            root = find(v)
+            expect.setdefault(root, set()).add(v)
+        want = {v: min(c) for c in expect.values() for v in c}
+        got = _components(spark, edges)
+        assert got == want, f"trial {trial}"
