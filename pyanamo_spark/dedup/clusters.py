@@ -57,10 +57,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # seed with round 0 folded in: comp = min(self, direct neighbors)
+    # — one aggregation instead of a distinct + a full propagation
+    # round; dup graphs are near-cliques, so most clusters converge
+    # here and the loop's first pass is already the fixpoint proof
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nb"))
+        .select("node", F.least("node", "nb").alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):

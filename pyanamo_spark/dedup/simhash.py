@@ -90,12 +90,27 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
             _TOK_CACHE[tok] = h
         uniq_hashes[i] = h
     hashes = uniq_hashes[codes]
-    bits = np.unpackbits(
-        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    # unpack + segment-sum in ~256-doc chunks: the (tokens, 64) bit
+    # matrix then stays cache-resident, which is worth >10x — one
+    # monolithic reduceat over a full 5k-doc batch walks the whole
+    # matrix strided and measured seconds instead of milliseconds
+    chunk = 256
+    tok_bounds = np.append(starts, len(hashes))
+    votes = np.empty((len(lens), 64), dtype=np.int64)
+    for d0 in range(0, len(lens), chunk):
+        d1 = min(d0 + chunk, len(lens))
+        seg = np.unpackbits(
+            hashes[tok_bounds[d0]:tok_bounds[d1]]
+            .view(np.uint8)
+            .reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        )
+        votes[d0:d1] = np.add.reduceat(
+            seg, starts[d0:d1] - starts[d0], axis=0, dtype=np.int64
+        )
     set_bits = 2 * votes > lens[:, None]
     bit_idx = np.arange(64, dtype=np.uint64)
     sig = (set_bits.astype(np.uint64) << bit_idx[None, :]).sum(

@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyanamo_spark.dedup import shingles
@@ -266,4 +266,48 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("chunk_tokens"),
         )
+    )
+
+
+#: fixed-size sample: docs kept per language
+_GROUP_SAMPLE_K = 10
+
+
+@register(
+    "q_group_sample",
+    oracle=f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#k'), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {_GROUP_SAMPLE_K}
+""",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sampling (k docs per language) — the
+    deterministic replacement for per-group reservoir sampling.
+    Ordering by a key hash is a uniform random draw that is also a
+    pure row property, so the k chosen docs are identical across
+    reruns, engines, and partitionings — and the "sample" is just a
+    rank filter any engine can replay.
+
+    Scale: the window sorts within each stratum; for strata of
+    billions of rows the same result is produced cheaply by
+    pre-filtering on a generous hash-prefix threshold (expected
+    several×k survivors — the q_stratified_sample move) and ranking
+    only the survivors, keeping the sort bounded."""
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#k"))),
+        "doc_id",
+    )
+    return (
+        spark.table("documents")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _GROUP_SAMPLE_K)
+        .select("doc_id", "lang")
     )

@@ -95,3 +95,26 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
         for r in rs:
             assert 1 <= r.chunk_tokens <= _CHUNK
             assert r.chunk_tokens == len(r.chunk.split(" "))
+
+
+def test_group_sample_fixed_size_and_stable(spark, sf_dir):
+    from pyanamo_spark.operators.curation import _GROUP_SAMPLE_K
+
+    rows = QUERIES["q_group_sample"](spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    totals = {
+        r.lang: r.n
+        for r in spark.table("documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        assert per_lang.get(lang, 0) == min(_GROUP_SAMPLE_K, total)
+    again = {
+        (r.doc_id, r.lang)
+        for r in QUERIES["q_group_sample"](spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in rows}
