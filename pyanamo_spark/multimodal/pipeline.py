@@ -20,9 +20,9 @@ stages see bounded Arrow batches via maxRecordsPerBatch.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,27 +79,27 @@ def synthetic_assets(spark: SparkSession) -> DataFrame:
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-asset byte histogram (4 buckets) + Shannon entropy —
-    real byte-level math standing where a decoder+featurizer would."""
+    real byte-level math standing where a decoder+featurizer would.
+    One np.bincount per asset instead of a Python loop per BYTE (the
+    loop form costs ~1 µs/byte; multimodal payloads are the largest
+    cells in the table, so per-byte Python is exactly the wrong
+    constant)."""
     for pdf in batches:
         rows = []
         for asset_id, payload, meta in zip(
             pdf["asset_id"], pdf["payload"], pdf["meta"]
         ):
-            data = bytes(payload)
-            n = len(data) or 1
-            counts = [0, 0, 0, 0]
-            freq: dict[int, int] = {}
-            for byte in data:
-                counts[byte >> 6] += 1
-                freq[byte] = freq.get(byte, 0) + 1
-            entropy = -sum(
-                (c / n) * math.log2(c / n) for c in freq.values()
-            )
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(arr) or 1
+            freq = np.bincount(arr, minlength=256)
+            counts = freq.reshape(4, 64).sum(axis=1)
+            p = freq[freq > 0] / n
+            entropy = float(-(p * np.log2(p)).sum())
             rows.append(
                 {
                     "asset_id": asset_id,
                     "mime": meta["mime"],
-                    "n_bytes": len(data),
+                    "n_bytes": len(arr),
                     "byte_hist": [round(c / n, 6) for c in counts],
                     "entropy": round(entropy, 6),
                 }
@@ -136,6 +136,53 @@ def sample_frames(assets: DataFrame, k: int = 4) -> DataFrame:
         "frame_idx",
         F.expr("_offsets[frame_pos]").alias("byte_offset"),
     )
+
+
+#: resize target used by the deterministic stand-in transform
+RESIZE_BYTES = 64
+
+
+def _resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for image resize: payloads are
+    down-sampled to RESIZE_BYTES by even-stride byte selection (short
+    ones zero-padded) and metadata updated to match. A real deployment
+    replaces the byte selection with decode → pixel resize → re-encode;
+    the stage contract — binary in, binary out, metadata rewritten,
+    Arrow-batched, schema-stable — is what this pins."""
+    for pdf in batches:
+        out_payload, out_bytes = [], []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if len(arr) >= RESIZE_BYTES:
+                idx = (
+                    np.arange(RESIZE_BYTES) * len(arr) // RESIZE_BYTES
+                )
+                small = arr[idx]
+            else:
+                small = np.zeros(RESIZE_BYTES, dtype=np.uint8)
+                small[: len(arr)] = arr
+            out_payload.append(small.tobytes())
+            out_bytes.append(RESIZE_BYTES)
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "payload": out_payload,
+                "meta": [
+                    {
+                        "mime": m["mime"],
+                        "n_bytes": b,
+                        "n_frames": m["n_frames"],
+                    }
+                    for m, b in zip(pdf["meta"], out_bytes)
+                ],
+            }
+        )
+
+
+def resize_assets(assets: DataFrame) -> DataFrame:
+    """Stubbed resize stage: same asset schema in and out, so it
+    composes with extract_features / sample_frames either side."""
+    return assets.mapInPandas(_resize_payloads, schema=ASSET_SCHEMA)
 
 
 @register("q_multimodal_features", oracle=None)

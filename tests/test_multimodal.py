@@ -56,3 +56,27 @@ def test_frame_sampling_offsets(spark, sf_dir):
     for f in frames:
         assert f.byte_offset == f.frame_idx * stride
         assert 0 <= f.frame_idx < meta.n_frames
+
+
+def test_resize_preserves_schema_and_composes(spark, sf_dir):
+    from pyanamo_spark.multimodal.pipeline import (
+        RESIZE_BYTES,
+        resize_assets,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    assets = synthetic_assets(spark)
+    resized = resize_assets(assets)
+    assert resized.schema.simpleString() == assets.schema.simpleString()
+    rows = resized.collect()
+    assert len(rows) == assets.count()
+    assert all(len(bytes(r.payload)) == RESIZE_BYTES for r in rows)
+    assert all(r.meta.n_bytes == RESIZE_BYTES for r in rows)
+    # composes with the downstream featurizer unchanged
+    feats = extract_features(resized).collect()
+    assert all(f.n_bytes == RESIZE_BYTES for f in feats)
+    # deterministic: same bytes on a rerun
+    again = {
+        r.asset_id: bytes(r.payload) for r in resize_assets(assets).collect()
+    }
+    assert all(again[r.asset_id] == bytes(r.payload) for r in rows)
