@@ -56,3 +56,29 @@ def salted_agg(
             for out, (name, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join by salt replication — the manual form of
+    what AQE's skew-join does adaptively, for when the skew is known
+    up front (or the join feeds an operator AQE cannot re-split).
+
+    The fact side gets a random-ish salt in [0, n_salts); the dim side
+    is replicated once per salt value (an explode of a literal range —
+    dim rows × n_salts, fine for dimension-sized tables). Joining on
+    (key, salt) spreads a hot key's fact rows over n_salts tasks
+    instead of one. Row-identical to ``fact.join(dim, key)``; inner
+    join only (a missing dim key drops all salt shards alike).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.lit(list(range(n_salts))))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")

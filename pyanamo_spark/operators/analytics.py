@@ -169,3 +169,75 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+#: robust-z threshold — the fixture's price distribution is bounded
+#: (max z ~2.0), so 1.95 flags the ~1% tail; heavy-tailed production
+#: data uses the conventional 3-3.5
+_ROBUST_Z = 1.95
+
+
+@register(
+    "q_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+),
+mad AS (
+  SELECT o.o_orderstatus,
+         quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+         MAX(m.med) AS med
+  FROM orders o JOIN med m USING (o_orderstatus)
+  GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       ROUND((o.o_totalprice - m.med) / m.mad, 4) AS robust_z
+FROM orders o JOIN mad m USING (o_orderstatus)
+WHERE m.mad > 0
+  AND abs(o.o_totalprice - m.med) > {_ROBUST_Z} * m.mad
+""",
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging per group: median/MAD instead of
+    mean/stddev, so the detector's own statistics cannot be dragged by
+    the outliers it hunts — the standard quality-filter shape for
+    curation thresholds.
+
+    Two aggregation passes (median, then MAD around it) with the
+    group statistics riding back as broadcasts — per-group state is
+    GROUPS-sized, never data-sized, and the fact table is never
+    shuffled, only scanned. Exact interpolated percentiles match
+    DuckDB's quantile_cont (cf. q_percentiles); the approximate path
+    swaps in percentile_approx per q_percentiles_approx."""
+    orders = spark.table("orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    mad = (
+        orders.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias(
+                "mad"
+            ),
+            F.max("med").alias("med"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(mad), "o_orderstatus")
+        .filter(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > _ROBUST_Z * F.col("mad")
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                (F.col("o_totalprice") - F.col("med")) / F.col("mad"), 4
+            ).alias("robust_z"),
+        )
+    )

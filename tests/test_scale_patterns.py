@@ -125,3 +125,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, no_broadcast):
         .collect()
     }
     assert got == expect
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir, no_broadcast):
+    from pyanamo_spark import semantics
+    from pyanamo_spark.functions.skew import salted_join
+
+    semantics.ensure_views(spark, sf_dir)
+    fact = spark.table("orders").select("o_custkey", "o_totalprice")
+    dim = spark.table("customer").select("c_custkey", "c_nationkey")
+    dim = dim.withColumnRenamed("c_custkey", "o_custkey")
+    plain = (
+        fact.join(dim, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    salted = (
+        salted_join(fact, dim, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
