@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from pyanamo_spark.registry import ORACLES, QUERIES, load_all  # noqa: E402
+from pyanamo_spark.registry import (  # noqa: E402
+    QUERIES,
+    load_all,
+    ordered_oracles,
+    ordered_queries,
+)
 
 load_all()
 
@@ -35,12 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    SURVEY §2-declared query ids lead the dict so a driver that records
+    a bounded prefix always covers the declared inventory.
+    """
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query;
     rows-only queries (seeded-random order, LSH dedup, …) are omitted
     per the driver contract."""
-    return dict(ORACLES)
+    return ordered_oracles()

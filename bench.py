@@ -49,17 +49,38 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full per-query detail goes to a file: a 97-query dict makes the
+    # stdout line ~3 KB, and the driver's capture keeps only a tail of
+    # it (BENCH_r01 recorded `parsed: null` from exactly that).  The
+    # LAST line printed is a compact summary guaranteed to survive a
+    # tail capture: total + the slowest queries + a pointer to the file.
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    full_path.write_text(json.dumps(full, indent=1))
+    slowest = dict(
+        sorted(
+            ((k, round(v, 3)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:15]
     )
+    compact = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_file": str(full_path),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 2000, f"summary line too long ({len(line)} B)"
+    print(line)
     spark.stop()
 
 

@@ -23,6 +23,90 @@ from pyanamo_spark import semantics
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
+#: SURVEY.md §2 declared query ids, in inventory order.  The driver's
+#: CORRECTNESS recorder keeps only the first ~50 entries of ``queries()``,
+#: so the declared inventory must lead the iteration order — extensions
+#: follow (see ``ordered_queries``).
+DECLARED: tuple[str, ...] = (
+    # §2.1–2.2 scans / projections / filters
+    "q_ingest_csv",
+    "q_filter_project",
+    "q_point_lookup",
+    "q_nest_filter",
+    "q_log_route",
+    # §2.3 joins
+    "q_state_join",
+    "q_map_align",
+    # §2.4 aggregations
+    "q_state_counts",
+    "q_progress_histogram",
+    "q_line_count",
+    "q_done_nests",
+    "q_item_finalize",
+    "q_width_profile",
+    "q_threshold_counts",
+    # §2.5–2.6 windows / sorts / sampling
+    "q_rolling_avg",
+    "q_rand_order",
+    "q_limit",
+    "q_sample_topk",
+    # §2.7 mutation / set ops
+    "q_nest_build",
+    "q_bulk_update",
+    "q_item_reset",
+    "q_map_update",
+    "q_map_remove",
+    "q_delete_anti",
+    "q_partition_split",
+    # §2.8 scalar functions
+    "q_tag_extract",
+    "q_date_format",
+    "q_log_mine",
+    "q_json_roundtrip",
+    # §2.9 streaming (batch form)
+    "q_event_window",
+    # §2.10 UDF + extension operators X1–X9
+    "q_pipe_exec",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_knn_topk",
+    "q_text_stats",
+    "q_approx_distinct",
+    "q_vector_math",
+    "q_join_equi",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_lag",
+    "q_rollup",
+    "q_setops",
+)
+
+
+def ordered_queries() -> dict[str, Callable[[Any, str], Any]]:
+    """All registered queries, SURVEY §2-declared ids first.
+
+    The driver records correctness for a bounded prefix of ``queries()``;
+    leading with the declared inventory guarantees the hard signal covers
+    every §2 row, with extension queries filling the remaining window.
+    """
+    out: dict[str, Callable[[Any, str], Any]] = {}
+    for name in DECLARED:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in out:
+            out[name] = fn
+    return out
+
+
+def ordered_oracles() -> dict[str, str]:
+    """Oracle SQL in the same declared-first order as ``ordered_queries``."""
+    return {
+        name: ORACLES[name] for name in ordered_queries() if name in ORACLES
+    }
+
 
 def register(
     name: str,

@@ -110,14 +110,17 @@ class ItemStoreStreamReader(SimpleDataSourceStreamReader):
     analogue for the connector.
 
     Shards are append-only and atomically renamed into place by the
-    writer, so "how many shards exist, in name order" is a complete,
-    replayable offset: ``read(start)`` serves every row of shards
-    [start.n, now) and advances to now; ``readBetweenOffsets`` replays
-    exactly the same slice on recovery, giving the engine exactly-once
-    delivery without any side ledger. One offset integer per stream —
-    no per-row bookkeeping — because ordering lives in the shard
-    naming scheme, the same property a real stream's sequence numbers
-    provide.
+    writer, so the stream offset is the *list of shard names already
+    delivered*: ``read(start)`` serves every shard not in the list (in
+    name order) and appends the newly-served names; on recovery
+    ``readBetweenOffsets`` replays exactly ``end − start``.  A
+    name-set offset is insensitive to where a late shard sorts — a
+    count-based offset silently skips any append whose name sorts
+    before an already-delivered shard and re-delivers the tail (the
+    exactly-once violation this design replaces).  Offset size grows
+    with shard count, which is fine for a control-plane-sized store;
+    the writer's monotonic sequence naming keeps the list ordered and
+    compact to diff.
     """
 
     def __init__(self, schema: StructType, options):
@@ -126,27 +129,32 @@ class ItemStoreStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("pyanamo_items requires a path")
 
-    def _shards(self) -> list[str]:
+    def _shard_names(self) -> list[str]:
         if not os.path.isdir(self.path):
             return []
         return sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".jsonl")
+            f for f in os.listdir(self.path) if f.endswith(".jsonl")
         )
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"delivered": []}
 
-    def _rows(self, shards: list[str]):
+    def _delivered(self, offset: dict) -> list[str]:
+        # migrate a legacy count offset {"n": k}: it meant "the first
+        # k shards in name order at the time" — best-effort mapping
+        if "delivered" in offset:
+            return list(offset["delivered"])
+        return self._shard_names()[: offset.get("n", 0)]
+
+    def _rows(self, names: list[str]):
         fields = [f.name for f in self.schema.fields]
-        for path in shards:
-            with open(path) as fh:
+        for name in names:
+            with open(os.path.join(self.path, name)) as fh:
                 for line in fh:
                     line = line.strip()
                     if line:
                         doc = json.loads(line)
-                        yield tuple(doc.get(name) for name in fields)
+                        yield tuple(doc.get(name_) for name_ in fields)
 
     def read(self, start: dict):
         # materialized, not a generator: the engine pickles the
@@ -154,27 +162,35 @@ class ItemStoreStreamReader(SimpleDataSourceStreamReader):
         # (SimpleDataSourceStreamReader is the driver-prefetch API —
         # right for a control-plane-sized store; a high-volume stream
         # would use DataSourceStreamReader with real input partitions)
-        shards = self._shards()
-        return list(self._rows(shards[start["n"]:])), {"n": len(shards)}
+        seen = set(self._delivered(start))
+        fresh = [n for n in self._shard_names() if n not in seen]
+        end = {"delivered": sorted(seen | set(fresh))}
+        return list(self._rows(fresh)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(self._rows(self._shards()[start["n"]:end["n"]]))
+        seen = set(self._delivered(start))
+        names = [n for n in end.get("delivered", []) if n not in seen]
+        return list(self._rows(names))
 
 
 class _Commit(WriterCommitMessage):
-    def __init__(self, tmp_path: str, final_path: str):
+    def __init__(self, tmp_path: str, part_key: str):
         self.tmp_path = tmp_path
-        self.final_path = final_path
+        self.part_key = part_key
 
 
 class ItemStoreWriter(DataSourceWriter):
     """Append/overwrite writer with task-temp staging.
 
     Tasks write to uniquely-named ``.tmp`` files (job uuid + partition
-    id — concurrent/repeated appends never collide on shard names);
-    ``commit`` renames them to visible ``.jsonl`` shards and, for
-    overwrite mode, removes pre-existing shards; ``abort`` deletes the
-    temps, so a failed job leaves nothing visible.
+    id — concurrent/repeated appends never collide); ``commit`` renames
+    them to visible ``shard-<seq>-<job>-<pid>.jsonl`` names where
+    ``<seq>`` is a zero-padded sequence assigned *at commit time* as
+    max(existing)+1 — every committed shard therefore sorts strictly
+    after all shards visible before the commit, the monotonicity the
+    stream reader's name ordering relies on.  Overwrite mode removes
+    pre-existing shards first; ``abort`` deletes the temps, so a failed
+    job leaves nothing visible.
     """
 
     def __init__(self, options, overwrite: bool):
@@ -189,20 +205,41 @@ class ItemStoreWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        base = f"shard-{self.job_id}-{pid:05d}"
-        tmp = os.path.join(self.path, base + ".tmp")
+        tmp = os.path.join(
+            self.path, f"part-{self.job_id}-{pid:05d}.tmp"
+        )
         with open(tmp, "w") as fh:
             for row in rows:
                 fh.write(json.dumps(row.asDict()) + "\n")
-        return _Commit(tmp, os.path.join(self.path, base + ".jsonl"))
+        return _Commit(tmp, f"{pid:05d}")
+
+    # part_key orders shards within a commit; the sequence prefix
+    # assigned in commit() orders commits against each other
+
+    def _next_seq(self) -> int:
+        seq = 0
+        for f in os.listdir(self.path):
+            if f.startswith("shard-") and f.endswith(".jsonl"):
+                head = f.split("-", 2)[1]
+                if head.isdigit():
+                    seq = max(seq, int(head) + 1)
+        return seq
 
     def commit(self, messages) -> None:
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        for m in messages:
-            os.rename(m.tmp_path, m.final_path)
+        seq = self._next_seq()
+        # deterministic rename order (by partition id) so a reader
+        # listing mid-commit never sees shard k+1 before shard k
+        for m in sorted(messages, key=lambda m: m.part_key):
+            final = os.path.join(
+                self.path,
+                f"shard-{seq:012d}-{self.job_id}-{m.part_key}.jsonl",
+            )
+            os.rename(m.tmp_path, final)
+            seq += 1
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -110,10 +110,10 @@ def test_write_round_trip(registered, tmp_path):
 
 
 def test_stream_tails_new_shards_exactly_once(registered, tmp_path):
-    """The simpleStreamReader offset is the shard count: a second
-    availableNow run against the same checkpoint must deliver ONLY
-    shards appended since the first run — the exactly-once tail the
-    connector's atomic shard renames make possible."""
+    """A second availableNow run against the same checkpoint must
+    deliver ONLY shards appended since the first run — the
+    exactly-once tail the connector's atomic shard renames make
+    possible."""
     store = tmp_path / "store"
     _write_shards(store, n_shards=2)
     out = tmp_path / "out"
@@ -156,3 +156,71 @@ def test_stream_tails_new_shards_exactly_once(registered, tmp_path):
     rows = registered.read.parquet(str(out)).collect()
     ids = [r.itemID for r in rows]
     assert sorted(ids) == sorted(first | {"item_9_0"})  # no re-delivery
+
+
+def test_stream_delivers_shard_sorting_before_existing(registered, tmp_path):
+    """Regression: a late shard whose NAME sorts lexicographically
+    before already-delivered shards must still be delivered exactly
+    once.  With a count-based offset this shard was silently skipped
+    and an old shard re-delivered; the set-difference offset makes
+    delivery independent of name order."""
+    store = tmp_path / "store"
+    _write_shards(store, n_shards=2)  # shard-0.jsonl, shard-1.jsonl
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            registered.readStream.format("pyanamo_items")
+            .load(str(store))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    first = {
+        r.itemID for r in registered.read.parquet(str(out)).collect()
+    }
+
+    # "shard--late.jsonl" sorts before "shard-0.jsonl"
+    with open(store / "shard--late.jsonl", "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "itemID": "item_late_0",
+                    "taskID": "task_late",
+                    "task_script": "seq 1",
+                    "ItemState": "todo",
+                    "lockID": "NULL",
+                    "Log_Length": 0,
+                }
+            )
+            + "\n"
+        )
+    run_stream()
+    ids = [r.itemID for r in registered.read.parquet(str(out)).collect()]
+    assert sorted(ids) == sorted(first | {"item_late_0"})
+
+
+def test_writer_shard_names_monotonic(registered, tmp_path):
+    """Shards committed by a later append sort strictly after all
+    shards visible before the commit (zero-padded sequence prefix
+    assigned at commit time)."""
+    store = tmp_path / "store"
+    _write_shards(store, n_shards=1)
+    df = registered.read.format("pyanamo_items").load(str(store))
+    out = tmp_path / "out"
+    df.write.format("pyanamo_items").mode("append").save(str(out))
+    batch1 = sorted(f for f in out.iterdir() if f.suffix == ".jsonl")
+    df.write.format("pyanamo_items").mode("append").save(str(out))
+    batch2 = sorted(
+        f for f in out.iterdir()
+        if f.suffix == ".jsonl" and f not in batch1
+    )
+    assert batch2 and max(b.name for b in batch1) < min(
+        b.name for b in batch2
+    )
