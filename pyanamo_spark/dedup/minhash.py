@@ -114,9 +114,9 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .persist()
     )
     # the band table is persisted too: the self-join otherwise computes
-    # the 128-permutation signature on BOTH sides (ReuseExchange does
-    # not kick in across the a/b aliases) — 16 ids/doc is far cheaper
-    # to hold than to recompute
+    # the 32-permutation signature on BOTH sides (ReuseExchange does
+    # not kick in across the a/b aliases) — 8 band ids/doc is far
+    # cheaper to hold than to recompute
     bands = (
         prepped.withColumn("sig", minhash_signature("hs"))
         .select("doc_id", F.explode(band_structs("sig")).alias("band"))

@@ -78,6 +78,8 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     q_dedup_simhash's wall time in this UDF; this form is one C pass
     per stage over the whole Arrow batch.
     """
+    if len(texts) == 0:  # zero-row Arrow batch: concatenate([]) raises
+        return pd.Series([], dtype="int64")
     toks = texts.str.split(" ")
     lens = toks.str.len().to_numpy(dtype=np.int64)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
@@ -125,7 +127,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def _chunks(sig_col):
-    """4 × (chunk_idx, 16-bit chunk value) structs from a signed i64."""
+    """8 × (chunk_idx, 8-bit chunk value) structs from a signed i64."""
     return F.expr(
         f"transform(sequence(0, {N_CHUNKS - 1}),"
         f" c -> struct(c AS chunk_idx,"

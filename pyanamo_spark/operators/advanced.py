@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pyanamo_spark.functions.quantiles import exact_group_percentiles
 from pyanamo_spark.registry import register
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
@@ -145,14 +146,26 @@ GROUP BY l_returnflag
 """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ≡
-    DuckDB `quantile_cont`). The approximate scale path is
-    percentile_approx (t-digest) — sketch-based like
-    q_approx_distinct, and like it not oracle-matchable."""
+    """Exact interpolated percentiles per group (≡ DuckDB
+    `quantile_cont`) via the bounded-memory sketch-prefilter plan in
+    functions/quantiles.py — NOT Spark's exact `percentile`, whose
+    single aggregation buffer holds every value of a group and OOMs on
+    giant groups. Results are bit-identical to the exact aggregate
+    (same interpolation expression), so the oracle stays green."""
     li = spark.table("lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
-        F.round(F.max("l_quantity"), 2).alias("p_max"),
+    # p_max rides along as fraction 1.0 — the degenerate bracket is
+    # [approx(1−margin), max] and the picked rank is exactly n−1, so
+    # no separate max aggregation/join is needed
+    pct = exact_group_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p_max": 1.0},
+    )
+    return pct.select(
+        "l_returnflag",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("p_max", 2).alias("p_max"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyanamo_spark.functions.quantiles import exact_group_percentiles
 from pyanamo_spark.registry import register
 
 
@@ -204,26 +205,25 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outliers it hunts — the standard quality-filter shape for
     curation thresholds.
 
-    Two aggregation passes (median, then MAD around it) with the
-    group statistics riding back as broadcasts — per-group state is
+    Two median passes (median, then MAD around it) with the group
+    statistics riding back as broadcasts — per-group state is
     GROUPS-sized, never data-sized, and the fact table is never
-    shuffled, only scanned. Exact interpolated percentiles match
-    DuckDB's quantile_cont (cf. q_percentiles); the approximate path
-    swaps in percentile_approx per q_percentiles_approx."""
+    shuffled, only scanned plus a ~0.1 % survivor sort. Both medians
+    go through the bounded-memory sketch-prefilter plan in
+    functions/quantiles.py (bit-identical to quantile_cont, so the
+    oracle stays green) instead of Spark's exact `percentile`, whose
+    per-group buffer holds every value — an OOM with 3 status groups
+    over a 100 TB orders table."""
     orders = spark.table("orders")
-    med = orders.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    med = exact_group_percentiles(
+        orders, ["o_orderstatus"], "o_totalprice", {"med": 0.5}
     )
-    mad = (
-        orders.join(F.broadcast(med), "o_orderstatus")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias(
-                "mad"
-            ),
-            F.max("med").alias("med"),
-        )
+    dev = orders.join(F.broadcast(med), "o_orderstatus").withColumn(
+        "dev", F.abs(F.col("o_totalprice") - F.col("med"))
     )
+    mad = exact_group_percentiles(
+        dev, ["o_orderstatus"], "dev", {"mad": 0.5}
+    ).join(F.broadcast(med), "o_orderstatus")
     return (
         orders.join(F.broadcast(mad), "o_orderstatus")
         .filter(

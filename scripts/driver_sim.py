@@ -8,7 +8,8 @@ base parquet views pre-registered and compare row count + column names +
 an order-insensitive value hash (columns sorted by name, doubles rounded
 to 9 dp, rows sorted).
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [q1,q2,...]
+(default sf_dir /root/testdata/sf0.01; default all queries)
 """
 
 from __future__ import annotations
@@ -36,7 +37,10 @@ def value_hash(cols, rows) -> str:
         if isinstance(v, bool):
             return str(int(v))
         if isinstance(v, float):
-            return f"{round(v, 9):.9f}"
+            r = round(v, 9)
+            if r == 0:  # normalize -0.0 so zero-sign diffs don't FAIL
+                r = 0.0
+            return f"{r:.9f}"
         if isinstance(v, (list, tuple)):
             return "[" + ",".join(conv(x) for x in v) + "]"
         return str(v)
@@ -61,6 +65,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        missing = only - queries.keys()
+        assert not missing, f"unknown queries: {sorted(missing)}"
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
     for name in sorted(queries):
         t0 = time.perf_counter()
