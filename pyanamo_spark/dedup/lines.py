@@ -1,0 +1,146 @@
+"""Line/paragraph-level boilerplate dedup (CCNet-style).
+
+Removes lines that repeat across many *distinct* documents (site
+headers, cookie banners, license footers) while leaving unique content
+untouched — the standard pre-training cleanup pass that doc-level dedup
+(`dedup/exact.py`) cannot express.
+
+The fixture's documents are single-line, so "lines" are deterministic
+10-word chunks (both engines slice identically); two 10-word boilerplate
+headers are planted on doc_id % 5 / % 3 subsets so the operator has
+something real to find.
+
+At 100 TB: only 16-byte line digests travel through the counting
+shuffle (the text stays where it was scanned); the surviving boilerplate
+set is tiny (boilerplate is by definition low-cardinality/high-frequency)
+so the removal join is a broadcast, and the rebuild groupBy re-uses the
+document partitioning. Mirrors the reference's log-line salvage idea
+(/root/reference/code/pyanamo.py taskLogs handling) at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: exactly 10 words each so planted headers stay chunk-aligned
+HEADER_A = "terms of service apply to this content all rights reserved"
+HEADER_B = "subscribe to our newsletter for updates delivered every single day"
+
+WORDS_PER_LINE = 10
+#: a line is boilerplate when it appears in >= this many distinct docs
+MIN_DOCS = 30
+
+_CHUNK_EXPR = f"""
+transform(
+  sequence(0, cast(ceil(size(split(text, ' ')) / {WORDS_PER_LINE}.0) as int) - 1),
+  i -> array_join(slice(split(text, ' '), i * {WORDS_PER_LINE} + 1, {WORDS_PER_LINE}), ' ')
+)
+"""
+
+
+def chunk_lines(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, line_no, line): 10-word chunks."""
+    return corpus.select(
+        "doc_id",
+        F.posexplode(F.expr(_CHUNK_EXPR)).alias("line_no", "line"),
+    )
+
+
+def boilerplate_lines(lines: DataFrame, min_docs: int = MIN_DOCS) -> DataFrame:
+    """Lines occurring in >= min_docs distinct documents.
+
+    Counts distinct docs per 128-bit digest — raw text never shuffles.
+    """
+    return (
+        lines.groupBy(F.md5("line").alias("line_hash"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.first("line").alias("line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(lines: DataFrame, boiler: DataFrame) -> DataFrame:
+    """Per-doc summary after dropping boilerplate lines.
+
+    Returns (doc_id, n_lines, n_removed, clean_fingerprint) where
+    clean_fingerprint is md5 of the kept lines rejoined in order.
+    """
+    flagged = lines.join(
+        F.broadcast(boiler.select("line", F.lit(1).alias("is_boiler"))),
+        "line",
+        "left",
+    )
+    kept = F.when(F.col("is_boiler").isNull(), F.struct("line_no", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                " ",
+            )
+        ).alias("clean_fingerprint"),
+    )
+
+
+def _planted_corpus(docs: DataFrame) -> DataFrame:
+    """Prepend chunk-aligned boilerplate headers to fixture subsets."""
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(HEADER_B + " "), text)
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(HEADER_A + " "), text)
+    ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register(
+    "q_dedup_lines",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{HEADER_A} ' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN '{HEADER_B} ' ELSE '' END ||
+         text AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+),
+chunks AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(w[i * {WORDS_PER_LINE} + 1 : (i + 1) * {WORDS_PER_LINE}], ' ') AS line
+  FROM words,
+       generate_series(0, CAST(ceil(len(w) / {WORDS_PER_LINE}.0) AS BIGINT) - 1) t(i)
+),
+boiler AS (
+  SELECT line FROM chunks
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(string_agg(CASE WHEN b.line IS NULL THEN c.line END,
+                      ' ' ORDER BY c.line_no)) AS clean_fingerprint
+FROM chunks c LEFT JOIN boiler b USING (line)
+GROUP BY c.doc_id
+HAVING n_removed > 0
+""",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal over documents with planted
+    headers: chunk to 10-word lines, flag lines present in >= 30 distinct
+    docs, report per-doc removal counts + cleaned-text fingerprint."""
+    corpus = _planted_corpus(spark.table("documents"))
+    lines = chunk_lines(corpus)
+    boiler = boilerplate_lines(lines)
+    return remove_boilerplate(lines, boiler).filter(F.col("n_removed") > 0)

@@ -51,7 +51,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     by event_id in the running sum is safe: event_id increases with ts
     in the fixture, and the tiebreak keeps it deterministic.)"""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     new_sess = F.when(
         (us - F.lag(us).over(w) > SESSION_GAP_US)
         | F.lag(us).over(w).isNull(),

@@ -220,7 +220,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.unix_micros("ts").alias("us"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
             F.when(F.col("event_type") == "purchase", F.lit(1))
             .otherwise(F.lit(0))
             .alias("side"),

@@ -131,5 +131,7 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events").select(
         "event_id",
         F.date_format("ts", "dd/MM/yyyy-HH:mm:ss").alias("formatted"),
-        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("epoch_millis"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+        .cast("long")
+        .alias("epoch_millis"),
     )

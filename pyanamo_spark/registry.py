@@ -68,6 +68,7 @@ DECLARED: tuple[str, ...] = (
     # §2.10 UDF + extension operators X1–X9
     "q_pipe_exec",
     "q_dedup_exact",
+    "q_dedup_lines",
     "q_dedup_near",
     "q_knn_topk",
     "q_text_stats",
@@ -159,6 +160,7 @@ def load_all() -> None:
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.functions.sketches  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
+    import pyanamo_spark.dedup.lines  # noqa: F401
     import pyanamo_spark.dedup.minhash  # noqa: F401
     import pyanamo_spark.dedup.simhash  # noqa: F401
     import pyanamo_spark.dedup.ngram  # noqa: F401
