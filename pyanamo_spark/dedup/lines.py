@@ -50,16 +50,16 @@ def chunk_lines(corpus: DataFrame) -> DataFrame:
 
 
 def boilerplate_lines(lines: DataFrame, min_docs: int = MIN_DOCS) -> DataFrame:
-    """Lines occurring in >= min_docs distinct documents.
+    """Line digests occurring in >= min_docs distinct documents.
 
-    Counts distinct docs per 128-bit digest — raw text never shuffles.
+    Counts distinct docs per 128-bit digest — ONLY the 16-byte hash
+    travels through the counting shuffle; line text stays in the scan
+    partitions and is recovered later by joining the (tiny) surviving
+    digest set back against the lines.
     """
     return (
         lines.groupBy(F.md5("line").alias("line_hash"))
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.first("line").alias("line"),
-        )
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
 
@@ -69,12 +69,14 @@ def remove_boilerplate(lines: DataFrame, boiler: DataFrame) -> DataFrame:
 
     Returns (doc_id, n_lines, n_removed, clean_fingerprint) where
     clean_fingerprint is md5 of the kept lines rejoined in order.
+    Boilerplate membership is decided on the digest (broadcast of the
+    surviving hash set), so no text re-shuffles here either.
     """
     flagged = lines.join(
-        F.broadcast(boiler.select("line", F.lit(1).alias("is_boiler"))),
-        "line",
+        F.broadcast(boiler.select("line_hash", F.lit(1).alias("is_boiler"))),
+        F.md5(lines["line"]) == boiler["line_hash"],
         "left",
-    )
+    ).drop("line_hash")
     kept = F.when(F.col("is_boiler").isNull(), F.struct("line_no", "line"))
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
@@ -115,11 +117,18 @@ WITH corpus AS (
 words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM corpus
 ),
+numbered AS (
+  SELECT doc_id, w,
+         unnest(generate_series(
+           0, CAST(ceil(len(w) / {WORDS_PER_LINE}.0) AS BIGINT) - 1)) AS line_no
+  FROM words
+),
 chunks AS (
-  SELECT doc_id, i AS line_no,
-         array_to_string(w[i * {WORDS_PER_LINE} + 1 : (i + 1) * {WORDS_PER_LINE}], ' ') AS line
-  FROM words,
-       generate_series(0, CAST(ceil(len(w) / {WORDS_PER_LINE}.0) AS BIGINT) - 1) t(i)
+  SELECT doc_id, line_no,
+         array_to_string(
+           w[line_no * {WORDS_PER_LINE} + 1 : (line_no + 1) * {WORDS_PER_LINE}],
+           ' ') AS line
+  FROM numbered
 ),
 boiler AS (
   SELECT line FROM chunks
@@ -129,8 +138,9 @@ SELECT c.doc_id,
        COUNT(*) AS n_lines,
        CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_removed,
-       md5(string_agg(CASE WHEN b.line IS NULL THEN c.line END,
-                      ' ' ORDER BY c.line_no)) AS clean_fingerprint
+       md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN c.line END,
+                               ' ' ORDER BY c.line_no), ''))
+         AS clean_fingerprint
 FROM chunks c LEFT JOIN boiler b USING (line)
 GROUP BY c.doc_id
 HAVING n_removed > 0

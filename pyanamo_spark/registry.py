@@ -82,6 +82,8 @@ DECLARED: tuple[str, ...] = (
     "q_window_lag",
     "q_rollup",
     "q_setops",
+    # verified extensions promoted into the recorded window
+    "q_sessionize",
 )
 
 
