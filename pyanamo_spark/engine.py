@@ -26,6 +26,30 @@ from pyanamo_spark.executor.pipe import execute_nests
 from pyanamo_spark.executor.timekeeper import TimeKeeper
 
 
+def instance_identity(spark: SparkSession) -> dict[str, str]:
+    """F19: who-am-I introspection with a graceful fallback chain.
+
+    The reference resolves batch-job id → cloud instance id → hostname
+    (/root/reference/code/modifier.py:47-67) so every state write is
+    attributable to a runner.  The Spark analogues, tried in order:
+    the cluster-unique ``applicationId``, the driver-host conf, and
+    finally the local hostname — the same "best id available, never
+    fail" contract.
+    """
+    import socket
+
+    sc = spark.sparkContext
+    try:
+        host = sc.getConf().get("spark.driver.host")
+    except Exception:
+        host = None
+    return {
+        "application_id": sc.applicationId,
+        "runner_host": host or socket.gethostname(),
+        "app_name": sc.appName,
+    }
+
+
 def run_engine(
     spark: SparkSession,
     sf_dir: str,
@@ -139,5 +163,10 @@ def run_engine(
     post.write.mode("overwrite").partitionBy("ItemState").parquet(post_path)
     post = spark.read.parquet(post_path)
 
+    # F19: stamp the run summary with the runner's identity so durable
+    # output is attributable, as the reference stamps DynamoDB writes
+    ident = instance_identity(spark)
     summary = post.groupBy("ItemState").agg(F.count("*").alias("n_items"))
+    for k, v in ident.items():
+        summary = summary.withColumn(k, F.lit(v))
     return {"results": results, "post_tasks": post, "summary": summary}

@@ -29,9 +29,51 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
 
-#: pluggable codec registry — empty in this container (no PIL/ffmpeg);
-#: a deployment registers e.g. {"image/png": pil_decode}
+#: pluggable codec registry — a deployment registers e.g.
+#: {"image/png": pil_decode}; ``register_default_codecs`` fills it from
+#: whatever optional libraries import (none in this container)
 CODECS: dict[str, Callable[[bytes], object]] = {}
+
+
+def register_default_codecs() -> list[str]:
+    """Register decoders for every optional codec library present.
+
+    Tried: Pillow (image/png, image/jpeg → HxWxC uint8 ndarray) and
+    soundfile (audio/wav → float ndarray). Returns the mime types
+    registered; an empty list means the container has no codec libs and
+    ``decode_image`` stays a documented stub.
+    """
+    registered: list[str] = []
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+
+        def _pil_decode(payload: bytes):
+            return np.asarray(Image.open(io.BytesIO(payload)))
+
+        for mime in ("image/png", "image/jpeg"):
+            CODECS.setdefault(mime, _pil_decode)
+            registered.append(mime)
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import soundfile  # optional dependency
+
+        def _wav_decode(payload: bytes):
+            data, _rate = soundfile.read(io.BytesIO(payload))
+            return data
+
+        CODECS.setdefault("audio/wav", _wav_decode)
+        registered.append("audio/wav")
+    except ImportError:
+        pass
+    return registered
+
+
+register_default_codecs()
 
 ASSET_SCHEMA = (
     "asset_id bigint, payload binary, "

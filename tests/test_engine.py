@@ -91,3 +91,23 @@ def test_engine_post_state_partitioned_by_state(spark, sf_dir, tmp_path):
     parts = glob.glob(os.path.join(str(tmp_path), "post_tasks", "ItemState=*"))
     # hive-partitioned by ItemState so state-predicate scans prune
     assert parts, "post_tasks must be partitioned by ItemState"
+
+
+def test_instance_identity_fallback_chain(spark, sf_dir, tmp_path):
+    """F19: the run is attributable — applicationId + host stamped on
+    the summary (reference modifier.py:47-67 fallback chain)."""
+    from pyanamo_spark.engine import instance_identity, run_engine
+
+    ident = instance_identity(spark)
+    assert ident["application_id"]  # local-* app id, never empty
+    assert ident["runner_host"]
+    out = run_engine(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        item_filter="taskID = 'task_3'",
+        parallelism=2,
+    )
+    row = out["summary"].limit(1).collect()[0]
+    assert row["application_id"] == ident["application_id"]
+    assert row["runner_host"] == ident["runner_host"]

@@ -16,9 +16,35 @@ from pyanamo_spark.multimodal.pipeline import (
 from pyanamo_spark import semantics
 
 
-def test_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", "image/png")
+def test_decode_stub_or_real_codec():
+    """decode_image is a stub until a codec lib imports; when Pillow is
+    present register_default_codecs wires it up and decode is real."""
+    from pyanamo_spark.multimodal.pipeline import (
+        CODECS,
+        register_default_codecs,
+    )
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        assert "image/png" not in CODECS
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG", "image/png")
+        assert register_default_codecs() == []  # idempotent no-op
+        return
+
+    assert "image/png" in CODECS  # registered at import time
+    import numpy as np
+
+    buf = io.BytesIO()
+    Image.fromarray(np.arange(48, dtype=np.uint8).reshape(4, 4, 3)).save(
+        buf, format="PNG"
+    )
+    arr = decode_image(buf.getvalue(), "image/png")
+    assert arr.shape == (4, 4, 3)
+    assert arr.ravel().tolist() == list(range(48))
 
 
 def test_feature_extraction_real_math(spark, sf_dir):
