@@ -1,0 +1,73 @@
+"""Scale-regression gate for the Python-UDF-bearing queries.
+
+The round-1 simhash regression (2.2 s -> 11.6 s from a per-row batch
+path) was invisible at sf0.01 and only showed at sf0.1. This gate
+times every query whose hot path crosses the Python boundary (Arrow
+batch size / vectorization bugs scale with data, not with logic) at
+sf0.1 and fails loudly when one exceeds its budget.
+
+Budgets are ~3x the healthy best-of-2 timings on local[16] — loose
+enough to absorb machine noise, tight enough that an accidental
+per-row fallback (10-100x) trips immediately.
+
+Run: python scripts/scale_gate.py        (exit 0 = pass, 1 = regression)
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SCALE_GATE_FACTOR.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyanamo_spark.registry import QUERIES, load_all
+from pyanamo_spark.session import get_spark
+
+#: seconds at sf0.1 on local[16], best of 2 — the UDF-bearing set
+BUDGETS: dict[str, float] = {
+    "q_dedup_simhash": 6.0,  # whole-batch vectorized simhash
+    "q_dedup_near": 6.0,  # minhash signatures (numpy per batch)
+    "q_dedup_embed": 6.0,  # blocked matmul candidates
+    "q_knn_ivf": 7.0,  # Lloyd iterations + BLAS assignment
+    "q_knn_lsh": 5.0,  # sign-LSH projections
+    "q_knn_quantized": 5.0,  # int8 scan + rescore
+    "q_multimodal_features": 5.0,  # bincount featurizer
+    "q_pipe_exec": 8.0,  # subprocess stage (mapInPandas)
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = float(os.environ.get("SCALE_GATE_FACTOR", "1.0"))
+    load_all()
+    spark = get_spark("pyanamo-spark-scale-gate")
+    QUERIES["q_state_counts"](spark, sf_dir).collect()  # warm JVM
+    failures = []
+    for name, budget in BUDGETS.items():
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        limit = budget * factor
+        status = "OK " if best <= limit else "FAIL"
+        print(f"[{status}] {name:24s} {best:6.2f}s (budget {limit:.1f}s)")
+        if best > limit:
+            failures.append(name)
+    spark.stop()
+    if failures:
+        print(f"scale gate FAILED: {', '.join(failures)}")
+        return 1
+    print("scale gate passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
