@@ -161,6 +161,7 @@ def load_all() -> None:
     import pyanamo_spark.functions.text  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.functions.sketches  # noqa: F401
+    import pyanamo_spark.functions.pca  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
     import pyanamo_spark.dedup.lines  # noqa: F401
     import pyanamo_spark.dedup.minhash  # noqa: F401
