@@ -1,0 +1,105 @@
+"""Cross-document repeated-span detection (substring-dedup signal).
+
+Doc-level dedup (`dedup/exact.py`) and line-level boilerplate removal
+(`dedup/lines.py`) miss mid-document copied passages — the case
+suffix-array dedup targets in training-data pipelines. The tractable
+distributed form: slide a word n-gram window over every document and
+surface spans that recur across distinct documents; downstream removal
+can then anchor on the flagged spans.
+
+Scale shape (same discipline as `dedup/lines.py`): the counting
+shuffle carries ONLY 16-byte gram digests; span text is recovered
+afterwards by re-scanning with a broadcast of the (tiny, by
+definition low-cardinality) surviving digest set. No text ever rides
+a wide shuffle, and the second scan re-uses parquet pushdown on the
+same partitions.
+
+Reference parity: the reference's log salvage scans for repeated
+sentinel tags inside task logs (/root/reference/code/executor.py tag
+handling); this generalizes that "find recurring substrings" idea to
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+SPAN_WORDS = 5
+#: a span is duplicated when it occurs in >= this many distinct docs
+MIN_DOCS = 3
+
+_GRAM_EXPR = f"""
+transform(
+  sequence(1, greatest(size(split(text, ' ')) - {SPAN_WORDS - 1}, 0)),
+  i -> array_join(slice(split(text, ' '), i, {SPAN_WORDS}), ' ')
+)
+"""
+
+
+def doc_spans(corpus: DataFrame) -> DataFrame:
+    """(doc_id, gram): every overlapping SPAN_WORDS-gram per document."""
+    return corpus.select(
+        "doc_id", F.explode(F.expr(_GRAM_EXPR)).alias("gram")
+    )
+
+
+def duplicated_spans(
+    corpus: DataFrame, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Spans occurring in >= min_docs distinct documents.
+
+    Returns (gram, n_docs, n_hits) — n_hits counts every occurrence
+    including repeats within one document.
+    """
+    grams = doc_spans(corpus)
+    counts = (
+        grams.groupBy(F.md5("gram").alias("gram_hash"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        grams.join(
+            F.broadcast(counts),
+            F.md5(grams["gram"]) == counts["gram_hash"],
+        )
+        .select("gram", "n_docs", "n_hits")
+        .distinct()
+    )
+
+
+@register(
+    "q_dup_spans",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - {SPAN_WORDS - 1})) AS i
+  FROM words
+  WHERE len(w) >= {SPAN_WORDS}
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(w[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+  FROM pos
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_hits
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
+""",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated {SPAN_WORDS}-word spans: the
+    substring-level duplication report (span text, distinct-doc count,
+    total occurrences) with a digest-only counting shuffle."""
+    return duplicated_spans(spark.table("documents"))

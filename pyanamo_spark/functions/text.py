@@ -10,7 +10,7 @@ on low-cardinality keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
@@ -303,5 +303,58 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             F.round("raw", 6).alias("tfidf"),
             "rnk",
+        )
+    )
+
+
+@register(
+    "q_lang_mix",
+    oracle="""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+),
+shares AS (
+  SELECT source, lang, n_docs, n_chars,
+         n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source) AS share
+  FROM counts
+)
+SELECT source, lang, n_docs, n_chars,
+       ROUND(share, 6) AS share,
+       ROUND(SUM(-share * log2(share)) OVER (PARTITION BY source), 6)
+         AS source_entropy
+FROM shares
+""",
+)
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diagnostics for corpus curation: per-source language
+    composition (doc counts, char volume, share) plus the source's
+    language entropy — the report that drives mixture-rebalance rates
+    (`operators/curation.py::q_stratified_sample`). One map-side
+    combinable aggregation over (source, lang) — cardinality is
+    sources x languages, never data-sized — then window math on the
+    tiny aggregate; the entropy never touches row-level data."""
+    w = W.partitionBy("source")
+    counts = (
+        spark.table("documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    return (
+        counts.withColumn("_share", share)
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round("_share", 6).alias("share"),
+            F.round(
+                F.sum(-F.col("_share") * F.log2("_share")).over(w), 6
+            ).alias("source_entropy"),
         )
     )

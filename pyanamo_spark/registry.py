@@ -84,6 +84,9 @@ DECLARED: tuple[str, ...] = (
     "q_setops",
     # verified extensions promoted into the recorded window
     "q_sessionize",
+    "q_embed_covariance",
+    "q_dup_spans",
+    "q_lang_mix",
 )
 
 
@@ -164,6 +167,7 @@ def load_all() -> None:
     import pyanamo_spark.functions.pca  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
     import pyanamo_spark.dedup.lines  # noqa: F401
+    import pyanamo_spark.dedup.spans  # noqa: F401
     import pyanamo_spark.dedup.minhash  # noqa: F401
     import pyanamo_spark.dedup.simhash  # noqa: F401
     import pyanamo_spark.dedup.ngram  # noqa: F401
