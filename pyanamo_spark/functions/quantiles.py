@@ -138,7 +138,12 @@ def exact_group_percentiles(
 
     # small groups: degenerate bracket = everything, below-count 0
     small = F.col("_n") < F.lit(small_group)
-    j = src.join(F.broadcast(brackets), gcols)
+    # empty gcols = one global group: the brackets row broadcasts to all
+    j = (
+        src.join(F.broadcast(brackets), gcols)
+        if gcols
+        else src.crossJoin(F.broadcast(brackets))
+    )
 
     # ---- pass 2: ONE fused aggregation -----------------------------
     # Per group and fraction, in a single map-side-combinable agg:

@@ -152,17 +152,24 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark HALF_UP vs DuckDB rounding the same double the other way).
     """
     docs = spark.table("documents")
+    return docs.select(
+        "doc_id", quality_expr().cast("long").alias("quality_milli")
+    )
+
+
+def quality_expr():
+    """The composite quality score as a reusable Column (expects
+    `text` and `n_chars` in scope)."""
     n_toks = F.size(F.split(F.col("text"), " "))
     stop_term = F.expr(
         f"(3000 * size(filter(split(text, ' '), t -> t IN ({_STOP_LIST_SQL}))))"
         f" div size(split(text, ' '))"
     ).cast("int")
-    quality = (
+    return (
         F.least(F.lit(100), n_toks) * 4
         + F.when(F.col("n_chars").between(50, 2000), 300).otherwise(0)
         + F.least(F.lit(300), stop_term)
     )
-    return docs.select("doc_id", quality.cast("long").alias("quality_milli"))
 
 
 @register(
@@ -357,4 +364,48 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(-F.col("_share") * F.log2("_share")).over(w), 6
             ).alias("source_entropy"),
         )
+    )
+
+
+@register(
+    "q_quality_filter",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id,
+         CAST(
+           LEAST(100, len(string_split(text, ' '))) * 4
+           + CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 300 ELSE 0 END
+           + LEAST(300, (3000 * len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOP_LIST_SQL}))))
+                        // len(string_split(text, ' ')))
+         AS BIGINT) AS quality_milli
+  FROM documents
+),
+cut AS (
+  SELECT quantile_cont(CAST(quality_milli AS DOUBLE), 0.25) AS c
+  FROM scores
+)
+SELECT s.doc_id, s.quality_milli
+FROM scores s, cut
+WHERE CAST(s.quality_milli AS DOUBLE) >= cut.c
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality filtering — keep documents at or
+    above the corpus's exact 25th-percentile quality score. The cutoff
+    comes from the bounded-memory global percentile
+    (functions/quantiles.py with an empty group list) and rides back
+    as a one-row broadcast, so the filter is a single codegen'd scan:
+    the standard "drop the worst quartile" curation pass, exact and
+    oracle-checkable end to end."""
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+
+    scores = spark.table("documents").select(
+        "doc_id", quality_expr().cast("long").alias("quality_milli")
+    )
+    cut = exact_group_percentiles(scores, [], "quality_milli", {"c": 0.25})
+    return (
+        scores.crossJoin(F.broadcast(cut))
+        .filter(F.col("quality_milli").cast("double") >= F.col("c"))
+        .select("doc_id", "quality_milli")
     )

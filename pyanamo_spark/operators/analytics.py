@@ -241,3 +241,87 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t
+  GROUP BY e.user_id
+)
+SELECT stage, stage_no, n_users FROM (
+  SELECT 'view' AS stage, 1 AS stage_no, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 'click', 2, COUNT(*) FROM c
+  UNION ALL
+  SELECT 'purchase', 3, COUNT(*) FROM p
+)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, strictly
+    increasing timestamps): how many users reach each stage.
+
+    One shuffle total: everything is windows over a single
+    user-partitioned time sort. The running min of view-times makes
+    "click after first view" a per-row predicate (the running min at
+    any click row already equals the user's global first view, or is
+    NULL if none happened yet), the whole-partition min of those
+    qualifying clicks feeds the purchase predicate, and the final
+    per-user rollup reuses the same partitioning, so Catalyst plans
+    zero additional exchanges. The driver-side shape a reference user
+    would write — three self-joins — is what the oracle runs."""
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events").select("user_id", "ts", "event_type")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    first_view_sofar = F.min(F.when(is_type("view"), F.col("ts"))).over(w_run)
+    ev = ev.withColumn(
+        "_click_ok",
+        F.when(is_type("click") & (F.col("ts") > first_view_sofar), F.col("ts")),
+    )
+    first_click = F.min("_click_ok").over(w_all)
+    ev = ev.withColumn(
+        "_purchase_ok",
+        F.when(is_type("purchase") & (F.col("ts") > first_click), F.col("ts")),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(is_type("view"), F.col("ts"))).alias("_tv"),
+        F.min("_click_ok").alias("_tc"),
+        F.min("_purchase_ok").alias("_tp"),
+    )
+    counts = per_user.agg(
+        F.count("_tv").alias("_nv"),
+        F.count("_tc").alias("_nc"),
+        F.count("_tp").alias("_np"),
+    )
+    stages = F.array(
+        F.struct(F.lit("view").alias("stage"), F.lit(1).alias("stage_no"), F.col("_nv").alias("n_users")),
+        F.struct(F.lit("click").alias("stage"), F.lit(2).alias("stage_no"), F.col("_nc").alias("n_users")),
+        F.struct(F.lit("purchase").alias("stage"), F.lit(3).alias("stage_no"), F.col("_np").alias("n_users")),
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_no", "s.n_users"
+    )

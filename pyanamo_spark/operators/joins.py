@@ -288,3 +288,54 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
     )
+
+
+#: fuzzy-lookup probe strings: one substitution, one deletion, one
+#: insertion, one case error against fixture customer names — all
+#: within edit distance 2 of names present at every scale factor
+FUZZY_PROBES = (
+    "Custoner#000000042",
+    "Customer#00000011",
+    "Customer#0000001033",
+    "customer#000000007",
+)
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""
+SELECT p.probe, c.c_custkey, c.c_name,
+       CAST(levenshtein(c.c_name, p.probe) AS INT) AS dist
+FROM customer c
+CROSS JOIN (VALUES {", ".join(f"('{p}')" for p in FUZZY_PROBES)}) AS p(probe)
+WHERE levenshtein(c.c_name, p.probe) <= {FUZZY_MAX_DIST}
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy lookup: resolve typo'd probe names
+    against the customer dimension by edit distance ≤ 2.
+
+    The probe set rides in as a broadcast literal table, so the plan
+    is ONE scan of the dimension with a codegen'd levenshtein filter —
+    no shuffle, no all-pairs. (All-pairs fuzzy self-join is the
+    anti-pattern; with a real workload the blocking key — phonetic
+    code, name prefix, length band — bounds candidates first. The
+    probe-lookup shape here is what a reference user's point-query
+    path needs, reference parity: manager.py name-keyed getItem
+    calls.)"""
+    probes = spark.createDataFrame(
+        [(p,) for p in FUZZY_PROBES], ["probe"]
+    )
+    cust = spark.table("customer")
+    dist = F.levenshtein(F.col("c_name"), F.col("probe"))
+    return (
+        cust.crossJoin(F.broadcast(probes))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            "probe",
+            "c_custkey",
+            "c_name",
+            dist.cast("int").alias("dist"),
+        )
+    )
