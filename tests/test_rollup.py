@@ -12,26 +12,33 @@ from pyanamo_spark.streaming.rollup import (
     windowed_rollup_stream,
 )
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
-
 def test_rollup_matches_batch_after_incremental_arrival(
     spark, sf_dir, tmp_path
 ):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    median_ts = events.approxQuantile("ts", [0.5], 0.0)[0]
+    # approxQuantile supports no timestamp type; median the epoch
+    # micros instead (works for both fixture vintages: TIMESTAMP(NANOS)
+    # scanned as long and TIMESTAMP(MICROS) scanned as timestamp_ntz)
+    ts_us = (
+        F.col("ts")
+        if dict(events.dtypes)["ts"] == "bigint"
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    median_us = (
+        events.select(ts_us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    )
     events_dir = str(tmp_path / "events")
     rollup_dir = str(tmp_path / "rollup")
     ckpt_dir = str(tmp_path / "ckpt")
 
     # first half of the timeline arrives, first run drains it
-    events.filter(F.col("ts") <= median_ts).write.mode("append").parquet(
+    events.filter(ts_us <= median_us).write.mode("append").parquet(
         events_dir
     )
-    stream = windowed_rollup_stream(spark, events_dir, EVENTS_SCHEMA)
+    # stream schema mirrors whatever the batch write produced, so the
+    # test tracks the fixture vintage instead of hard-coding one
+    events_schema = spark.read.parquet(events_dir).schema
+    stream = windowed_rollup_stream(spark, events_dir, events_schema)
     assert stream.isStreaming
     run_rollup(stream, rollup_dir, ckpt_dir).stop()
     n_first = spark.read.parquet(rollup_dir).count()
@@ -39,10 +46,10 @@ def test_rollup_matches_batch_after_incremental_arrival(
 
     # second half arrives later; the shared checkpoint resumes state,
     # update-mode re-emits touched windows with their NEW totals
-    events.filter(F.col("ts") > median_ts).write.mode("append").parquet(
+    events.filter(ts_us > median_us).write.mode("append").parquet(
         events_dir
     )
-    stream = windowed_rollup_stream(spark, events_dir, EVENTS_SCHEMA)
+    stream = windowed_rollup_stream(spark, events_dir, events_schema)
     run_rollup(stream, rollup_dir, ckpt_dir).stop()
 
     got = {
@@ -66,7 +73,8 @@ def test_rollup_store_is_date_partitioned(spark, sf_dir, tmp_path):
     events_dir = str(tmp_path / "events")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
     rollup_dir = str(tmp_path / "rollup")
-    stream = windowed_rollup_stream(spark, events_dir, EVENTS_SCHEMA)
+    events_schema = spark.read.parquet(events_dir).schema
+    stream = windowed_rollup_stream(spark, events_dir, events_schema)
     run_rollup(stream, rollup_dir, str(tmp_path / "ckpt")).stop()
 
     import os
