@@ -205,39 +205,54 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outliers it hunts — the standard quality-filter shape for
     curation thresholds.
 
-    Two median passes (median, then MAD around it) with the group
-    statistics riding back as broadcasts — per-group state is
-    GROUPS-sized, never data-sized, and the fact table is never
-    shuffled, only scanned plus a ~0.1 % survivor sort. Both medians
-    go through the bounded-memory sketch-prefilter plan in
+    Two median passes (median, then MAD around it). The group
+    statistics are GROUPS-sized models, so — exactly like the IVF
+    centroid table — they are collected and ride back into the plan as
+    LITERAL maps rather than joined subtrees: leaving them lazy makes
+    every downstream consumer re-print (and without exchange reuse,
+    re-run) the whole upstream scan, while the literal form keeps the
+    final filter a single codegen'd pass over the fact table. Both
+    medians go through the bounded-memory sketch-prefilter plan in
     functions/quantiles.py (bit-identical to quantile_cont, so the
     oracle stays green) instead of Spark's exact `percentile`, whose
     per-group buffer holds every value — an OOM with 3 status groups
     over a 100 TB orders table."""
     orders = spark.table("orders")
-    med = exact_group_percentiles(
+    med_rows = exact_group_percentiles(
         orders, ["o_orderstatus"], "o_totalprice", {"med": 0.5}
+    ).collect()  # bounded: one row per o_orderstatus group
+    med_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in med_rows
+            for x in (r["o_orderstatus"], float(r["med"]))
+        ]
     )
-    dev = orders.join(F.broadcast(med), "o_orderstatus").withColumn(
+    dev = orders.withColumn("med", med_map[F.col("o_orderstatus")]).withColumn(
         "dev", F.abs(F.col("o_totalprice") - F.col("med"))
     )
-    mad = exact_group_percentiles(
+    mad_rows = exact_group_percentiles(
         dev, ["o_orderstatus"], "dev", {"mad": 0.5}
-    ).join(F.broadcast(med), "o_orderstatus")
+    ).collect()
+    mad_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in mad_rows
+            for x in (r["o_orderstatus"], float(r["mad"]))
+        ]
+    )
+    med_c = med_map[F.col("o_orderstatus")]
+    mad_c = mad_map[F.col("o_orderstatus")]
     return (
-        orders.join(F.broadcast(mad), "o_orderstatus")
-        .filter(
-            (F.col("mad") > 0)
-            & (
-                F.abs(F.col("o_totalprice") - F.col("med"))
-                > _ROBUST_Z * F.col("mad")
-            )
+        orders.filter(
+            (mad_c > 0)
+            & (F.abs(F.col("o_totalprice") - med_c) > _ROBUST_Z * mad_c)
         )
         .select(
             "o_orderkey",
             "o_orderstatus",
             F.round(
-                (F.col("o_totalprice") - F.col("med")) / F.col("mad"), 4
+                (F.col("o_totalprice") - med_c) / mad_c, 4
             ).alias("robust_z"),
         )
     )

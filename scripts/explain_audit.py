@@ -53,6 +53,25 @@ EXCHANGE_BUDGET = {
     # identically so ReuseExchange dedups them at runtime. Live
     # profile: tf shuffle, df term shuffle, singleton corpus count, and
     # the final per-doc window sort; df and n_docs ride back broadcast
+    "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
+    # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
+    # digest or a per-doc aggregate, never line text
+    "q_dup_spans": 6,  # same digest-count + broadcast-recover shape
+    "q_embed_covariance": 8,  # moment partials (one row per Arrow
+    # batch) + coordinate groupBy-sum + three broadcasts of the
+    # (1+d+d²)-row moment table slices — all exchanged rows are scalars
+    "q_funnel": 4,  # one genuine user-partition exchange feeds both
+    # windows AND the per-user rollup (same key, reused); the rest are
+    # the singleton funnel-count aggregation
+    "q_lang_mix": 4,  # (source,lang) partial agg + window over the
+    # aggregate — everything after the first exchange is groups-sized
+    "q_outliers": 8,  # two bounded-percentile fits (2 aggs each, run
+    # eagerly to GROUPS-sized literal maps) + the final single-scan
+    # filter; nothing data-sized shuffles
+    "q_percentiles": 4,  # bracket agg + fused stats agg (sketch
+    # prefilter + exact verify), each two-phase
+    "q_quality_filter": 4,  # global-percentile fit (2 aggs) + one-row
+    # broadcast back onto the scoring scan
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
