@@ -33,10 +33,12 @@ WORDS_PER_LINE = 10
 #: a line is boilerplate when it appears in >= this many distinct docs
 MIN_DOCS = 30
 
+#: chunk windows slice a once-split word array (`_w`) — inlining the
+#: split into the lambda would re-tokenize the document per chunk
 _CHUNK_EXPR = f"""
 transform(
-  sequence(0, cast(ceil(size(split(text, ' ')) / {WORDS_PER_LINE}.0) as int) - 1),
-  i -> array_join(slice(split(text, ' '), i * {WORDS_PER_LINE} + 1, {WORDS_PER_LINE}), ' ')
+  sequence(0, cast(ceil(size(_w) / {WORDS_PER_LINE}.0) as int) - 1),
+  i -> array_join(slice(_w, i * {WORDS_PER_LINE} + 1, {WORDS_PER_LINE}), ' ')
 )
 """
 
@@ -44,6 +46,8 @@ transform(
 def chunk_lines(corpus: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, line_no, line): 10-word chunks."""
     return corpus.select(
+        "doc_id", F.split("text", " ").alias("_w")
+    ).select(
         "doc_id",
         F.posexplode(F.expr(_CHUNK_EXPR)).alias("line_no", "line"),
     )

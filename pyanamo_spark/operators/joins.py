@@ -324,13 +324,18 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-lookup shape here is what a reference user's point-query
     path needs, reference parity: manager.py name-keyed getItem
     calls.)"""
-    probes = spark.createDataFrame(
-        [(p,) for p in FUZZY_PROBES], ["probe"]
-    )
     cust = spark.table("customer")
     dist = F.levenshtein(F.col("c_name"), F.col("probe"))
+    # the probe set rides as an exploded literal array — same semantics
+    # as a broadcast join against a probe table, minus the exchange
     return (
-        cust.crossJoin(F.broadcast(probes))
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.explode(
+                F.array(*[F.lit(p) for p in FUZZY_PROBES])
+            ).alias("probe"),
+        )
         .filter(dist <= FUZZY_MAX_DIST)
         .select(
             "probe",
