@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def normalize_event_time(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Make ``col`` a watermark-able TIMESTAMP for either fixture
+    vintage: TIMESTAMP(NANOS) scans as long under nanosAsLong (divide
+    to micros), TIMESTAMP(MICROS) scans as timestamp_ntz (watermarks
+    reject NTZ; session tz is UTC so the cast is a pure type change).
+    Callers must derive their stream schema from the actual data (see
+    tests) so a bigint here always means the nanos vintage."""
+    ts_type = dict(stream.dtypes).get(col)
+    if ts_type == "bigint":
+        return stream.withColumn(
+            col, F.expr(f"timestamp_micros({col} div 1000)")
+        )
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream
+
+
 def state_count_stream(
     spark: SparkSession, tasks_path: str, schema: str
 ) -> DataFrame:
@@ -47,11 +64,9 @@ def windowed_event_stream(
     """Watermarked tumbling-window event counts: late rows beyond the
     watermark are dropped, state for closed windows is evicted — the
     property that bounds memory at 100 TB/day event volumes."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # fixture parquet stores TIMESTAMP(NANOS) → scanned as long
-        # (see catalog.py); convert to a real event-time column
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
@@ -86,9 +101,9 @@ def session_event_stream(
     exactly ``gap`` apart together; fixture timestamps are not
     minute-aligned so the two agree there (asserted by the test).
     """
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(

@@ -40,17 +40,11 @@ def windowed_rollup_stream(
     deltas feeding the rollup store. Partial (map-side) aggregation
     still applies inside each micro-batch; the state store holds one
     row per open (window, event_type)."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        # TIMESTAMP(NANOS) fixture vintage → scanned as long
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif ts_type == "timestamp_ntz":
-        # TIMESTAMP(MICROS) vintage: watermarks demand TIMESTAMP (tz);
-        # session tz is UTC so the cast is a pure type change
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyanamo_spark.streaming.monitor import normalize_event_time
+
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")

@@ -57,11 +57,11 @@ def _update_user(
 def running_user_totals(
     spark: SparkSession, events_path: str, schema
 ) -> DataFrame:
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+    from pyanamo_spark.streaming.monitor import normalize_event_time
+
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
     return (
         stream.select("user_id", "event_id", "value")
         .groupBy("user_id")

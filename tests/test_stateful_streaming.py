@@ -7,10 +7,6 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.streaming.stateful import running_user_totals
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
 
 
 def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
@@ -18,7 +14,11 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
     batch_events = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch_events.write.parquet(events_dir)
 
-    stream_df = running_user_totals(spark, events_dir, EVENTS_SCHEMA)
+    # schema mirrors the staged parquet so the fixture's timestamp
+    # vintage round-trips instead of being force-read as bigint
+    stream_df = running_user_totals(
+        spark, events_dir, spark.read.parquet(events_dir).schema
+    )
     assert stream_df.isStreaming
     query = (
         stream_df.writeStream.format("memory")

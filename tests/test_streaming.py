@@ -11,10 +11,12 @@ from pyanamo_spark.streaming.monitor import (
     windowed_event_stream,
 )
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+def events_schema(spark, events_dir):
+    """Stream schema mirrors the staged parquet, so the tests track the
+    fixture's timestamp vintage instead of hard-coding one (a forced
+    bigint read of TIMESTAMP(MICROS) data would yield raw micros that
+    the nanos conversion then mangles)."""
+    return spark.read.parquet(events_dir).schema
 
 
 def test_windowed_event_stream_matches_batch(spark, sf_dir, tmp_path):
@@ -22,7 +24,9 @@ def test_windowed_event_stream_matches_batch(spark, sf_dir, tmp_path):
     # single parquet file, so stage it into one
     events_dir = str(tmp_path / "events")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
-    stream_df = windowed_event_stream(spark, events_dir, EVENTS_SCHEMA)
+    stream_df = windowed_event_stream(
+        spark, events_dir, events_schema(spark, events_dir)
+    )
     assert stream_df.isStreaming
     query = run_available_now(stream_df, "win_counts")
     try:
@@ -51,7 +55,9 @@ def test_session_stream_matches_batch_sessionize(spark, sf_dir, tmp_path):
     comparison exact."""
     events_dir = str(tmp_path / "events")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
-    stream_df = session_event_stream(spark, events_dir, EVENTS_SCHEMA)
+    stream_df = session_event_stream(
+        spark, events_dir, events_schema(spark, events_dir)
+    )
     assert stream_df.isStreaming
     query = run_available_now(stream_df, "sessions", output_mode="complete")
     try:
