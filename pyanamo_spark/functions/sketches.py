@@ -91,3 +91,68 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .filter(F.col("n_events") > F.lit(HH_SUPPORT) * F.lit(total))
     )
+
+
+#: equi-depth histogram depth (deciles)
+EQUIDEPTH_BUCKETS = 10
+_EQ_FRACS = {
+    f"c{i}": i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)
+}
+
+
+@register(
+    "q_equidepth",
+    oracle=f"""
+WITH cuts AS (
+  SELECT {", ".join(
+      f"quantile_cont(o_totalprice, {i / EQUIDEPTH_BUCKETS}) AS c{i}"
+      for i in range(1, EQUIDEPTH_BUCKETS)
+  )}
+  FROM orders
+),
+bucketed AS (
+  SELECT CAST(1 + {" + ".join(
+      f"(CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END)"
+      for i in range(1, EQUIDEPTH_BUCKETS)
+  )} AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders, cuts
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY bucket
+""",
+)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals — the data-profile
+    / optimizer-statistics shape. The nine exact cutpoints come from
+    the bounded-memory global percentile (functions/quantiles.py,
+    bit-identical to quantile_cont so the oracle agrees on boundary
+    rows) and return as a BUCKETS-sized collected model; bucketing is
+    then a single codegen'd scan summing x > cut comparisons — no
+    global sort, no ntile window, no second shuffle beyond the tiny
+    per-bucket rollup."""
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+
+    orders = spark.table("orders")
+    cuts = exact_group_percentiles(
+        orders, [], "o_totalprice", _EQ_FRACS
+    ).collect()[0]
+    x = F.col("o_totalprice")
+    bucket = sum(
+        (
+            F.when(x > F.lit(float(cuts[name])), 1).otherwise(0)
+            for name in _EQ_FRACS
+        ),
+        F.lit(1),
+    )
+    return (
+        orders.select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -102,4 +102,14 @@ def test_no_exact_percentile_in_plans(spark):
             spark, "/root/testdata/sf0.001"
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "percentile(" not in plan, name
-        assert "approx_percentile" in plan or "percentile_approx" in plan
+    # q_percentiles stays lazy: its plan must carry the sketch prefilter
+    plan = QUERIES["q_percentiles"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+    # q_outliers fits eagerly: its returned plan is the single-scan
+    # filter against the collected GROUPS-sized literal stat maps
+    plan = QUERIES["q_outliers"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "map(keys:" in plan
