@@ -107,3 +107,65 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-level duplication report (span text, distinct-doc count,
     total occurrences) with a digest-only counting shuffle."""
     return duplicated_spans(spark.table("documents"))
+
+
+def source_overlap(corpus: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_grams): how many distinct spans
+    each pair of sources has in common — the provenance/leakage matrix
+    (which sources syndicate or copy from each other).
+
+    Scale shape: the distinct (source, gram) reduction shuffles only
+    16-byte digests; the pair join's fan-out per gram is bounded by
+    C(#sources, 2) — a catalog-sized constant — never by corpus size.
+    """
+    gs = (
+        corpus.select("source", "doc_id")
+        .join(
+            doc_spans(corpus).select(
+                "doc_id", F.md5("gram").alias("gram_hash")
+            ),
+            "doc_id",
+        )
+        .select("source", "gram_hash")
+        .distinct()
+    )
+    a, b = gs.alias("a"), gs.alias("b")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(1, len(w) - {SPAN_WORDS - 1})) AS i
+  FROM words
+  WHERE len(w) >= {SPAN_WORDS}
+),
+gs AS (
+  SELECT DISTINCT source,
+         array_to_string(w[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+  FROM pos
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_grams
+FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source span-overlap matrix: distinct {SPAN_WORDS}-word
+    spans shared per source pair — the syndication/leakage report that
+    tells a curation pipeline which sources duplicate each other."""
+    return source_overlap(spark.table("documents"))
