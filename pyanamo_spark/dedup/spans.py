@@ -118,15 +118,19 @@ def source_overlap(corpus: DataFrame) -> DataFrame:
     16-byte digests; the pair join's fan-out per gram is bounded by
     C(#sources, 2) — a catalog-sized constant — never by corpus size.
     """
+    words = corpus.select("source", F.split("text", " ").alias("_w"))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("_w") - (SPAN_WORDS - 1), F.lit(0)),
+        ),
+        lambda i: F.array_join(F.slice("_w", i, SPAN_WORDS), " "),
+    )
+    # source rides the explode directly — joining spans back to their
+    # documents on doc_id would add a data-sized shuffle for nothing
     gs = (
-        corpus.select("source", "doc_id")
-        .join(
-            doc_spans(corpus).select(
-                "doc_id", F.md5("gram").alias("gram_hash")
-            ),
-            "doc_id",
-        )
-        .select("source", "gram_hash")
+        words.select("source", F.explode(grams).alias("gram"))
+        .select("source", F.md5("gram").alias("gram_hash"))
         .distinct()
     )
     a, b = gs.alias("a"), gs.alias("b")

@@ -72,6 +72,13 @@ EXCHANGE_BUDGET = {
     # prefilter + exact verify), each two-phase
     "q_quality_filter": 4,  # global-percentile fit (2 aggs) + one-row
     # broadcast back onto the scoring scan
+    "q_source_overlap": 8,  # the distinct-(source, digest) subtree is
+    # PRINTED once per self-join side (canonically identical →
+    # ReuseExchange dedups at runtime); live profile: gram-digest
+    # distinct, the pair join, the final pair groupBy — all digest- or
+    # catalog-sized rows
+    "q_equidepth": 4,  # global-percentile fit (2 aggs, eager) + the
+    # tiny per-bucket rollup after the single bucketing scan
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
