@@ -31,6 +31,23 @@ SPAN_WORDS = 5
 #: a span is duplicated when it occurs in >= this many distinct docs
 MIN_DOCS = 3
 
+def gram_array():
+    """All overlapping SPAN_WORDS-gram strings of the word array `_w`.
+
+    Documents shorter than the span yield an EMPTY array via an
+    explicit branch — `sequence(1, greatest(n-4, 0))` looks right but
+    Spark's sequence STEPS DOWNWARD when stop < start, producing
+    [1, 0] and a slice(start=0) runtime error on any sub-span doc.
+    """
+    return F.when(
+        F.size("_w") >= SPAN_WORDS,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (SPAN_WORDS - 1)),
+            lambda i: F.array_join(F.slice("_w", i, SPAN_WORDS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def doc_spans(corpus: DataFrame) -> DataFrame:
     """(doc_id, gram): every overlapping SPAN_WORDS-gram per document.
 
@@ -40,14 +57,7 @@ def doc_spans(corpus: DataFrame) -> DataFrame:
     blowup (measured 2.2 s → 0.4 s on the sf0.1 corpus).
     """
     words = corpus.select("doc_id", F.split("text", " ").alias("_w"))
-    grams = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.size("_w") - (SPAN_WORDS - 1), F.lit(0)),
-        ),
-        lambda i: F.array_join(F.slice("_w", i, SPAN_WORDS), " "),
-    )
-    return words.select("doc_id", F.explode(grams).alias("gram"))
+    return words.select("doc_id", F.explode(gram_array()).alias("gram"))
 
 
 def duplicated_spans(
@@ -119,17 +129,10 @@ def source_overlap(corpus: DataFrame) -> DataFrame:
     C(#sources, 2) — a catalog-sized constant — never by corpus size.
     """
     words = corpus.select("source", F.split("text", " ").alias("_w"))
-    grams = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.size("_w") - (SPAN_WORDS - 1), F.lit(0)),
-        ),
-        lambda i: F.array_join(F.slice("_w", i, SPAN_WORDS), " "),
-    )
     # source rides the explode directly — joining spans back to their
     # documents on doc_id would add a data-sized shuffle for nothing
     gs = (
-        words.select("source", F.explode(grams).alias("gram"))
+        words.select("source", F.explode(gram_array()).alias("gram"))
         .select("source", F.md5("gram").alias("gram_hash"))
         .distinct()
     )

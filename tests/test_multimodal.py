@@ -106,3 +106,23 @@ def test_resize_preserves_schema_and_composes(spark, sf_dir):
         r.asset_id: bytes(r.payload) for r in resize_assets(assets).collect()
     }
     assert all(again[r.asset_id] == bytes(r.payload) for r in rows)
+
+
+def test_registered_codec_path_roundtrip():
+    """A registered codec makes decode_image real — exercised with a
+    deterministic fake so the registry path is tested even without
+    Pillow in the container."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.pipeline import CODECS, decode_image
+
+    fake_mime = "image/x-test-raw"
+    CODECS[fake_mime] = lambda payload: np.frombuffer(
+        payload, dtype=np.uint8
+    ).reshape(2, -1)
+    try:
+        arr = decode_image(bytes(range(8)), fake_mime)
+        assert arr.shape == (2, 4)
+        assert arr.sum() == sum(range(8))
+    finally:
+        del CODECS[fake_mime]

@@ -1,0 +1,80 @@
+"""Behavioral tests for line-boilerplate and span dedup beyond the
+driver oracle: planted recovery, short-doc edges, all-boilerplate
+fingerprint parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pyanamo_spark.dedup.lines import (
+    HEADER_A,
+    boilerplate_lines,
+    chunk_lines,
+    remove_boilerplate,
+)
+from pyanamo_spark.dedup.spans import (
+    SPAN_WORDS,
+    doc_spans,
+    duplicated_spans,
+    source_overlap,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_planted_span_found_and_short_docs_skipped(spark):
+    span = "alpha beta gamma delta epsilon"
+    assert len(span.split()) == SPAN_WORDS
+    rows = [(i, f"{span} filler{i} tail{i}") for i in range(4)]
+    rows += [(10, "too short"), (11, "one two three four")]  # < SPAN_WORDS
+    corpus = _docs(spark, rows)
+    assert (
+        doc_spans(corpus).filter(F.col("doc_id").isin(10, 11)).count() == 0
+    )
+    found = duplicated_spans(corpus, min_docs=4).collect()
+    assert [r["gram"] for r in found] == [span]
+    assert found[0]["n_docs"] == 4 and found[0]["n_hits"] == 4
+
+
+def test_all_boilerplate_doc_fingerprints_empty_join(spark):
+    """A doc whose every chunk is boilerplate must fingerprint as
+    md5('') — the cross-engine agreement ADVICE flagged."""
+    ten = HEADER_A  # exactly 10 words, chunk-aligned
+    rows = [(i, ten) for i in range(30)]  # 30 identical all-boiler docs
+    rows.append((99, "unique words " + " ".join(f"w{j}" for j in range(8))))
+    corpus = _docs(spark, rows)
+    lines = chunk_lines(corpus)
+    boiler = boilerplate_lines(lines, min_docs=30)
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(lines, boiler).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert out[0]["n_removed"] == 1
+    assert out[0]["clean_fingerprint"] == empty_md5
+    assert out[99]["n_removed"] == 0
+    assert out[99]["clean_fingerprint"] != empty_md5
+
+
+def test_source_overlap_counts_distinct_spans_once(spark):
+    shared = "one two three four five"
+    corpus = spark.createDataFrame(
+        [
+            (1, "sA", f"{shared} xA yA"),
+            (2, "sA", f"{shared} zA qA"),  # same span again in sA
+            (3, "sB", f"{shared} xB yB"),
+            (4, "sC", "totally different words here now"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_grams"]
+        for r in source_overlap(corpus).collect()
+    }
+    # the shared 5-gram counts ONCE per source pair despite appearing
+    # in two sA docs; sC shares nothing
+    assert got == {("sA", "sB"): 1}
