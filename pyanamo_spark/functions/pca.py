@@ -52,7 +52,11 @@ def moment_partials(df: DataFrame, col: str, d: int) -> DataFrame:
             m = np.concatenate(([float(len(X))], X.sum(axis=0), (X.T @ X).ravel()))
             yield pd.DataFrame({"m": [m.tolist()]})
 
-    return df.select(F.col(col).alias(col)).mapInPandas(gen, "m array<double>")
+    return (
+        df.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "m array<double>")
+    )
 
 
 def moment_sums(df: DataFrame, col: str, d: int) -> DataFrame:
@@ -117,6 +121,10 @@ def fit_pca(df: DataFrame, col: str, d: int, k: int) -> dict:
     for r in rows:
         m[r["idx"]] = r["v"]
     n, s, xtx = m[0], m[1 : 1 + d], m[1 + d :].reshape(d, d)
+    if n < 2:
+        raise ValueError(
+            f"fit_pca needs >= 2 rows with non-null {col}, got {int(n)}"
+        )
     mean = s / n
     cov = (xtx - np.outer(s, s) / n) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
