@@ -140,3 +140,89 @@ _body, _tail = _ngram[4:].rsplit(")\nSELECT", 1)
 ORACLES["q_dedup_clusters"] = ORACLES["q_dedup_clusters"].format(
     ngram_pairs="WITH" + _body + ")\nSELECT" + _tail
 )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC (u, v) edge list: every
+    strictly-larger neighbor of u re-attaches to u's neighborhood min.
+    Output is undirected (a, b) with b < a by construction."""
+    m = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(und: DataFrame) -> DataFrame:
+    """One small-star round over undirected (a, b) edges: orient each
+    edge toward its larger endpoint u, then attach u and all its
+    smaller neighbors to their collective min."""
+    d = und.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    m = d.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    joined = d.join(m, "u")
+    re_v = joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+    re_u = joined.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (
+        re_v.union(re_u)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(a, b) edge pairs → (node, comp): the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014).
+
+    Same contract as ``connected_components`` but O(log n) rounds on
+    ANY graph instead of O(diameter) — the upgrade path when a corpus
+    produces deep duplicate chains (e.g. version histories A≈B≈C≈…)
+    rather than the near-clique clusters LSH usually emits. Each round
+    is two self-join + groupBy-min shuffles over an edge list that only
+    shrinks; labels fall out of the final star edges directly.
+    """
+    und = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        sym = und.union(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        new_und = _small_star(_large_star(sym)).localCheckpoint()
+        changed = (
+            new_und.exceptAll(und).union(und.exceptAll(new_und)).count()
+        )
+        und = new_und
+        if changed == 0:
+            break
+    # converged: every component is a star (member, center=min); the
+    # centers label themselves
+    return (
+        nodes.join(
+            und.select(F.col("a").alias("node"), F.col("b").alias("comp")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )

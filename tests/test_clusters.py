@@ -80,3 +80,36 @@ def test_components_match_union_find(spark):
         want = {v: min(c) for c in expect.values() for v in c}
         got = _components(spark, edges)
         assert got == want, f"trial {trial}"
+
+
+def test_star_variant_matches_propagation(spark):
+    """Large-star/small-star must produce identical labels to min-label
+    propagation on chains, cliques-with-bridges, and random graphs —
+    and converge on a deep path in far fewer rounds than its length."""
+    import random
+
+    from pyanamo_spark.dedup.clusters import connected_components_star
+
+    def star(edges, max_iter=20):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {
+            r.node: r.comp
+            for r in connected_components_star(df, max_iter).collect()
+        }
+
+    # deep 60-node path: diameter 60, log-round algorithm must finish
+    # inside 8 alternating rounds (propagation would need ~60)
+    path = [(i, i + 1) for i in range(60)]
+    assert star(path, max_iter=8) == {i: 0 for i in range(61)}
+
+    rnd = random.Random(0xBEEF)
+    for _ in range(3):
+        n = 50
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n))
+            for _ in range(rnd.randrange(15, 60))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        assert star(edges) == _components(spark, edges)
