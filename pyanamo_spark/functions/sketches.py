@@ -139,6 +139,17 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = exact_group_percentiles(
         orders, [], "o_totalprice", _EQ_FRACS
     ).collect()[0]
+    if any(cuts[name] is None for name in _EQ_FRACS):
+        # empty table: no cutpoints; empty histogram with the schema
+        return (
+            orders.filter(F.lit(False))
+            .groupBy(F.lit(1).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.min("o_totalprice"), 2).alias("lo"),
+                F.round(F.max("o_totalprice"), 2).alias("hi"),
+            )
+        )
     x = F.col("o_totalprice")
     bucket = sum(
         (

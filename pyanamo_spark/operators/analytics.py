@@ -221,6 +221,12 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_rows = exact_group_percentiles(
         orders, ["o_orderstatus"], "o_totalprice", {"med": 0.5}
     ).collect()  # bounded: one row per o_orderstatus group
+    if not med_rows:  # empty table: no groups, no outliers
+        return orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(0.0).alias("robust_z"),
+        ).filter(F.lit(False))
     med_map = F.create_map(
         *[
             F.lit(x)

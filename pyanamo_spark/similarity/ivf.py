@@ -50,6 +50,11 @@ def _nearest(df: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
     rows = sorted(
         centroids.collect(), key=lambda r: r.centroid_id
     )
+    if not rows:
+        raise ValueError(
+            "IVF needs a non-empty centroid model — the corpus has no "
+            "embeddings to seed from"
+        )
     c_ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
     c_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in rows])
     c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)

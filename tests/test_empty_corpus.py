@@ -1,0 +1,62 @@
+"""Empty-corpus contract: every declared query must either return an
+empty result with its normal schema or raise a clear ValueError from a
+model-fit step — never crash deep inside Spark. (A sub-span-length
+document bug that motivated this net: plans that look right on the
+fixture can throw at runtime on degenerate rows.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyanamo_spark.catalog import TABLES
+from pyanamo_spark.registry import QUERIES, load_all
+
+load_all()
+
+#: model-fit queries that cannot produce a model from nothing; their
+#: contract is a clear ValueError, not an empty result
+FIT_QUERIES = {"q_pca_project", "q_knn_ivf"}
+
+#: queries whose CORRECT empty-input output is non-empty: ungrouped
+#: aggregates yield their single zero/null row (SQL semantics), the
+#: funnel reports all stages at zero, and the MERGE's literal updates
+#: batch inserts into the empty store
+NONEMPTY_ON_EMPTY = {
+    "q_threshold_counts",
+    "q_small_qty_revenue",
+    "q_brand_revenue",
+    "q_promo_share",
+    "q_revenue_forecast",
+    "q_funnel",
+    "q_merge_upsert",
+    "q_ingest_csv",  # ingests its own literal CSV; corpus-independent
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+    return str(out)
+
+
+def test_every_query_handles_empty_corpus(spark, empty_sf):
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            rows = fn(spark, empty_sf).limit(5).collect()
+            assert rows == [] or name in NONEMPTY_ON_EMPTY, name
+        except ValueError:
+            if name not in FIT_QUERIES:
+                failures.append((name, "unexpected ValueError"))
+        except AssertionError:
+            failures.append((name, "non-empty result on empty input"))
+        except Exception as e:  # noqa: BLE001 — the contract being tested
+            failures.append((name, f"{type(e).__name__}"))
+    assert not failures, failures
