@@ -409,3 +409,58 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_milli").cast("double") >= F.col("c"))
         .select("doc_id", "quality_milli")
     )
+
+
+#: top-k merge candidates reported by the BPE pair count
+BPE_TOP_K = 20
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (
+    SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM words WHERE len(w) >= 2
+  )
+)
+SELECT pair, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {BPE_TOP_K}
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop at corpus scale: count every
+    adjacent character pair inside words and surface the top merge
+    candidates. One explode over in-word positions (the word is bound
+    once; substring windows read the bound value), a map-side
+    combinable pair count, and a TakeOrderedAndProject top-k — no
+    global sort. A full BPE trainer iterates this exact aggregation,
+    re-tokenizing against the grown merge table each round; the
+    per-round plan is what must scale, and this is it."""
+    words = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "pair")
+        .limit(BPE_TOP_K)
+    )
