@@ -52,6 +52,9 @@ _COS = f"({_DOT} / (a.nrm * b.nrm))"
 def _block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
     """One label block -> candidate (vec_a, vec_b) pairs by full-matrix
     cosine in float64."""
+    pdf = pdf[pdf["embedding"].notna()]  # null vectors match nothing
+    if len(pdf) < 2:
+        return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     nrm = np.linalg.norm(mat, axis=1)

@@ -80,7 +80,9 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     """
     if len(texts) == 0:  # zero-row Arrow batch: concatenate([]) raises
         return pd.Series([], dtype="int64")
-    toks = texts.str.split(" ")
+    # null-safe: a null doc hashes like the empty string; callers drop
+    # null rows before pairing so these never produce bogus matches
+    toks = texts.fillna("").str.split(" ")
     lens = toks.str.len().to_numpy(dtype=np.int64)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     codes, uniques = pd.factorize(flat)
@@ -140,8 +142,10 @@ def _chunks(sig_col):
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash dedup: pairs within Hamming distance 7 over
     the mutant corpus, found via chunk-blocked self-join."""
-    corpus = corpus_with_mutants(spark).withColumn(
-        "sig", simhash_udf(F.col("text"))
+    corpus = (
+        corpus_with_mutants(spark)
+        .where(F.col("text").isNotNull())  # nothing to compare
+        .withColumn("sig", simhash_udf(F.col("text")))
     )
     # persisted: the self-join otherwise runs the simhash pandas UDF
     # over the full corpus on BOTH aliases; 4 skinny rows/doc is far

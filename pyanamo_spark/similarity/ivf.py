@@ -62,6 +62,7 @@ def _nearest(df: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
 
     def assign(batches):
         for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]  # unassignable rows
             if not len(pdf):
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -129,7 +130,9 @@ def build_index(
     emb = spark.table("embeddings").withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    seeds = emb.filter(
+        (F.col("vec_id") < N_CENTROIDS) & F.col("embedding").isNotNull()
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
