@@ -311,3 +311,57 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _GROUP_SAMPLE_K)
         .select("doc_id", "lang")
     )
+
+
+#: mixture temperature: rates ∝ share^ALPHA (α<1 upweights the tail)
+MIX_ALPHA = 0.7
+#: documents the rebalanced mixture should total
+MIX_TARGET = 10_000
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+powered AS (
+  SELECT source, n_docs,
+         POWER(n_docs * 1.0 / (SELECT SUM(n_docs) FROM counts),
+               {MIX_ALPHA}) AS p
+  FROM counts
+)
+SELECT source, n_docs,
+       ROUND(p / (SELECT SUM(p) FROM powered), 6) AS mix_weight,
+       CAST(ROUND({MIX_TARGET} * p / (SELECT SUM(p) FROM powered), 0)
+            AS BIGINT) AS target_docs
+FROM powered
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual /
+    multi-source sampling rule: weight ∝ share^α with α = {MIX_ALPHA},
+    which upweights tail sources without letting any head source
+    dominate). Everything past the one map-side-combinable source
+    count is window math on the SOURCES-sized aggregate; the emitted
+    per-source target_docs drive q_stratified_sample's keep rates."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    counts = (
+        spark.table("documents").groupBy("source").agg(
+            F.count("*").alias("n_docs")
+        )
+    )
+    p = F.pow(
+        F.col("n_docs") / F.sum("n_docs").over(w), F.lit(MIX_ALPHA)
+    )
+    z = F.sum(p).over(w)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(p / z, 6).alias("mix_weight"),
+        F.round(F.lit(MIX_TARGET) * p / z, 0)
+        .cast("long")
+        .alias("target_docs"),
+    )
