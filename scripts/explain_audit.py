@@ -79,6 +79,9 @@ EXCHANGE_BUDGET = {
     # catalog-sized rows
     "q_equidepth": 4,  # global-percentile fit (2 aggs, eager) + the
     # tiny per-bucket rollup after the single bucketing scan
+    "q_mixture_weights": 4,  # source count agg (two-phase) + the
+    # global-partition window over the SOURCES-sized aggregate — the
+    # single-partition exchange holds ~|sources| rows, never data
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
