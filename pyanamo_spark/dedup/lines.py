@@ -158,3 +158,45 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = chunk_lines(corpus)
     boiler = boilerplate_lines(lines)
     return remove_boilerplate(lines, boiler).filter(F.col("n_removed") > 0)
+
+
+def update_boilerplate_store(
+    spark: SparkSession, store_dir: str, batch: DataFrame, batch_id: str
+) -> DataFrame:
+    """Fold one crawl batch into a persistent boilerplate-count store.
+
+    The store holds one ``batch=<id>`` partition of per-batch
+    (line_hash, n_docs) partial counts — the same additive-partition
+    shape as the incremental dedup fingerprint store
+    (dedup/incremental.py): appends never rewrite history, each update
+    shuffles only the NEW batch's digests, and the current boilerplate
+    set is a sum-then-threshold over the partials (count-distinct is
+    not mergeable across batches, but doc_ids are batch-disjoint in a
+    crawl pipeline, so per-batch distinct counts add exactly).
+    Returns this batch's partial counts as written.
+    """
+    import os
+
+    partial = (
+        chunk_lines(batch)
+        .groupBy(F.md5("line").alias("line_hash"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    out = os.path.join(store_dir, f"batch={batch_id}")
+    partial.write.mode("errorifexists").parquet(out)
+    return spark.read.parquet(out)
+
+
+def current_boilerplate(
+    spark: SparkSession, store_dir: str, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """The live boilerplate digest set: sum the per-batch partials and
+    threshold. Mergeable by construction — the scan reads only the
+    (16-byte digest, count) partials, never any text."""
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

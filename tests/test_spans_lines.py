@@ -78,3 +78,35 @@ def test_source_overlap_counts_distinct_spans_once(spark):
     # the shared 5-gram counts ONCE per source pair despite appearing
     # in two sA docs; sC shares nothing
     assert got == {("sA", "sB"): 1}
+
+
+def test_incremental_boilerplate_equals_global(spark, sf_dir, tmp_path):
+    """Folding the corpus in as two disjoint crawl batches must yield
+    exactly the global boilerplate digest set."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.lines import (
+        _planted_corpus,
+        current_boilerplate,
+        update_boilerplate_store,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    corpus = _planted_corpus(
+        spark.table("documents").select("doc_id", "text")
+    )
+    store = str(tmp_path / "boiler_store")
+    update_boilerplate_store(
+        spark, store, corpus.filter(F.col("doc_id") % 2 == 0), "b0"
+    )
+    update_boilerplate_store(
+        spark, store, corpus.filter(F.col("doc_id") % 2 == 1), "b1"
+    )
+    incr = {
+        (r["line_hash"], r["n_docs"])
+        for r in current_boilerplate(spark, store).collect()
+    }
+    glob = {
+        (r["line_hash"], r["n_docs"])
+        for r in boilerplate_lines(chunk_lines(corpus)).collect()
+    }
+    assert incr == glob and incr
