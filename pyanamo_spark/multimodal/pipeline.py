@@ -105,7 +105,7 @@ def synthetic_assets(spark: SparkSession) -> DataFrame:
     """Deterministic binary assets derived from the documents fixture:
     payload = utf-8 bytes of the text (an opaque blob as far as the
     pipeline is concerned), metadata struct alongside."""
-    docs = spark.table("documents")
+    docs = spark.table("documents").where(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -131,6 +131,8 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for asset_id, payload, meta in zip(
             pdf["asset_id"], pdf["payload"], pdf["meta"]
         ):
+            if payload is None:  # null blob: nothing to featurize
+                continue
             arr = np.frombuffer(bytes(payload), dtype=np.uint8)
             n = len(arr) or 1
             freq = np.bincount(arr, minlength=256)

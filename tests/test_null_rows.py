@@ -19,8 +19,14 @@ def nullish_sf(spark, sf_dir, tmp_path_factory):
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "documents":
+            long_doc = " ".join(f"w{i}" for i in range(10_000))
             poison = spark.createDataFrame(
-                [(90001, None, None, "srcX", 0), (90002, "", "en", None, 0)],
+                [
+                    (90001, None, None, "srcX", 0),
+                    (90002, "", "en", None, 0),
+                    (90003, "汉字 émojis 🚀 mixed with ascii", "zh", "srcX", 28),
+                    (90004, long_doc, "en", "srcY", len(long_doc)),
+                ],
                 df.schema,
             )
             df = df.limit(20).unionByName(poison)
