@@ -45,3 +45,56 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "q_dedup_stats",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, n_chars, md5(text) AS fingerprint FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars, md5(text)
+  FROM documents WHERE doc_id % 100 = 0
+),
+per_print AS (
+  SELECT fingerprint,
+         COUNT(*) AS n_copies,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS keeper_chars
+  FROM corpus GROUP BY fingerprint
+)
+SELECT COUNT(*) + CAST(SUM(n_copies - 1) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(n_copies - 1) * 1.0
+             / (COUNT(*) + SUM(n_copies - 1)), 6) AS dup_ratio,
+       CAST(SUM(total_chars - keeper_chars) AS BIGINT) AS wasted_chars
+FROM per_print
+""",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication report — the executive summary a
+    curation run ends with: doc/unique/duplicate counts, duplicate
+    ratio, and characters that exact dedup would reclaim. One digest
+    aggregation (16 bytes/row through the only wide shuffle) then a
+    singleton rollup of the per-fingerprint partials."""
+    docs = spark.table("documents")
+    copies = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
+    )
+    corpus = docs.select("doc_id", "text", "n_chars").unionByName(copies)
+    per_print = corpus.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.count("*").alias("n_copies"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("keeper_chars"),
+    )
+    dup = F.sum(F.col("n_copies") - 1)
+    return per_print.agg(
+        (F.count("*") + dup).alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        dup.alias("n_dup_docs"),
+        F.round(dup / (F.count("*") + dup), 6).alias("dup_ratio"),
+        F.sum(F.col("total_chars") - F.col("keeper_chars")).alias(
+            "wasted_chars"
+        ),
+    )

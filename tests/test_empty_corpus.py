@@ -23,6 +23,7 @@ FIT_QUERIES = {"q_pca_project", "q_knn_ivf"}
 #: batch inserts into the empty store
 NONEMPTY_ON_EMPTY = {
     "q_threshold_counts",
+    "q_dedup_stats",
     "q_small_qty_revenue",
     "q_brand_revenue",
     "q_promo_share",
