@@ -9,10 +9,12 @@ can then anchor on the flagged spans.
 
 Scale shape (same discipline as `dedup/lines.py`): the counting
 shuffle carries ONLY 16-byte gram digests; span text is recovered
-afterwards by re-scanning with a broadcast of the (tiny, by
-definition low-cardinality) surviving digest set. No text ever rides
-a wide shuffle, and the second scan re-uses parquet pushdown on the
-same partitions.
+afterwards with a digest-keyed shuffle hash join against the
+surviving digest set. The survivor set is NOT assumed bounded — at
+min_docs this low, a heavily-duplicated crawl can surface a large
+fraction of all grams, so a forced broadcast would be a scale
+hazard; AQE still downgrades the shuffle join to a broadcast at
+runtime whenever the survivors actually are small.
 
 Reference parity: the reference's log salvage scans for repeated
 sentinel tags inside task logs (/root/reference/code/executor.py tag
@@ -77,13 +79,14 @@ def duplicated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
-    return (
-        grams.join(
-            F.broadcast(counts),
-            F.md5(grams["gram"]) == counts["gram_hash"],
-        )
-        .select("gram", "n_docs", "n_hits")
-        .distinct()
+    # Text recovery: the survivor set scales with corpus duplication, so
+    # never force a broadcast of it. Dedup the gram text first (the join
+    # input is then one row per distinct span, not per occurrence), then
+    # a digest-keyed shuffle hash join; AQE turns it into a broadcast at
+    # runtime iff the survivors really are small.
+    uniq = grams.select(F.md5("gram").alias("gram_hash"), "gram").distinct()
+    return uniq.join(counts.hint("shuffle_hash"), "gram_hash").select(
+        "gram", "n_docs", "n_hits"
     )
 
 

@@ -99,10 +99,14 @@ def covariance_df(df: DataFrame, col: str, d: int) -> DataFrame:
         .select(
             (F.col("di") + 1).cast("long").alias("i"),
             (F.col("dj") + 1).cast("long").alias("j"),
+            # 4 decimals, not 6: the cells are sums of float partials whose
+            # addition order varies per run (Arrow batch boundaries, combine
+            # order), giving ~1e-7 run-to-run noise on float32 inputs. A 5e-5
+            # rounding boundary keeps ~500x headroom so the hash is stable.
             F.round(
                 (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
                 / (F.col("n") - 1),
-                6,
+                4,
             ).alias("cov"),
         )
     )
@@ -191,7 +195,7 @@ stats AS (
   GROUP BY p.i, p.j
 )
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov
+       ROUND((sxy - sx * sy / n) / (n - 1), 4) AS cov
 FROM stats
 """
 

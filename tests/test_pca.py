@@ -37,7 +37,7 @@ def test_covariance_matches_numpy(spark, sf_dir, emb_np):
     got = covariance_df(emb, "embedding", DIM).collect()
     assert len(got) == DIM * (DIM + 1) // 2
     for r in got:
-        assert abs(r["cov"] - round(expected[r["i"] - 1, r["j"] - 1], 6)) < 2e-6
+        assert abs(r["cov"] - round(expected[r["i"] - 1, r["j"] - 1], 4)) < 2e-4
 
 
 def test_fit_pca_invariants(spark, sf_dir, emb_np):
