@@ -103,10 +103,16 @@ def covariance_df(df: DataFrame, col: str, d: int) -> DataFrame:
             # addition order varies per run (Arrow batch boundaries, combine
             # order), giving ~1e-7 run-to-run noise on float32 inputs. A 5e-5
             # rounding boundary keeps ~500x headroom so the hash is stable.
-            F.round(
-                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-                / (F.col("n") - 1),
-                4,
+            # + 0.0 collapses IEEE -0.0 to +0.0 (the coarser rounding
+            # can now produce exact zeros, and engines disagree on the
+            # zero's sign)
+            (
+                F.round(
+                    (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                    / (F.col("n") - 1),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )
@@ -195,7 +201,7 @@ stats AS (
   GROUP BY p.i, p.j
 )
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-       ROUND((sxy - sx * sy / n) / (n - 1), 4) AS cov
+       ROUND((sxy - sx * sy / n) / (n - 1), 4) + 0.0 AS cov
 FROM stats
 """
 

@@ -397,13 +397,20 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/quantiles.py with an empty group list) and rides back
     as a one-row broadcast, so the filter is a single codegen'd scan:
     the standard "drop the worst quartile" curation pass, exact and
-    oracle-checkable end to end."""
-    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+    oracle-checkable end to end. quality_milli is an integral
+    milli-score (≤1001 distinct values), so the cutoff takes the
+    value-histogram percentile path — one map-side-combined count per
+    distinct score, independent of corpus size."""
+    from pyanamo_spark.functions.quantiles import (
+        exact_group_percentiles_lowcard,
+    )
 
     scores = spark.table("documents").select(
         "doc_id", quality_expr().cast("long").alias("quality_milli")
     )
-    cut = exact_group_percentiles(scores, [], "quality_milli", {"c": 0.25})
+    cut = exact_group_percentiles_lowcard(
+        scores, [], "quality_milli", {"c": 0.25}
+    )
     return (
         scores.crossJoin(F.broadcast(cut))
         .filter(F.col("quality_milli").cast("double") >= F.col("c"))

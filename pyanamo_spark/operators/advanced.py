@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pyanamo_spark.functions.quantiles import exact_group_percentiles
+from pyanamo_spark.functions.quantiles import (
+    exact_group_percentiles_lowcard,
+)
 from pyanamo_spark.registry import register
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
@@ -147,16 +149,17 @@ GROUP BY l_returnflag
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (≡ DuckDB
-    `quantile_cont`) via the bounded-memory sketch-prefilter plan in
-    functions/quantiles.py — NOT Spark's exact `percentile`, whose
-    single aggregation buffer holds every value of a group and OOMs on
-    giant groups. Results are bit-identical to the exact aggregate
+    `quantile_cont`) — NOT Spark's exact `percentile`, whose single
+    aggregation buffer holds every value of a group and OOMs on giant
+    groups. l_quantity is an integral measure with ~50 distinct
+    values, so this takes the value-histogram path: the shuffle
+    carries one (group, value) count row per distinct value —
+    independent of group row count at any scale. Continuous measures
+    take the sketch-prefilter path instead (see q_equidepth,
+    q_outliers). Results are bit-identical to the exact aggregate
     (same interpolation expression), so the oracle stays green."""
     li = spark.table("lineitem")
-    # p_max rides along as fraction 1.0 — the degenerate bracket is
-    # [approx(1−margin), max] and the picked rank is exactly n−1, so
-    # no separate max aggregation/join is needed
-    pct = exact_group_percentiles(
+    pct = exact_group_percentiles_lowcard(
         li,
         ["l_returnflag"],
         "l_quantity",

@@ -30,7 +30,10 @@ def _normalize(rows, cols):
         if isinstance(v, float):
             # absorb engine summation-order noise; queries additionally
             # round explicitly where magnitudes are large
-            return round(v, 9)
+            r = round(v, 9)
+            if r == 0:  # normalize -0.0, mirroring the driver's hash
+                r = 0.0
+            return r
         if isinstance(v, int):
             return int(v)
         if isinstance(v, (list, tuple)):

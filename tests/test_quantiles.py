@@ -11,7 +11,10 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from pyanamo_spark.functions.quantiles import exact_group_percentiles
+from pyanamo_spark.functions.quantiles import (
+    exact_group_percentiles,
+    exact_group_percentiles_lowcard,
+)
 
 PS = {"p25": 0.25, "p50": 0.5, "p75": 0.75}
 
@@ -81,6 +84,43 @@ def test_tiny_groups_never_take_bracket_path(spark):
     assert None not in got["b"]
 
 
+def test_lowcard_histogram_matches_exact_percentile(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        tuple(r)[0]: tuple(r)[1:]
+        for r in exact_group_percentiles_lowcard(
+            li, ["l_returnflag"], "l_quantity", PS
+        ).collect()
+    }
+    want = _exact(spark, li, "l_returnflag", "l_quantity", PS)
+    assert got == want
+
+
+def test_lowcard_ties_interpolation_and_global_group(spark):
+    # heavy ties + even counts exercise the [_lo_rank, _hi_rank)
+    # interval logic; the empty group list exercises the global path
+    rows = (
+        [("a", 1.0)] * 10
+        + [("a", 2.0)] * 10
+        + [("a", 3.0)]
+        + [("b", 5.0), ("b", 7.0)]
+        + [("c", 9.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        tuple(r)[0]: tuple(r)[1:]
+        for r in exact_group_percentiles_lowcard(df, ["g"], "v", PS).collect()
+    }
+    want = _exact(spark, df, "g", "v", PS)
+    assert got == want
+    assert got["b"][1] == pytest.approx(6.0)
+    [(gmed,)] = exact_group_percentiles_lowcard(
+        df, [], "v", {"p50": 0.5}
+    ).collect()
+    [(want_g,)] = df.agg(F.expr("percentile(v, 0.5)")).collect()
+    assert gmed == pytest.approx(want_g)
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 3.0)], ["g", "v"]
@@ -102,11 +142,12 @@ def test_no_exact_percentile_in_plans(spark):
             spark, "/root/testdata/sf0.001"
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "percentile(" not in plan, name
-    # q_percentiles stays lazy: its plan must carry the sketch prefilter
+    # q_percentiles stays lazy on the value-histogram path: the plan's
+    # only wide shuffle is the (group, value) count aggregation
     plan = QUERIES["q_percentiles"](
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert "approx_percentile" in plan or "percentile_approx" in plan
+    assert "count(1)" in plan
     # q_outliers fits eagerly: its returned plan is the single-scan
     # filter against the collected GROUPS-sized literal stat maps
     plan = QUERIES["q_outliers"](
