@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -61,8 +62,20 @@ def main() -> None:
     # it (BENCH_r01 recorded `parsed: null` from exactly that).  The
     # LAST line printed is a compact summary guaranteed to survive a
     # tail capture: total + the slowest queries + a pointer to the file.
-    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    repo = Path(__file__).resolve().parent
+    full_path = repo / "BENCH_full.json"
     full_path.write_text(json.dumps(full, indent=1))
+    # per-round archive: BENCH_full.json is overwritten every run, which
+    # loses the previous round's per-query detail (r02's timings survive
+    # only as a top-15). The driver writes BENCH_r{N}.json after this
+    # round's bench, so the current round is 1 + the highest recorded one.
+    rounds = [
+        int(m.group(1))
+        for p in repo.glob("BENCH_r[0-9][0-9].json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    archive = repo / f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
+    archive.write_text(json.dumps(full, indent=1))
     slowest = dict(
         sorted(
             ((k, round(v, 3)) for k, v in timings.items()),

@@ -205,6 +205,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         sym = und.union(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -216,6 +217,16 @@ def connected_components_star(
         und = new_und
         if changed == 0:
             break
+    if changed != 0:
+        # a non-converged edge set means components may still be split;
+        # returning those labels silently would be a wrong answer with
+        # no signal. O(log n) rounds suffice for any graph, so hitting
+        # this means max_iter was set far too low for the input.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds ({changed} edges still changing); "
+            f"raise max_iter"
+        )
     # converged: every component is a star (member, center=min); the
     # centers label themselves
     return (

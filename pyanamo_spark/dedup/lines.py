@@ -171,12 +171,36 @@ def update_boilerplate_store(
     (dedup/incremental.py): appends never rewrite history, each update
     shuffles only the NEW batch's digests, and the current boilerplate
     set is a sum-then-threshold over the partials (count-distinct is
-    not mergeable across batches, but doc_ids are batch-disjoint in a
-    crawl pipeline, so per-batch distinct counts add exactly).
+    not mergeable across batches, so the partials add exactly ONLY if
+    doc_ids never recur across batches). That disjointness assumption
+    is ENFORCED, not just documented: every batch also records its
+    distinct doc_ids as a ``_seen_docs/batch=<id>`` partition
+    (underscore-prefixed, so the partial-count scans never touch it)
+    and an update whose doc_ids intersect the seen set raises BEFORE
+    anything is written — a re-crawl fails loudly instead of silently
+    double-counting a line toward the boilerplate threshold. The check
+    is an exact distributed semi-join on the 8-byte id column (the
+    same cost class as the fingerprint store's anti-join), so there
+    are no false rejections for interleaved-but-disjoint id spaces.
     Returns this batch's partial counts as written.
     """
     import os
 
+    ids = batch.select("doc_id").distinct()
+    docs_root = os.path.join(store_dir, "_seen_docs")
+    has_docs = os.path.isdir(docs_root) and any(
+        d.startswith("batch=") for d in os.listdir(docs_root)
+    )
+    if has_docs:
+        seen = spark.read.parquet(docs_root).select("doc_id")
+        dup = [r["doc_id"] for r in ids.join(seen, "doc_id").limit(3).collect()]
+        if dup:
+            raise ValueError(
+                f"batch {batch_id!r} re-ingests doc_ids already folded "
+                f"into the store (e.g. {dup}): per-batch distinct "
+                f"counts would double-count them — remap the batch's "
+                f"id space or drop the re-crawled docs first"
+            )
     partial = (
         chunk_lines(batch)
         .groupBy(F.md5("line").alias("line_hash"))
@@ -184,6 +208,9 @@ def update_boilerplate_store(
     )
     out = os.path.join(store_dir, f"batch={batch_id}")
     partial.write.mode("errorifexists").parquet(out)
+    ids.write.mode("errorifexists").parquet(
+        os.path.join(docs_root, f"batch={batch_id}")
+    )
     return spark.read.parquet(out)
 
 

@@ -2,9 +2,12 @@
 ``binary`` columns with typed metadata, processed in Arrow-batched
 Pandas stages.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_image`` raises NotImplementedError unless
-a codec is registered); everything Spark-side is real and tested:
+PNG decode is REAL — ``multimodal/png.py`` is a pure-Python codec
+(stdlib zlib + numpy de-filtering), registered as ``image/png``, and
+``image_features`` runs decode → pixel resize → featurize end to end
+on actual pixels. The ``NotImplementedError`` stub remains only for
+formats with no pure-Python route in this container (JPEG, audio);
+for those, everything Spark-side is still real and tested:
   - the asset schema (payload binary + metadata struct)
   - deterministic byte-level feature extraction over mapInPandas
     (per-asset byte histogram + entropy — real math on the binary
@@ -39,9 +42,11 @@ def register_default_codecs() -> list[str]:
     """Register decoders for every optional codec library present.
 
     Tried: Pillow (image/png, image/jpeg → HxWxC uint8 ndarray) and
-    soundfile (audio/wav → float ndarray). Returns the mime types
-    registered; an empty list means the container has no codec libs and
-    ``decode_image`` stays a documented stub.
+    soundfile (audio/wav → float ndarray); the pure-Python PNG codec
+    (multimodal/png.py) backstops image/png so PNG decode works with
+    no optional library at all. Returns the mime types registered;
+    formats absent from the list leave ``decode_image`` a documented
+    stub.
     """
     registered: list[str] = []
     try:
@@ -70,6 +75,12 @@ def register_default_codecs() -> list[str]:
         registered.append("audio/wav")
     except ImportError:
         pass
+    # dependency-free fallback: pure-Python PNG (no-op if PIL won)
+    from pyanamo_spark.multimodal.png import decode_png
+
+    if "image/png" not in CODECS:
+        CODECS["image/png"] = decode_png
+        registered.append("image/png")
     return registered
 
 
@@ -87,11 +98,13 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes, mime: str):
-    """STUB: decode a binary payload with a registered codec.
+    """Decode a binary payload with a registered codec.
 
-    Image/audio libraries are not available in this container; the
-    Spark-side plumbing (schema, batching, partitioning) is real and
-    the decoder slots in here.
+    image/png always decodes (pure-Python codec, multimodal/png.py).
+    Formats whose codec libraries are absent in this container (JPEG,
+    audio) remain a clearly-marked stub: the Spark-side plumbing
+    (schema, batching, partitioning) is real and the decoder slots in
+    here.
     """
     if mime not in CODECS:
         raise NotImplementedError(
@@ -227,6 +240,115 @@ def resize_assets(assets: DataFrame) -> DataFrame:
     """Stubbed resize stage: same asset schema in and out, so it
     composes with extract_features / sample_frames either side."""
     return assets.mapInPandas(_resize_payloads, schema=ASSET_SCHEMA)
+
+
+#: decoded images are resized to THUMB x THUMB before featurizing
+THUMB = 8
+
+IMAGE_FEATURE_SCHEMA = (
+    "asset_id bigint, height int, width int, channels int, "
+    "channel_mean array<double>, thumb array<double>"
+)
+
+
+def synthetic_png_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic real-PNG assets: per asset_id, an RGB gradient
+    image (dimensions and phase derived from the id) encoded with the
+    pure-Python codec. Generated executor-side over a range DataFrame
+    — the driver never holds the payloads."""
+    from pyanamo_spark.multimodal.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                h = 8 + int(asset_id) % 9  # 8..16
+                w = 8 + (int(asset_id) * 3) % 9
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (x * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), int(asset_id) % 256, np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payload = encode_png(img, filter_type=int(asset_id) % 5)
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "payload": payload,
+                        "meta": {
+                            "mime": "image/png",
+                            "n_bytes": len(payload),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode → resize → featurize: registered codec per mime,
+    nearest-neighbor resize to THUMB², per-channel means + a grayscale
+    thumbnail vector. Whole-image numpy ops per asset — never per-pixel
+    Python."""
+    for pdf in batches:
+        rows = []
+        for asset_id, payload, meta in zip(
+            pdf["asset_id"], pdf["payload"], pdf["meta"]
+        ):
+            if payload is None or meta["mime"] not in CODECS:
+                continue
+            img = CODECS[meta["mime"]](bytes(payload))
+            arr = np.asarray(img, dtype=np.float64)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w, ch = arr.shape
+            yi = np.arange(THUMB) * h // THUMB
+            xi = np.arange(THUMB) * w // THUMB
+            small = arr[np.ix_(yi, xi)]
+            rows.append(
+                {
+                    "asset_id": asset_id,
+                    "height": h,
+                    "width": w,
+                    "channels": ch,
+                    "channel_mean": [
+                        round(float(m), 6) for m in arr.mean(axis=(0, 1))
+                    ],
+                    "thumb": [
+                        round(float(v), 6)
+                        for v in small.mean(axis=2).ravel()
+                    ],
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "height",
+                "width",
+                "channels",
+                "channel_mean",
+                "thumb",
+            ],
+        )
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    return assets.mapInPandas(_image_features, schema=IMAGE_FEATURE_SCHEMA)
+
+
+@register("q_multimodal_decode", oracle=None)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image path on REAL pixels: generated PNG assets →
+    pure-Python decode → nearest-neighbor resize → channel/thumbnail
+    features. Rows-only (pixel math is not SQL-expressible);
+    determinism and numpy parity are pinned in tests/test_multimodal.py."""
+    return image_features(synthetic_png_assets(spark))
 
 
 @register("q_multimodal_features", oracle=None)

@@ -221,6 +221,11 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_rows = exact_group_percentiles(
         orders, ["o_orderstatus"], "o_totalprice", {"med": 0.5}
     ).collect()  # bounded: one row per o_orderstatus group
+    # a null group key would be a null MAP key — a runtime error in
+    # Spark. Null-status rows can never match the oracle's JOIN USING
+    # anyway, so dropping the null group (not the whole query) is the
+    # semantics-preserving guard.
+    med_rows = [r for r in med_rows if r["o_orderstatus"] is not None]
     if not med_rows:  # empty table: no groups, no outliers
         return orders.select(
             "o_orderkey",
@@ -240,6 +245,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad_rows = exact_group_percentiles(
         dev, ["o_orderstatus"], "dev", {"mad": 0.5}
     ).collect()
+    mad_rows = [r for r in mad_rows if r["o_orderstatus"] is not None]
     mad_map = F.create_map(
         *[
             F.lit(x)

@@ -214,19 +214,46 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("Log_Length"),
     )
     source = upd_src.unionByName(new_src)
+    return merge_frames(target, source, "itemID")
+
+
+def merge_frames(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """The MERGE post-state: WHEN MATCHED update every shared non-key
+    column, WHEN NOT MATCHED insert. Broadcast left join + left-anti —
+    the target never shuffles (see q_merge_upsert's scale note)."""
+    cols = [c for c in target.columns if c != key]
     updated = (
         target.alias("t")
-        .join(F.broadcast(source).alias("s"), "itemID", "left")
+        .join(F.broadcast(source).alias("s"), key, "left")
         .select(
-            "itemID",
-            F.coalesce("s.ItemState", "t.ItemState").alias("ItemState"),
-            F.coalesce("s.Log_Length", "t.Log_Length").alias("Log_Length"),
+            key,
+            *[F.coalesce(f"s.{c}", f"t.{c}").alias(c) for c in cols],
         )
     )
-    inserts = source.join(
-        target.select("itemID"), "itemID", "left_anti"
+    inserts = source.select(key, *cols).join(
+        target.select(key), key, "left_anti"
     )
     return updated.unionByName(inserts)
+
+
+def merge_upsert_commit(
+    spark: SparkSession, table_dir: str, source: DataFrame, key: str
+) -> int:
+    """q_merge_upsert's WRITE path: apply ``merge_frames`` against the
+    committed snapshot and publish the post-state as the next snapshot
+    (sources/snapshots.py). Readers concurrently resolving the table
+    see wholly the pre-merge or wholly the post-merge version — the
+    either-or guarantee tests/test_snapshots.py races. Returns the
+    committed version."""
+    from pyanamo_spark.sources.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    target = snapshot_read(spark, table_dir)
+    return snapshot_commit(
+        spark, table_dir, merge_frames(target, source, key)
+    )
 
 
 @register(

@@ -31,7 +31,6 @@ DECLARED: tuple[str, ...] = (
     # §2.1–2.2 scans / projections / filters
     "q_ingest_csv",
     "q_filter_project",
-    "q_point_lookup",
     "q_nest_filter",
     "q_log_route",
     # §2.3 joins
@@ -44,12 +43,8 @@ DECLARED: tuple[str, ...] = (
     "q_done_nests",
     "q_item_finalize",
     "q_width_profile",
-    "q_threshold_counts",
     # §2.5–2.6 windows / sorts / sampling
     "q_rolling_avg",
-    "q_rand_order",
-    "q_limit",
-    "q_sample_topk",
     # §2.7 mutation / set ops
     "q_nest_build",
     "q_bulk_update",
@@ -60,7 +55,6 @@ DECLARED: tuple[str, ...] = (
     "q_partition_split",
     # §2.8 scalar functions
     "q_tag_extract",
-    "q_date_format",
     "q_log_mine",
     "q_json_roundtrip",
     # §2.9 streaming (batch form)
@@ -69,10 +63,8 @@ DECLARED: tuple[str, ...] = (
     "q_pipe_exec",
     "q_dedup_exact",
     "q_dedup_lines",
-    "q_dedup_near",
     "q_knn_topk",
     "q_text_stats",
-    "q_approx_distinct",
     "q_vector_math",
     "q_join_equi",
     "q_join_semi",
@@ -82,11 +74,27 @@ DECLARED: tuple[str, ...] = (
     "q_window_lag",
     "q_rollup",
     "q_setops",
-    # verified extensions promoted into the recorded window
+    # verified extensions promoted into the recorded window. Rotated
+    # per round so cumulative driver-recorded coverage grows: ids green
+    # in BOTH of the previous two recorded windows (plus the
+    # contractually rows-only ids, whose recorded check is weak) cede
+    # their seats to extensions that so far have only replay/pytest
+    # evidence. Rotated out in r04: q_rand_order, q_sample_topk,
+    # q_dedup_near, q_approx_distinct (rows-only by contract);
+    # q_limit, q_point_lookup, q_date_format, q_threshold_counts
+    # (green in r02 and r03).
     "q_sessionize",
     "q_embed_covariance",
     "q_dup_spans",
     "q_lang_mix",
+    "q_global_ids",
+    "q_join_asof",
+    "q_merge_upsert",
+    "q_setops_fused",
+    "q_dedup_stats",
+    "q_mixture_weights",
+    "q_bpe_pairs",
+    "q_equidepth",
 )
 
 

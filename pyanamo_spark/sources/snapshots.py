@@ -1,0 +1,119 @@
+"""Snapshot-commit protocol: transactional table swaps on plain parquet.
+
+The container has no Delta/Iceberg, but their reader-consistency core
+— readers always see one complete table version, never a mix of two
+writes — needs only immutable data files plus one atomic pointer
+rename (the same primitive `dedup/incremental.compact_store` uses per
+partition, generalized here to whole-table commits):
+
+  table_dir/
+    _CURRENT            <- text file holding the committed version N
+    v=00000001/...      <- immutable parquet snapshot directories
+    v=00000002/...
+
+``snapshot_commit`` writes the new version to its OWN directory (never
+touching published files), then atomically swings ``_CURRENT`` via
+``os.replace``. ``snapshot_read`` resolves the pointer ONCE and pins
+the concrete directory, so a DataFrame handle keeps reading its
+version even while later commits land — the either-old-or-new
+guarantee a crash or a concurrent reader observes. Old versions stay
+readable for time travel until ``vacuum`` drops all but the last K.
+
+Single-writer by contract (like compact_store: production fences
+writers with a lease); readers need no coordination at all. On object
+stores the pointer swap maps to a conditional PUT — the same protocol
+Delta's ``_last_checkpoint`` / Iceberg's catalog pointer use.
+
+Reference parity: the reference finalizes results with whole-object
+S3 puts after task completion (/root/reference/code/executor.py sink
+routing) — last-write-wins without torn reads; this reproduces that
+atomicity for multi-file Spark outputs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CURRENT = "_CURRENT"
+_FMT = "v=%08d"
+
+
+def _pointer(table_dir: str) -> str:
+    return os.path.join(table_dir, _CURRENT)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The committed version, or None for an empty/uninitialized table."""
+    try:
+        with open(_pointer(table_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _FMT % version)
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (or a pinned ``version`` for time
+    travel). The pointer is resolved HERE, once — the returned
+    DataFrame is bound to one immutable directory and is unaffected by
+    commits that land after this call."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    return spark.read.parquet(version_dir(table_dir, v))
+
+
+def snapshot_commit(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> int:
+    """Materialize ``df`` as the next version and publish it atomically.
+
+    The data write happens entirely inside the unpublished version
+    directory; only after it completes does the pointer move, via an
+    ``os.replace`` of a same-directory temp file — atomic on POSIX, so
+    any concurrent ``snapshot_read`` resolves wholly to the old or
+    wholly to the new version. A crash before the rename leaves an
+    orphan directory (cleaned by ``vacuum``), never a torn table.
+    Returns the committed version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    v = (current_version(table_dir) or 0) + 1
+    df.write.mode("errorifexists").parquet(version_dir(table_dir, v))
+    tmp = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer(table_dir))
+    return v
+
+
+def vacuum(table_dir: str, keep: int = 2) -> int:
+    """Drop snapshot directories older than the last ``keep`` versions
+    (the current one is always kept) plus any orphaned uncommitted
+    directories above the pointer. Readers must not hold version
+    handles across more than ``keep`` commits — the same contract as
+    Delta's VACUUM retention. Returns directories removed."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return 0
+    removed = 0
+    for name in os.listdir(table_dir):
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v <= cur - keep or v > cur:
+            shutil.rmtree(os.path.join(table_dir, name))
+            removed += 1
+    return removed

@@ -36,7 +36,29 @@ def _fold_user(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
+        # Evicting silently would FORGET the user's reached stages: a
+        # later event would restart them at stage 0 and, in update
+        # mode, overwrite the sink's higher row — conversion counts
+        # would regress vs the batch definition. Emit the final row as
+        # the episode's terminal record before dropping state; any
+        # later activity is a NEW funnel episode (sessionized-funnel
+        # semantics), so per-episode counts stay monotone.
+        tv, tc, tp = state.get if state.exists else (_NONE, _NONE, _NONE)
         state.remove()
+        stage = (
+            3 if tp != _NONE else 2 if tc != _NONE else 1 if tv != _NONE else 0
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "first_view": tv,
+                    "first_click": tc,
+                    "first_purchase": tp,
+                    "stage_reached": stage,
+                }
+            ]
+        )
         return
     tv, tc, tp = state.get if state.exists else (_NONE, _NONE, _NONE)
     events = pd.concat(list(pdfs), ignore_index=True)

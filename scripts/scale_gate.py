@@ -62,11 +62,47 @@ def main() -> int:
         if best > limit:
             failures.append(name)
     spark.stop()
+    _print_suite_ratio()
     if failures:
         print(f"scale gate FAILED: {', '.join(failures)}")
         return 1
     print("scale gate passed")
     return 0
+
+
+def _print_suite_ratio() -> None:
+    """Suite-level regression line: latest full bench vs the r01
+    recording (BASELINE_QUERIES_r01.json), summed over the query ids
+    present in both. Informational — per-query budgets above are the
+    gate; this tracks drift of the whole suite across rounds."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    try:
+        base = json.loads((repo / "BASELINE_QUERIES_r01.json").read_text())
+        cur = json.loads((repo / "BENCH_full.json").read_text())
+    except OSError:
+        print("[ratio] skipped: baseline or BENCH_full.json missing")
+        return
+    shared = sorted(set(base["queries"]) & set(cur["queries"]))
+    if not shared or cur.get("sf") != base.get("sf"):
+        print(
+            f"[ratio] skipped: sf mismatch (baseline {base.get('sf')}, "
+            f"current {cur.get('sf')}) or no shared ids"
+        )
+        return
+    b = sum(base["queries"][q] for q in shared)
+    c = sum(cur["queries"][q] for q in shared)
+    worst = sorted(
+        shared, key=lambda q: -(cur["queries"][q] / max(base["queries"][q], 1e-9))
+    )[:3]
+    detail = ", ".join(
+        f"{q} {base['queries'][q]:.2f}->{cur['queries'][q]:.2f}s" for q in worst
+    )
+    print(
+        f"[ratio] suite vs r01 recorded over {len(shared)} shared queries: "
+        f"{c:.1f}s / {b:.1f}s = {c / b:.2f}x (top regressions: {detail})"
+    )
 
 
 if __name__ == "__main__":

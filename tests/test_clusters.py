@@ -113,3 +113,23 @@ def test_star_variant_matches_propagation(spark):
         if not edges:
             continue
         assert star(edges) == _components(spark, edges)
+
+
+def test_star_variant_raises_on_non_convergence(spark):
+    """Exhausting max_iter before the edge set fixes must raise, not
+    silently return possibly-split components."""
+    import pytest
+
+    from pyanamo_spark.dedup.clusters import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(path, max_iter=1).collect()
+    # and the same input converges fine with room to iterate
+    got = {
+        r.node: r.comp
+        for r in connected_components_star(path, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(41)}

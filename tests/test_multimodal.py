@@ -16,35 +16,123 @@ from pyanamo_spark.multimodal.pipeline import (
 from pyanamo_spark import semantics
 
 
-def test_decode_stub_or_real_codec():
-    """decode_image is a stub until a codec lib imports; when Pillow is
-    present register_default_codecs wires it up and decode is real."""
-    from pyanamo_spark.multimodal.pipeline import (
-        CODECS,
-        register_default_codecs,
-    )
-
-    try:
-        import io
-
-        from PIL import Image
-    except ImportError:
-        assert "image/png" not in CODECS
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG", "image/png")
-        assert register_default_codecs() == []  # idempotent no-op
-        return
-
-    assert "image/png" in CODECS  # registered at import time
+def test_png_always_decodes_others_stay_stubbed():
+    """image/png is always real (pure-Python codec backstop); formats
+    with no pure-Python route stay a clearly-marked stub unless their
+    optional library imports."""
     import numpy as np
 
-    buf = io.BytesIO()
-    Image.fromarray(np.arange(48, dtype=np.uint8).reshape(4, 4, 3)).save(
-        buf, format="PNG"
-    )
-    arr = decode_image(buf.getvalue(), "image/png")
+    from pyanamo_spark.multimodal.pipeline import CODECS
+    from pyanamo_spark.multimodal.png import encode_png
+
+    assert "image/png" in CODECS  # registered at import time
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    arr = decode_image(encode_png(img), "image/png")
     assert arr.shape == (4, 4, 3)
     assert arr.ravel().tolist() == list(range(48))
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        assert "audio/wav" not in CODECS
+        with pytest.raises(NotImplementedError):
+            decode_image(b"RIFF", "audio/wav")
+
+
+def test_png_roundtrip_every_filter_and_shape():
+    import numpy as np
+
+    from pyanamo_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for shape in [(5, 7), (4, 6, 3), (3, 5, 4), (1, 1), (2, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ftype in range(5):  # None/Sub/Up/Average/Paeth unfilters
+            got = decode_png(encode_png(img, filter_type=ftype))
+            assert np.array_equal(got, img), (shape, ftype)
+
+
+def test_png_palette_and_errors():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyanamo_spark.multimodal.png import (
+        _SIGNATURE,
+        _chunk,
+        decode_png,
+    )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 4, size=(6, 9), dtype=np.uint8)
+    lines = bytearray()
+    for y in range(6):
+        lines.append(0)
+        lines.extend(idx[y].tobytes())
+    png = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 6, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"GIF89a")
+    sixteen = _SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(sixteen)
+
+
+def test_image_pipeline_end_to_end(spark):
+    """Real pixels through the whole path: generated PNG assets →
+    pure-Python decode → resize → features, numpy-parity-checked."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.pipeline import (
+        THUMB,
+        image_features,
+        synthetic_png_assets,
+    )
+    from pyanamo_spark.multimodal.png import decode_png
+
+    assets = synthetic_png_assets(spark, n=24)
+    feats = image_features(assets)
+    assert feats.schema.simpleString() == (
+        "struct<asset_id:bigint,height:int,width:int,channels:int,"
+        "channel_mean:array<double>,thumb:array<double>>"
+    )
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 24
+    payloads = {
+        r.asset_id: bytes(r.payload) for r in assets.collect()
+    }
+    # independent recompute for a handful of assets
+    for aid in (0, 3, 11, 23):
+        img = decode_png(payloads[aid]).astype(np.float64)
+        r = rows[aid]
+        assert (r.height, r.width, r.channels) == img.shape
+        assert r.channel_mean == pytest.approx(
+            img.mean(axis=(0, 1)).round(6).tolist(), abs=1e-6
+        )
+        yi = np.arange(THUMB) * img.shape[0] // THUMB
+        xi = np.arange(THUMB) * img.shape[1] // THUMB
+        want = img[np.ix_(yi, xi)].mean(axis=2).round(6).ravel()
+        assert len(r.thumb) == THUMB * THUMB
+        assert r.thumb == pytest.approx(want.tolist(), abs=1e-6)
+    # deterministic across reruns (the driver's stability contract)
+    again = {r.asset_id: r for r in image_features(assets).collect()}
+    assert all(
+        again[k].thumb == rows[k].thumb and again[k].channel_mean == rows[k].channel_mean
+        for k in rows
+    )
 
 
 def test_feature_extraction_real_math(spark, sf_dir):

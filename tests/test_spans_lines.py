@@ -110,3 +110,38 @@ def test_incremental_boilerplate_equals_global(spark, sf_dir, tmp_path):
         for r in boilerplate_lines(chunk_lines(corpus)).collect()
     }
     assert incr == glob and incr
+
+
+def test_boilerplate_store_rejects_recrawled_doc_ids(spark, sf_dir, tmp_path):
+    """A batch re-ingesting doc_ids already folded into the store must
+    fail loudly BEFORE writing: per-batch distinct counts would
+    silently double-count re-crawled docs toward the threshold."""
+    import os
+
+    import pytest
+
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.lines import (
+        _planted_corpus,
+        update_boilerplate_store,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    corpus = _planted_corpus(
+        spark.table("documents").select("doc_id", "text")
+    )
+    store = str(tmp_path / "boiler_store")
+    update_boilerplate_store(
+        spark, store, corpus.filter(F.col("doc_id") < 100), "b0"
+    )
+    overlapping = corpus.filter(F.col("doc_id") < 150)  # re-crawls 0..99
+    with pytest.raises(ValueError, match="re-ingests doc_ids"):
+        update_boilerplate_store(spark, store, overlapping, "b1")
+    # nothing was written for the rejected batch
+    assert not os.path.isdir(os.path.join(store, "batch=b1"))
+    # a genuinely disjoint follow-up still lands
+    update_boilerplate_store(
+        spark, store, corpus.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        ), "b2"
+    )

@@ -65,3 +65,32 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["q_funnel"](spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_timeout_emits_terminal_row_before_eviction():
+    """State eviction on idle timeout must emit the user's final funnel
+    row (the episode's terminal record) — silent removal would let a
+    later event restart the user at stage 0 and regress conversion
+    counts vs the batch definition."""
+    from pyanamo_spark.streaming.funnel import _NONE, _fold_user
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (100, 200, _NONE)  # view + click reached, no purchase
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_fold_user((7,), iter([]), st))
+    assert st.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (
+        int(row["user_id"]),
+        int(row["first_view"]),
+        int(row["first_click"]),
+        int(row["stage_reached"]),
+    ) == (7, 100, 200, 2)
