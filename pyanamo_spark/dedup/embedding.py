@@ -50,8 +50,16 @@ _COS = f"({_DOT} / (a.nrm * b.nrm))"
 
 
 def _block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One label block -> candidate (vec_a, vec_b) pairs by full-matrix
-    cosine in float64."""
+    """One label block -> candidate (vec_a, vec_b) pairs at or above
+    the module threshold minus the verify margin. Exactly ONE
+    positional arg: applyInPandas dispatches on arity and would pass
+    (key, pdf) to anything two-parameter."""
+    return block_candidates(pdf, THRESHOLD - CAND_MARGIN)
+
+
+def block_candidates(pdf: pd.DataFrame, lo: float) -> pd.DataFrame:
+    """Candidate (vec_a, vec_b) pairs by full-matrix cosine in
+    float64; pairs at or above ``lo`` survive."""
     pdf = pdf[pdf["embedding"].notna()]  # null vectors match nothing
     if len(pdf) < 2:
         return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
@@ -60,7 +68,7 @@ def _block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
     nrm = np.linalg.norm(mat, axis=1)
     nrm[nrm == 0.0] = 1.0  # zero vectors match nothing either way
     sims = (mat @ mat.T) / np.outer(nrm, nrm)
-    ai, bi = np.nonzero(np.triu(sims >= THRESHOLD - CAND_MARGIN, k=1))
+    ai, bi = np.nonzero(np.triu(sims >= lo, k=1))
     return pd.DataFrame(
         {
             "vec_a": np.minimum(ids[ai], ids[bi]),

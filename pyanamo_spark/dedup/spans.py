@@ -24,7 +24,7 @@ corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
@@ -120,6 +120,138 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-level duplication report (span text, distinct-doc count,
     total occurrences) with a digest-only counting shuffle."""
     return duplicated_spans(spark.table("documents"))
+
+
+def duplicated_passages(
+    corpus: DataFrame, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Maximal duplicated passages per document: the word-interval a
+    removal pass would actually cut.
+
+    ``duplicated_spans`` reports WHICH grams recur; a pipeline deleting
+    copied passages needs WHERE — and isolated gram hits must merge
+    into their maximal run (a 50-word copied paragraph is 46
+    overlapping 5-grams, one interval). Plan:
+
+      1. position table (doc_id, i, gram digest) — one tokenize per
+         doc, digests only past the explode
+      2. duplicated-digest set by distinct-doc count (digest-only
+         counting shuffle, same as duplicated_spans)
+      3. digest-keyed join marks each doc's duplicated positions
+      4. gaps-and-islands per doc: a new passage starts when the gap
+         to the previous duplicated position exceeds SPAN_WORDS (the
+         covered word intervals no longer touch); islands become
+         (start_word, end_word) via min/max
+
+    Scale shape: the only data-sized shuffles carry (doc_id, i,
+    16-byte digest); the island window partitions by doc_id, so its
+    sort is bounded by document length, never corpus size. Returns
+    (doc_id, start_word, end_word, n_words), word positions 1-based
+    inclusive.
+
+    Reference parity: generalizes the reference's repeated-sentinel log
+    salvage (/root/reference/code/executor.py tag handling) from "find
+    the marker" to "find and bound every copied region".
+    """
+    words = corpus.select("doc_id", F.split("text", " ").alias("_w"))
+    pos = words.select(
+        "doc_id", F.posexplode(gram_array()).alias("_p", "gram")
+    ).select(
+        "doc_id",
+        (F.col("_p") + 1).alias("i"),
+        F.md5("gram").alias("gram_hash"),
+    )
+    dup = (
+        pos.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram_hash")
+    )
+    hits = pos.join(dup.hint("shuffle_hash"), "gram_hash").select(
+        "doc_id", "i"
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.col("i") - F.lag("i").over(w) > F.lit(SPAN_WORDS), 1
+        ).otherwise(
+            F.when(F.lag("i").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("i").alias("start_word"),
+            (F.max("i") + (SPAN_WORDS - 1)).alias("end_word"),
+        )
+        .select(
+            "doc_id",
+            "start_word",
+            "end_word",
+            (
+                F.col("end_word") - F.col("start_word") + 1
+            ).alias("n_words"),
+        )
+    )
+
+
+@register(
+    "q_dup_passages",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - {SPAN_WORDS - 1})) AS i
+  FROM words
+  WHERE len(w) >= {SPAN_WORDS}
+),
+grams AS (
+  SELECT doc_id, i,
+         array_to_string(w[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+  FROM pos
+),
+dup AS (
+  SELECT gram FROM grams
+  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
+),
+hits AS (
+  SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gram)
+),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                     > {SPAN_WORDS}
+              THEN 1 ELSE 0 END AS f
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(i) AS start_word,
+       MAX(i) + {SPAN_WORDS - 1} AS end_word,
+       MAX(i) + {SPAN_WORDS - 1} - MIN(i) + 1 AS n_words
+FROM isl
+GROUP BY doc_id, island
+""",
+)
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated passages: per document, the
+    1-based inclusive word intervals covered by {SPAN_WORDS}-grams that
+    recur in >= {MIN_DOCS} docs, overlapping hits merged into their
+    maximal run — the intervals a substring-removal pass deletes."""
+    return duplicated_passages(spark.table("documents"))
 
 
 def source_overlap(corpus: DataFrame) -> DataFrame:

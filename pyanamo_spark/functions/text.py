@@ -471,3 +471,87 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+@register(
+    "q_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+cnt AS (
+  SELECT term, SUM(tf) AS c FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf) AS n_tokens,
+         SUM(tf.tf * ln((cnt.c + 1.0) / (tot.n + tot.v))) AS ll
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(-ll / n_tokens, 4) AS nll
+FROM scored
+""",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency score per document: mean negative log-
+    likelihood under an add-one-smoothed unigram model fit on the
+    corpus itself — the CCNet-style (Wenzek et al., LREC 2020)
+    perplexity filter that ranks documents by how ordinary their
+    vocabulary is (gibberish, boilerplate codes and lorem-ipsum tails
+    score high-nll; fluent prose scores low).
+
+    Shuffle profile at scale: the token stream collapses map-side to
+    (doc_id, term, tf) before anything term-keyed happens; the unigram
+    model is a rollup OF that table (one more map-side-combinable agg),
+    and scoring is a term-keyed shuffle join of tf against the model —
+    web-scale vocabularies (URLs, typos, code identifiers) are NOT
+    assumed broadcastable, and AQE downgrades to broadcast at runtime
+    whenever the model actually is small. The (N, V) totals ride in as
+    a 1-row cross join. nll is rounded to 4 decimals on both sides:
+    per-doc log-prob sums are order-sensitive in the last bits
+    (~1e-12), so the half-step of ROUND(x, 4) keeps ~5e7x headroom —
+    the q_embed_covariance lesson applied from the start.
+    """
+    return lm_score(spark.table("documents"))
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, nll) for any (doc_id, text, ...) corpus —
+    the q_lm_score plan on a caller-supplied DataFrame."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("n") + F.col("v"))
+                )
+            ).alias("ll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(-F.col("ll") / F.col("n_tokens"), 4).alias("nll"),
+    )

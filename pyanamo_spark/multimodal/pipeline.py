@@ -251,11 +251,14 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
-def synthetic_png_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+def synthetic_png_assets(
+    spark: SparkSession, n: int = 64, ids: DataFrame | None = None
+) -> DataFrame:
     """Deterministic real-PNG assets: per asset_id, an RGB gradient
     image (dimensions and phase derived from the id) encoded with the
     pure-Python codec. Generated executor-side over a range DataFrame
-    — the driver never holds the payloads."""
+    (or over ``ids``, a single-column id DataFrame, so asset volume
+    tracks the corpus) — the driver never holds the payloads."""
     from pyanamo_spark.multimodal.png import encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -287,7 +290,10 @@ def synthetic_png_assets(spark: SparkSession, n: int = 64) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    base = (
+        ids.toDF("id") if ids is not None else spark.range(n)
+    )
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -344,11 +350,15 @@ def image_features(assets: DataFrame) -> DataFrame:
 
 @register("q_multimodal_decode", oracle=None)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image path on REAL pixels: generated PNG assets →
-    pure-Python decode → nearest-neighbor resize → channel/thumbnail
-    features. Rows-only (pixel math is not SQL-expressible);
-    determinism and numpy parity are pinned in tests/test_multimodal.py."""
-    return image_features(synthetic_png_assets(spark))
+    """End-to-end image path on REAL pixels: one generated PNG per
+    document row → pure-Python decode → nearest-neighbor resize →
+    channel/thumbnail features. Asset ids come from the documents
+    table so the pipeline's volume tracks the corpus (and an empty
+    corpus decodes nothing). Rows-only (pixel math is not
+    SQL-expressible); determinism and numpy parity are pinned in
+    tests/test_multimodal.py."""
+    ids = spark.table("documents").select("doc_id").limit(64)
+    return image_features(synthetic_png_assets(spark, ids=ids))
 
 
 @register("q_multimodal_features", oracle=None)

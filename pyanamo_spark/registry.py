@@ -181,6 +181,7 @@ def load_all() -> None:
     import pyanamo_spark.dedup.ngram  # noqa: F401
     import pyanamo_spark.dedup.embedding  # noqa: F401
     import pyanamo_spark.dedup.incremental  # noqa: F401
+    import pyanamo_spark.dedup.semantic  # noqa: F401
     import pyanamo_spark.dedup.clusters  # noqa: F401
     import pyanamo_spark.similarity.knn  # noqa: F401
     import pyanamo_spark.similarity.ivf  # noqa: F401

@@ -145,3 +145,43 @@ def test_boilerplate_store_rejects_recrawled_doc_ids(spark, sf_dir, tmp_path):
             (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
         ), "b2"
     )
+
+
+def test_dup_passages_merge_overlapping_hits(spark):
+    """A 12-word passage shared by 3 docs must come back as ONE merged
+    interval per doc (8 overlapping 5-grams -> one island), and an
+    isolated shared 5-gram elsewhere as its own 5-word interval."""
+    from pyanamo_spark.dedup.spans import duplicated_passages
+
+    passage = " ".join(f"p{j}" for j in range(12))
+    lone = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{passage} u1a u1b u1c {lone}"),
+        (2, f"u2a {passage} u2b u2c {lone}"),
+        (3, f"u3a u3b {passage} {lone} u3c"),
+        (4, "totally different words with no shared grams at all"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_passages(corpus, min_docs=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_word"], r["end_word"], r["n_words"])
+        )
+    assert 4 not in by_doc
+    # doc 1: passage at words 1-12, lone span at words 16-20
+    assert sorted(by_doc[1]) == [(1, 12, 12), (16, 20, 5)]
+    # doc 2: passage at words 2-13, lone at 16-20
+    assert sorted(by_doc[2]) == [(2, 13, 12), (16, 20, 5)]
+    # doc 3: passage at 3-14, lone IMMEDIATELY follows (words 15-19):
+    # gap from gram start 10 to 15 is 5 == SPAN_WORDS -> same island,
+    # one merged 3-19 interval
+    assert sorted(by_doc[3]) == [(3, 19, 17)]
+
+
+def test_dup_passages_empty_on_no_duplication(spark):
+    from pyanamo_spark.dedup.spans import duplicated_passages
+
+    rows = [(1, "a b c d e f"), (2, "g h i j k l")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert duplicated_passages(corpus, min_docs=2).count() == 0

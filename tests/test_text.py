@@ -56,3 +56,47 @@ def test_lang_mix_invariants(spark, sf_dir):
         ents = {r["source_entropy"] for r in rs}
         assert len(ents) == 1, source
         assert 0.0 <= ents.pop() <= math.log2(len(rs)) + 1e-9, source
+
+
+def test_lm_score_matches_python_reference(spark, sf_dir):
+    """q_lm_score == an independent pure-Python unigram-LM fold over
+    the same corpus (add-one smoothing, mean NLL), and fluent-vs-rare
+    ordering holds on a planted pair."""
+    import math
+    from collections import Counter
+
+    from pyanamo_spark.functions.text import q_lm_score
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in q_lm_score(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    cnt: Counter = Counter()
+    for text in docs.values():
+        cnt.update(text.split(" "))
+    n, v = sum(cnt.values()), len(cnt)
+    for doc_id, text in list(docs.items())[:25]:
+        toks = text.split(" ")
+        nll = -sum(
+            math.log((cnt[t] + 1.0) / (n + v)) for t in toks
+        ) / len(toks)
+        got_n, got_nll = out[doc_id]
+        assert got_n == len(toks)
+        assert abs(got_nll - nll) < 5e-4, doc_id
+
+
+def test_lm_score_ranks_common_below_rare(spark):
+    """A doc of corpus-frequent words must score lower nll than a doc
+    of hapaxes."""
+    from pyanamo_spark.functions.text import lm_score
+
+    common = " ".join(["the quick brown fox"] * 10)
+    rows = [(i, common) for i in range(9)]
+    rows.append((100, "zxqv jkwp mmtr unseenword"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["nll"] for r in lm_score(df).collect()}
+    assert out[0] < out[100]
