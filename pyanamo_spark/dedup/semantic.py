@@ -11,8 +11,13 @@ pieces already exist here and compose directly:
     index's clustering IS SemDeDup's clustering — deterministic seeds,
     Lloyd refinement passes, broadcast 16-row model)
   - the per-block BLAS pair stage from ``dedup/embedding.py`` (one
-    numpy matmul per cluster, only id pairs leave Python)
-  - connected components + min-id keeper from ``dedup/clusters.py``
+    numpy matmul per cluster), fused with a block-LOCAL union-find:
+    since a vector belongs to exactly one k-means block, duplicate
+    components cannot span blocks, so the per-block components ARE
+    the global components — no distributed label-propagation rounds
+    (``dedup/clusters.py``) are needed here, unlike pair graphs from
+    multi-bucket blocking (LSH bands) where a doc appears in many
+    buckets and components genuinely chain across them
 
 Scale shape: the only data-sized movements are one shuffle keyed on
 centroid_id (bounded blocks — a cluster is at most the corpus/k
@@ -32,8 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanamo_spark.dedup.clusters import connected_components
-from pyanamo_spark.dedup.embedding import block_candidates
+import numpy as np
+import pandas as pd
+
 from pyanamo_spark.functions.vectors import dot
 from pyanamo_spark.registry import register
 from pyanamo_spark.similarity.ivf import N_CENTROIDS, _lloyd_step, _nearest
@@ -59,6 +65,61 @@ def _fit_centroids(emb: DataFrame, iters: int) -> DataFrame:
     return centroids
 
 
+def _prune_block(pdf: pd.DataFrame, lo: float) -> pd.DataFrame:
+    """One k-means block -> (vec_id, cluster_id, is_keeper) for its
+    near-duplicate groups: full-matrix cosine, then union-find over
+    the above-threshold pairs, all local to the block.
+
+    Because every vector belongs to exactly one block, duplicate
+    components can never span blocks — so connected components here
+    IS the global answer, with zero extra Spark jobs (the earlier
+    form ran the distributed label-propagation loop over the pair
+    graph: 4+ shuffle rounds to rediscover per-block structure)."""
+    empty = pd.DataFrame(
+        {"vec_id": [], "cluster_id": [], "is_keeper": []}
+    ).astype({"vec_id": "int64", "cluster_id": "int64", "is_keeper": "bool"})
+    pdf = pdf[pdf["embedding"].notna()]
+    if len(pdf) < 2:
+        return empty
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    ai, bi = np.nonzero(np.triu(sims >= lo, k=1))
+    if not len(ai):
+        return empty
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ai.tolist(), bi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    members = np.unique(np.concatenate([ai, bi]))
+    roots = np.array([find(int(m)) for m in members])
+    # component label = min vec_id in the component
+    comp_min: dict[int, int] = {}
+    for m, r in zip(members.tolist(), roots.tolist()):
+        v = int(ids[m])
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    labels = np.array([comp_min[int(r)] for r in roots], dtype=np.int64)
+    vec_ids = ids[members].astype(np.int64)
+    return pd.DataFrame(
+        {
+            "vec_id": vec_ids,
+            "cluster_id": labels,
+            "is_keeper": vec_ids == labels,
+        }
+    )
+
+
 def semantic_prune(
     vectors: DataFrame,
     iters: int = 1,
@@ -78,23 +139,13 @@ def semantic_prune(
     )
     centroids = _fit_centroids(emb, iters)
     blocks = emb.join(_nearest(emb, centroids, 1), "vec_id")
-    pairs = (
+    return (
         blocks.select("centroid_id", "vec_id", "embedding")
         .groupBy("centroid_id")
         .applyInPandas(
-            lambda pdf: block_candidates(pdf, threshold),
-            "vec_a long, vec_b long",
+            lambda pdf: _prune_block(pdf, threshold),
+            "vec_id long, cluster_id long, is_keeper boolean",
         )
-    )
-    labels = connected_components(
-        pairs.select(
-            F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
-        )
-    )
-    return labels.select(
-        F.col("node").alias("vec_id"),
-        F.col("comp").alias("cluster_id"),
-        (F.col("node") == F.col("comp")).alias("is_keeper"),
     )
 
 
