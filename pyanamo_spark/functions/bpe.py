@@ -1,0 +1,188 @@
+"""Byte-pair-encoding trainer: the full iterative merge loop at
+corpus scale (Sennrich et al., "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016).
+
+``q_bpe_pairs`` (functions/text.py) is ONE round of the inner
+aggregation; this module iterates it to an actual merge table — the
+artifact a tokenizer ships. The scale discipline:
+
+  - the corpus collapses ONCE to a (word, freq) vocabulary table —
+    every later pass runs over the vocabulary (zipf-bounded), never
+    the corpus; word frequency carries the corpus weight
+  - each round: one map-side-combinable weighted pair count over the
+    symbol arrays, a driver-side top-1 pick (count desc, pair asc —
+    the deterministic tie-break), and a merge rewrite
+  - the merge rewrite is a JVM-side higher-order ``aggregate`` fold
+    over each word's symbol array (greedy left-to-right,
+    non-overlapping — fold state is the rewritten prefix; a pair
+    merges when the incoming symbol extends the prefix's tail), so
+    no Python touches the vocabulary in the loop
+  - ``localCheckpoint`` per round keeps the iterated plan flat
+    (the q_dedup_clusters lesson: analyzer-breaking plan growth is
+    the real limit on DataFrame iteration, not data volume)
+
+Rows-only: an N-round greedy loop with argmax tie-breaks is not
+practically SQL-expressible; tests pin the merge sequence against an
+independent pure-Python BPE reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: merge rounds for the registered query
+N_MERGES = 8
+
+
+def word_vocab(corpus: DataFrame) -> DataFrame:
+    """(symbols, freq): whitespace words split to character arrays,
+    weighted by corpus frequency. The one corpus-sized pass."""
+    return (
+        corpus.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # split("") leaves a trailing "" element — drop it
+            F.filter(
+                F.split("w", ""), lambda s: s != F.lit("")
+            ).alias("symbols"),
+            "freq",
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over the vocabulary."""
+    # the size >= 2 filter also guards sequence()'s step-down trap:
+    # sequence(1, 0) yields [1, 0], not [] (see dedup/spans.gram_array)
+    pairs = vocab.filter(F.size("symbols") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(symbols) - 1),"
+                " i -> struct(symbols[i-1] AS a, symbols[i] AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(
+        F.sum("freq").alias("n_pairs")
+    )
+
+
+def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every symbol array with (a, b) -> a+b merged, greedy
+    left-to-right — one codegen'd fold per word, no shuffle."""
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.aggregate(
+        "symbols",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (s == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return vocab.select(merged.alias("symbols"), "freq")
+
+
+#: vocabularies at or below this row count train driver-side after the
+#: distributed corpus->vocab collapse (what real tokenizer pipelines
+#: do: the corpus pass is the scale problem, the vocab loop is not);
+#: larger vocabularies (web-crawl tails: URLs, typos, code tokens)
+#: take the fully distributed loop
+DRIVER_VOCAB_MAX = 200_000
+
+
+def _train_driver(
+    vocab_rows: list[tuple[tuple[str, ...], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-memory merge loop over a collected (symbols, freq) vocab —
+    identical semantics and tie-breaks to the distributed loop."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for sym, freq in vocab_rows:
+        vocab[sym] = vocab.get(sym, 0) + freq
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for x, y in zip(sym, sym[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + freq
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, n))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out: list[str] = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(
+    corpus: DataFrame,
+    n_merges: int = N_MERGES,
+    driver_vocab_max: int = DRIVER_VOCAB_MAX,
+) -> list[tuple[int, str, str, int]]:
+    """The learned merge table: [(rank, left, right, weighted pair
+    count at merge time)], rank 1-based in merge order. Stops early
+    when no adjacent pair remains.
+
+    The corpus-sized work (tokenize + frequency collapse) is always
+    distributed; when the resulting vocabulary fits the driver bound
+    the merge loop runs in memory (one collect of (symbols, freq) —
+    a bounded model, the same contract as centroid/stat collects
+    elsewhere), otherwise each round runs as one distributed
+    pair-count + HOF merge rewrite with a lazy localCheckpoint so a
+    round costs a single job. Both paths share tie-break semantics;
+    ``tests/test_bpe.py`` pins them equal.
+    """
+    vocab = word_vocab(corpus).localCheckpoint()
+    if vocab.count() <= driver_vocab_max:
+        rows = [
+            (tuple(r["symbols"]), int(r["freq"]))
+            for r in vocab.collect()
+        ]
+        return _train_driver(rows, n_merges)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n_pairs"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n_pairs"])
+        merges.append((rank, a, b, n))
+        vocab = _merge_pair(vocab, a, b).localCheckpoint(eager=False)
+    return merges
+
+
+@register("q_bpe_train", oracle=None)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge table after {N_MERGES} rounds over the documents
+    corpus: (rank, left, right, n_pairs). Rows-only; the merge
+    sequence is pinned against a pure-Python BPE reference in
+    tests/test_bpe.py."""
+    merges = train_bpe(spark.table("documents"))
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, n_pairs long"
+    )

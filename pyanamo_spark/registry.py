@@ -170,6 +170,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.curation  # noqa: F401
     import pyanamo_spark.operators.packing  # noqa: F401
     import pyanamo_spark.functions.text  # noqa: F401
+    import pyanamo_spark.functions.bpe  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.functions.sketches  # noqa: F401
     import pyanamo_spark.functions.pca  # noqa: F401

@@ -1,0 +1,94 @@
+"""BPE trainer vs an independent pure-Python reference: identical
+merge sequences (including tie-breaks) on planted and fixture text."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyanamo_spark.functions.bpe import train_bpe, word_vocab
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Reference implementation: dict-of-tuples vocabulary, greedy
+    left-to-right merges, (count desc, pair asc) tie-break."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, freq in vocab.items():
+            for x, y in zip(sym, sym[1:]):
+                pairs[(x, y)] += freq
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, n))
+        new_vocab: Counter = Counter()
+        for sym, freq in vocab.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_on_planted_corpus(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    expected = _py_bpe(texts, 10)
+    # distributed loop (forced) and driver fast path must agree with
+    # the reference AND each other
+    assert train_bpe(df, n_merges=10, driver_vocab_max=0) == expected
+    assert train_bpe(df, n_merges=10) == expected
+
+
+def test_bpe_matches_reference_on_fixture(spark, sf_dir):
+    from pyanamo_spark import semantics
+
+    semantics.ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    texts = [
+        r["text"] for r in docs.select("text").limit(40).collect()
+    ]
+    sub = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert train_bpe(sub, n_merges=5) == _py_bpe(texts, 5)
+
+
+def test_bpe_greedy_overlap_and_exhaustion(spark):
+    """'aaaa' x1: round 1 merges (a,a) with weighted count 3 (three
+    adjacent slots), leaving [aa, aa]; and training stops when words
+    are single symbols."""
+    df = spark.createDataFrame([(0, "aaaa")], ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=10)
+    assert merges == _py_bpe(["aaaa"], 10)
+    assert merges[0] == (1, "a", "a", 3)
+    # exhaustion: a 4-char word is fully merged in <= 3 rounds
+    assert len(merges) <= 3
+
+
+def test_word_vocab_weights(spark):
+    df = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab")], ["doc_id", "text"]
+    )
+    rows = {
+        tuple(r["symbols"]): r["freq"]
+        for r in word_vocab(df).collect()
+    }
+    assert rows == {("a", "b"): 3, ("c", "d"): 1}
