@@ -365,3 +365,141 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_docs"),
     )
+
+
+#: q_curation_funnel quality gate (milli-score; fixture median ~704)
+FUNNEL_QUALITY_MIN = 600
+
+_FUNNEL_QUALITY_SQL = """CAST(
+  LEAST(100, len(string_split(text, ' '))) * 4
+  + CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 300 ELSE 0 END
+  + LEAST(300, (3000 * len(list_filter(string_split(text, ' '),
+                           t -> t IN ({stops}))))
+               // len(string_split(text, ' ')))
+ AS BIGINT)"""
+
+
+@register(
+    "q_curation_funnel",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+nll AS (
+  SELECT tf.doc_id,
+         ROUND(-SUM(tf.tf * ln((cnt.c + 1.0) / (tot.n + tot.v)))
+               / SUM(tf.tf), 4) AS nll
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+base AS (
+  SELECT d.doc_id, d.n_chars, nll.nll,
+         d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS s2,
+         {quality} >= {qmin} AS qok
+  FROM documents d JOIN nll USING (doc_id)
+),
+q AS (SELECT *, s2 AND qok AS s3 FROM base),
+med AS (SELECT quantile_cont(nll, 0.5) AS m FROM q WHERE s3),
+f AS (
+  SELECT q.*,
+         q.s3 AND q.nll <= med.m AS s4,
+         q.s3 AND q.nll <= med.m
+           AND substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) < '{val_lo}'
+           AS s5
+  FROM q CROSS JOIN med
+),
+agg AS (
+  SELECT COUNT(*) AS n1, CAST(SUM(n_chars) AS BIGINT) AS c1,
+         COUNT(CASE WHEN s2 THEN 1 END) AS n2,
+         CAST(SUM(CASE WHEN s2 THEN n_chars END) AS BIGINT) AS c2,
+         COUNT(CASE WHEN s3 THEN 1 END) AS n3,
+         CAST(SUM(CASE WHEN s3 THEN n_chars END) AS BIGINT) AS c3,
+         COUNT(CASE WHEN s4 THEN 1 END) AS n4,
+         CAST(SUM(CASE WHEN s4 THEN n_chars END) AS BIGINT) AS c4,
+         COUNT(CASE WHEN s5 THEN 1 END) AS n5,
+         CAST(SUM(CASE WHEN s5 THEN n_chars END) AS BIGINT) AS c5
+  FROM f
+)
+SELECT 1 AS stage_rank, 'raw' AS stage, n1 AS n_docs, c1 AS n_chars FROM agg
+UNION ALL SELECT 2, 'dedup', n2, c2 FROM agg
+UNION ALL SELECT 3, 'quality', n3, c3 FROM agg
+UNION ALL SELECT 4, 'fluent', n4, c4 FROM agg
+UNION ALL SELECT 5, 'train', n5, c5 FROM agg
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report: how many documents (and
+    chars) survive each stage of a standard training-data pipeline —
+    exact dedup -> quality gate -> LM-fluency gate -> train split.
+    The composition query a pipeline owner runs before committing a
+    corpus build; each stage reuses the exact expression its
+    standalone operator registers.
+
+    Scale shape: one pass computes per-doc survival flags (the dedup
+    keeper window shuffles on the 16-byte text digest, not the text;
+    the LM join is q_lm_score's term-keyed plan), the fluency cutoff
+    is the bounded-memory exact median of the quality survivors
+    (functions/quantiles.py) broadcast back as one row, and the five
+    funnel rows come from a single final aggregation — counts never
+    require materializing any intermediate corpus.
+    """
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+    from pyanamo_spark.functions.text import lm_score, quality_expr
+
+    docs = spark.table("documents")
+    nll = lm_score(docs).select("doc_id", "nll")
+    w = W.partitionBy(F.md5("text"))
+    base = (
+        docs.join(nll, "doc_id")
+        .withColumn("s2", F.col("doc_id") == F.min("doc_id").over(w))
+        .withColumn(
+            "s3",
+            F.col("s2")
+            & (quality_expr() >= F.lit(FUNNEL_QUALITY_MIN)),
+        )
+    )
+    med = exact_group_percentiles(
+        base.filter("s3"), [], "nll", {"m": 0.5}
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    f = (
+        base.crossJoin(F.broadcast(med))
+        .withColumn("s4", F.col("s3") & (F.col("nll") <= F.col("m")))
+        .withColumn("s5", F.col("s4") & (prefix < F.lit(_VAL_LO)))
+    )
+    agg = f.agg(
+        F.count("*").alias("n1"),
+        F.sum("n_chars").alias("c1"),
+        *[
+            a
+            for i in (2, 3, 4, 5)
+            for a in (
+                F.count(F.when(F.col(f"s{i}"), 1)).alias(f"n{i}"),
+                F.sum(
+                    F.when(F.col(f"s{i}"), F.col("n_chars"))
+                ).alias(f"c{i}"),
+            )
+        ],
+    )
+    return agg.selectExpr(
+        "inline(array("
+        "struct(1 AS stage_rank, 'raw' AS stage, n1 AS n_docs, c1 AS n_chars),"
+        "struct(2 AS stage_rank, 'dedup' AS stage, n2 AS n_docs, c2 AS n_chars),"
+        "struct(3 AS stage_rank, 'quality' AS stage, n3 AS n_docs, c3 AS n_chars),"
+        "struct(4 AS stage_rank, 'fluent' AS stage, n4 AS n_docs, c4 AS n_chars),"
+        "struct(5 AS stage_rank, 'train' AS stage, n5 AS n_docs, c5 AS n_chars)))"
+    )
+
+
+# splice the reusable stage expressions into the funnel oracle template
+from pyanamo_spark.functions.text import _STOP_LIST_SQL as _FUNNEL_STOPS  # noqa: E402
+from pyanamo_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["q_curation_funnel"] = _ORACLES["q_curation_funnel"].format(
+    quality=_FUNNEL_QUALITY_SQL.format(stops=_FUNNEL_STOPS),
+    qmin=FUNNEL_QUALITY_MIN,
+    val_lo=_VAL_LO,
+)

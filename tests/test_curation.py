@@ -118,3 +118,25 @@ def test_group_sample_fixed_size_and_stable(spark, sf_dir):
         for r in QUERIES["q_group_sample"](spark, sf_dir).collect()
     }
     assert again == {(r.doc_id, r.lang) for r in rows}
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    from pyanamo_spark.operators.curation import q_curation_funnel
+
+    rows = sorted(
+        q_curation_funnel(spark, sf_dir).collect(),
+        key=lambda r: r["stage_rank"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "dedup", "quality", "fluent", "train",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    chars = [r["n_chars"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert chars == sorted(chars, reverse=True)
+    assert counts[0] == spark.table("documents").count()
+    # the quality and fluency gates must actually discriminate
+    assert counts[2] < counts[1]
+    assert counts[3] < counts[2]
+    # fluency keeps ~half of the quality survivors (median cutoff)
+    assert abs(counts[3] - counts[2] / 2) <= counts[2] * 0.1 + 1

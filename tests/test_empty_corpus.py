@@ -15,7 +15,7 @@ load_all()
 
 #: model-fit queries that cannot produce a model from nothing; their
 #: contract is a clear ValueError, not an empty result
-FIT_QUERIES = {"q_pca_project", "q_knn_ivf"}
+FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune"}
 
 #: queries whose CORRECT empty-input output is non-empty: ungrouped
 #: aggregates yield their single zero/null row (SQL semantics), the
@@ -31,6 +31,7 @@ NONEMPTY_ON_EMPTY = {
     "q_funnel",
     "q_merge_upsert",
     "q_ingest_csv",  # ingests its own literal CSV; corpus-independent
+    "q_curation_funnel",  # funnel report: 5 stage rows of zeros
 }
 
 
