@@ -452,6 +452,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     nll = lm_score(docs).select("doc_id", "nll")
     w = W.partitionBy(F.md5("text"))
+    # the flag table is consumed three times (median sketch, median
+    # verify, final aggregation); checkpointing the text-free
+    # (doc_id, n_chars, nll, s2, s3) projection — a few numeric
+    # columns per doc — cuts the re-derivation of the LM join +
+    # dedup window from every consumer's lineage (without it the
+    # composed plan carries ~90 printed exchanges).
     base = (
         docs.join(nll, "doc_id")
         .withColumn("s2", F.col("doc_id") == F.min("doc_id").over(w))
@@ -460,6 +466,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2")
             & (quality_expr() >= F.lit(FUNNEL_QUALITY_MIN)),
         )
+        .select("doc_id", "n_chars", "nll", "s2", "s3")
+        .localCheckpoint()
     )
     med = exact_group_percentiles(
         base.filter("s3"), [], "nll", {"m": 0.5}

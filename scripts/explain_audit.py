@@ -56,7 +56,25 @@ EXCHANGE_BUDGET = {
     "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
     # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
     # digest or a per-doc aggregate, never line text
-    "q_dup_spans": 6,  # same digest-count + broadcast-recover shape
+    "q_dedup_stats": 4,  # union of two digest rollups, each a genuine
+    # two-phase (map-side partial + merge) aggregation
+    "q_lm_score": 14,  # the tf subtree is PRINTED three times (scored
+    # join, term-model derivation, totals derivation); the copies
+    # canonicalize identically so ReuseExchange dedups them at runtime
+    # (q_tfidf precedent). Live shuffles: tf, term model, singleton
+    # totals, final per-doc aggregation; model + totals ride back as
+    # broadcasts
+    "q_dup_passages": 8,  # position explode -> digest-count agg (2) +
+    # digest-keyed hits join (2 sides) + per-doc island window sort +
+    # final interval aggregation; every wide row is (doc_id, i, digest)
+    "q_curation_funnel": 12,  # checkpointed numeric flag table feeds
+    # the bounded-memory median (sketch agg, below-count agg, interior
+    # window sort, pick — its inherent 4-pass shape, cf. q_percentiles)
+    # plus the final 1-row rollup; without the checkpoint the composed
+    # lineage printed ~90 exchanges
+    "q_dup_spans": 8,  # digest-count shuffle + digest-keyed
+    # shuffle-hash text recovery (replaced the unbounded broadcast —
+    # two more exchanges, bounded memory at any duplication level)
     "q_embed_covariance": 8,  # moment partials (one row per Arrow
     # batch) + coordinate groupBy-sum + three broadcasts of the
     # (1+d+d²)-row moment table slices — all exchanged rows are scalars
