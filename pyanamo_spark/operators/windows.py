@@ -128,6 +128,58 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_window",
+    oracle="""
+WITH hits AS (
+  SELECT e.user_id, e.value,
+         time_bucket(INTERVAL 15 MINUTE, e.ts)
+           - t.k * INTERVAL 15 MINUTE AS window_start
+  FROM events e, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE e.ts < time_bucket(INTERVAL 15 MINUTE, e.ts)
+              - t.k * INTERVAL 15 MINUTE + INTERVAL 1 HOUR
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM hits
+GROUP BY 1
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window traffic profile: 1-hour windows advancing every
+    15 minutes (each event lands in 4 overlapping windows), with event
+    count, distinct users, and value total per window — the
+    overlapping-window shape ``q_event_window``'s tumbling hour can't
+    express and the batch twin of a ``readStream`` + ``F.window(ts,
+    '1 hour', '15 minutes')`` streaming aggregation.
+
+    Scale shape: ``F.window`` expands each row to its 4 windows
+    map-side (a bounded ×(duration/slide) fan-out of narrow rows, no
+    self-join against a window table); the distinct-user count is the
+    standard two-phase Expand aggregation. The oracle replays the
+    same expansion with epoch-aligned ``time_bucket`` arithmetic —
+    Spark aligns window starts to the epoch on the slide interval,
+    so the window sets agree exactly."""
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        spark.table("events")
+        .groupBy(w.alias("w"), )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q_global_ids",
     oracle="""
 SELECT doc_id,

@@ -56,6 +56,9 @@ EXCHANGE_BUDGET = {
     "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
     # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
     # digest or a per-doc aggregate, never line text
+    "q_sliding_window": 4,  # count(distinct user) alongside plain aggs
+    # plans as the two-phase Expand aggregation (q_text_stats
+    # precedent): window-key partials, then the distinct merge
     "q_dedup_stats": 4,  # union of two digest rollups, each a genuine
     # two-phase (map-side partial + merge) aggregation
     "q_lm_score": 14,  # the tf subtree is PRINTED three times (scored

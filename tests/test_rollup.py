@@ -81,3 +81,17 @@ def test_rollup_store_is_date_partitioned(spark, sf_dir, tmp_path):
 
     parts = [d for d in os.listdir(rollup_dir) if d.startswith("window_date=")]
     assert parts, "rollup store must be partitioned by window_date"
+
+
+def test_sliding_window_covers_each_event_four_times(spark, sf_dir):
+    from pyanamo_spark.operators.windows import q_sliding_window
+
+    rows = q_sliding_window(spark, sf_dir).collect()
+    total = spark.table("events").count()
+    assert sum(r["n_events"] for r in rows) == 4 * total
+    # windows advance on the slide grid
+    assert all(
+        r["window_start"].minute % 15 == 0
+        and r["window_start"].second == 0
+        for r in rows
+    )
