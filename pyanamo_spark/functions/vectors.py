@@ -154,3 +154,121 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_SCALE_EXPR), 9).alias("scale"),
         qvec.alias("qvec"),
     )
+
+
+_MS_DOT = duckdb_dot_sql("a.mv", "b.mv")
+_MS_SQA = duckdb_sq_sum_sql("a.mv")
+_MS_SQB = duckdb_sq_sum_sql("b.mv")
+
+
+@register(
+    "q_source_similarity",
+    oracle=f"""
+WITH e AS (
+  SELECT d.source, em.embedding
+  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+  WHERE em.embedding IS NOT NULL
+),
+dims AS (
+  SELECT source, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM e
+),
+m AS (
+  SELECT source, dim, AVG(CAST(x AS DOUBLE)) AS mx
+  FROM dims GROUP BY 1, 2
+),
+vecs AS (
+  SELECT source, list(mx ORDER BY dim) AS mv FROM m GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND({_MS_DOT} / sqrt({_MS_SQA} * {_MS_SQB}), 4) AS cos_sim
+FROM vecs a JOIN vecs b ON a.source < b.source
+""",
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source SEMANTIC similarity matrix: cosine between the
+    mean document embedding of each source pair — the embedding-space
+    twin of q_source_overlap's lexical span matrix (sources that
+    paraphrase or machine-translate each other overlap here while
+    sharing no exact 5-grams).
+
+    Scale shape: the corpus-sized work is one Arrow-batched partial
+    (per-batch numpy vector sum + count per source); the shuffle
+    carries SOURCES x BATCHES partial rows of d+1 doubles, and the
+    pair matrix is C(#sources, 2) — catalog-sized. Cosine on the mean
+    vectors uses the exact sequential-fold expression the oracle
+    mirrors; the 4-dp rounding gives ~5e7x headroom over the ~1e-12
+    reassociation noise between numpy's pairwise and DuckDB's
+    sequential summation (the q_embed_covariance lesson).
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.table("documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    emb = (
+        spark.table("embeddings")
+        .join(docs, "vec_id")
+        .where(F.col("embedding").isNotNull())
+        .select("source", "embedding")
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for src, grp in pdf.groupby("source"):
+                mat = np.stack(grp["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                out.append(
+                    {
+                        "source": src,
+                        "psum": mat.sum(axis=0).tolist(),
+                        "n": len(grp),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["source", "psum", "n"])
+
+    partials = emb.mapInPandas(
+        partial, "source string, psum array<double>, n long"
+    )
+    # partials are SOURCES x BATCHES rows — exploding THEM is tiny
+    means = (
+        partials.select(
+            "source", "n", F.posexplode("psum").alias("dim", "x")
+        )
+        .groupBy("source", "dim")
+        .agg(F.sum("x").alias("sx"), F.sum("n").alias("sn"))
+        .groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "sx", "sn"))
+            ).alias("parts")
+        )
+        .select(
+            "source",
+            F.transform(
+                "parts", lambda p: p["sx"] / p["sn"]
+            ).alias("mv"),
+        )
+    )
+    a, b = means.alias("a"), means.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(
+                dot(F.col("a.mv"), F.col("b.mv"))
+                / F.sqrt(
+                    dot(F.col("a.mv"), F.col("a.mv"))
+                    * dot(F.col("b.mv"), F.col("b.mv"))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )

@@ -56,6 +56,11 @@ EXCHANGE_BUDGET = {
     "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
     # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
     # digest or a per-doc aggregate, never line text
+    "q_source_similarity": 8,  # the SOURCES-sized mean-vector subtree
+    # is PRINTED twice (self-join sides); copies canonicalize
+    # identically so ReuseExchange dedups at runtime. Live: broadcast
+    # doc-source join, (source,dim) partial-sum agg, per-source
+    # reassembly agg — all downstream rows are SOURCES x d doubles
     "q_sliding_window": 4,  # count(distinct user) alongside plain aggs
     # plans as the two-phase Expand aggregation (q_text_stats
     # precedent): window-key partials, then the distinct merge

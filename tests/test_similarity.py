@@ -146,3 +146,31 @@ def test_quantized_recall_vs_exact(spark, sf_dir):
             if vid in ex:
                 assert sim == ex[vid]
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_source_similarity_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from pyanamo_spark.functions.vectors import q_source_similarity
+
+    got = {
+        (r["source_a"], r["source_b"]): r["cos_sim"]
+        for r in q_source_similarity(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.table("documents").select("doc_id", "source").collect()
+    }
+    by_src = {}
+    for r in spark.table("embeddings").collect():
+        if r["embedding"] is None or r["vec_id"] not in docs:
+            continue
+        by_src.setdefault(docs[r["vec_id"]], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    means = {s: np.mean(v, axis=0) for s, v in by_src.items()}
+    assert len(got) == len(means) * (len(means) - 1) // 2
+    for (sa, sb), cs in got.items():
+        ma, mb = means[sa], means[sb]
+        ref = float(ma @ mb / np.sqrt((ma @ ma) * (mb @ mb)))
+        assert abs(cs - ref) < 5e-4, (sa, sb)
