@@ -185,3 +185,65 @@ def test_dup_passages_empty_on_no_duplication(spark):
     rows = [(1, "a b c d e f"), (2, "g h i j k l")]
     corpus = spark.createDataFrame(rows, ["doc_id", "text"])
     assert duplicated_passages(corpus, min_docs=2).count() == 0
+
+
+def test_dup_passages_randomized_brute_force(spark):
+    """Randomized corpora vs an independent brute-force reference:
+    tiny alphabet forces heavy gram collisions, mixed doc lengths
+    exercise the sub-span and island edges."""
+    import random
+
+    from pyanamo_spark.dedup.spans import (
+        SPAN_WORDS,
+        duplicated_passages,
+    )
+
+    def brute(docs, min_docs):
+        grams = {}
+        for did, text in docs:
+            ws = text.split(" ")
+            for i in range(len(ws) - SPAN_WORDS + 1):
+                g = " ".join(ws[i : i + SPAN_WORDS])
+                grams.setdefault(g, set()).add(did)
+        dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+        out = set()
+        for did, text in docs:
+            ws = text.split(" ")
+            hits = [
+                i + 1
+                for i in range(len(ws) - SPAN_WORDS + 1)
+                if " ".join(ws[i : i + SPAN_WORDS]) in dup
+            ]
+            start = prev = None
+            for i in hits:
+                if start is None:
+                    start = prev = i
+                elif i - prev > SPAN_WORDS:
+                    out.add((did, start, prev + SPAN_WORDS - 1))
+                    start = prev = i
+                else:
+                    prev = i
+            if start is not None:
+                out.add((did, start, prev + SPAN_WORDS - 1))
+        return out
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        docs = [
+            (
+                did,
+                " ".join(
+                    rng.choice("abcde")
+                    for _ in range(rng.randint(0, 12))
+                ),
+            )
+            for did in range(30)
+        ]
+        got = {
+            (r["doc_id"], r["start_word"], r["end_word"])
+            for r in duplicated_passages(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                min_docs=3,
+            ).collect()
+        }
+        assert got == brute(docs, 3), seed
