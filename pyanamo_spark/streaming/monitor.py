@@ -60,16 +60,23 @@ def windowed_event_stream(
     schema: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window event counts: late rows beyond the
+    """Watermarked windowed event counts: late rows beyond the
     watermark are dropped, state for closed windows is evicted — the
-    property that bounds memory at 100 TB/day event volumes."""
+    property that bounds memory at 100 TB/day event volumes. Pass
+    ``slide`` for overlapping windows (the q_sliding_window streaming
+    twin; each event lands in window/slide windows, state per open
+    window is still bounded by the watermark)."""
     stream = normalize_event_time(
         spark.readStream.schema(schema).parquet(events_path)
     )
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

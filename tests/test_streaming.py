@@ -107,3 +107,35 @@ def test_state_count_stream_counts_fixture_rows(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert set(got) == {"todo", "locked", "done", "Wall_Time_Exceeded"}
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sliding windows (1h/15min) over the staged events ==
+    the batch q_sliding_window aggregation, summed across event
+    types."""
+    events_dir = str(tmp_path / "events_sw")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+    stream_df = windowed_event_stream(
+        spark,
+        events_dir,
+        events_schema(spark, events_dir),
+        slide="15 minutes",
+    )
+    assert stream_df.isStreaming
+    query = run_available_now(stream_df, "sw_counts")
+    try:
+        got = {}
+        for r in spark.table("sw_counts").collect():
+            n, v = got.get(r.window_start, (0, 0.0))
+            got[r.window_start] = (n + r.n_events, round(v + r.total_value, 2))
+    finally:
+        query.stop()
+
+    from pyanamo_spark.registry import QUERIES, load_all
+
+    load_all()
+    batch = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in QUERIES["q_sliding_window"](spark, sf_dir).collect()
+    }
+    assert got == batch
