@@ -352,3 +352,119 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(stages).alias("s")).select(
         "s.stage", "s.stage_no", "s.n_users"
     )
+
+
+@register(
+    "q_table_stats",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       COUNT(o_orderkey) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+       CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+FROM orders
+""",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the orders table: non-null
+    count, exact distinct count, min/max per profiled column — the
+    stats a cost-based optimizer (or a pipeline owner sizing a join)
+    reads. ONE scan and ONE aggregation for all profiled columns:
+    the four exact count(distinct)s share a single Expand rewrite
+    (x4 row fan-out map-side, still one exchange pair), and the
+    4-column report unpivots from the 1-row aggregate. At 100 TB the
+    same query swaps ``count_distinct`` for ``approx_count_distinct``
+    (functions/sketches.py HLL) and the Expand disappears — the exact
+    form stays oracle-checkable here."""
+    o = spark.table("orders")
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    money = lambda c: F.round(c, 2).cast("string")  # noqa: E731
+    cols = [
+        ("o_orderkey", as_str),
+        ("o_custkey", as_str),
+        ("o_orderstatus", as_str),
+        ("o_totalprice", money),
+    ]
+    agg = o.agg(
+        *[
+            a
+            for c, render in cols
+            for a in (
+                F.count(c).alias(f"n_{c}"),
+                F.count_distinct(F.col(c)).alias(f"d_{c}"),
+                render(F.min(c)).alias(f"lo_{c}"),
+                render(F.max(c)).alias(f"hi_{c}"),
+            )
+        ]
+    )
+    structs = ",".join(
+        f"struct('{c}' AS col, n_{c} AS n_rows, d_{c} AS n_distinct,"
+        f" lo_{c} AS min_val, hi_{c} AS max_val)"
+        for c, _ in cols
+    )
+    return agg.selectExpr(f"inline(array({structs}))")
+
+
+#: top keys reported by the skew profile
+SKEW_TOP_K = 10
+
+
+@register(
+    "q_skew_profile",
+    oracle=f"""
+WITH k AS (
+  SELECT o_custkey AS key, COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+SELECT k.key, k.n,
+       ROUND(k.n * 1.0 / t.total, 6) AS share,
+       ROUND(k.n * t.n_keys * 1.0 / t.total, 2) AS x_mean
+FROM k CROSS JOIN t
+ORDER BY k.n DESC, k.key
+LIMIT {SKEW_TOP_K}
+""",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for orders.o_custkey: the top
+    {SKEW_TOP_K} heaviest keys with their row share and multiple of
+    the mean key size — the report that decides between a plain
+    shuffle join, AQE skew splitting, and salting
+    (functions/skew.salted_agg) BEFORE the job runs. One
+    map-side-combinable key count; the totals ride back as a 1-row
+    broadcast; top-k is TakeOrderedAndProject, no global sort."""
+    o = spark.table("orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    t = k.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total"), 2
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOP_K)
+    )

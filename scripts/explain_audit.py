@@ -56,6 +56,13 @@ EXCHANGE_BUDGET = {
     "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
     # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
     # digest or a per-doc aggregate, never line text
+    "q_table_stats": 4,  # four exact count(distinct)s in one agg plan
+    # as a single shared Expand with the multi-distinct two-phase
+    # rewrite — the extra exchange pair is inherent to exact NDV
+    "q_skew_profile": 6,  # the key-count subtree is PRINTED twice
+    # (share denominator derivation); copies canonicalize identically
+    # so ReuseExchange dedups at runtime. Live: key count agg,
+    # singleton totals, TakeOrdered — all post-scan rows are keys
     "q_source_similarity": 8,  # the SOURCES-sized mean-vector subtree
     # is PRINTED twice (self-join sides); copies canonicalize
     # identically so ReuseExchange dedups at runtime. Live: broadcast
