@@ -166,6 +166,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.setops  # noqa: F401
     import pyanamo_spark.operators.analytics  # noqa: F401
     import pyanamo_spark.operators.tpch_mart  # noqa: F401
+    import pyanamo_spark.operators.tpch_wave3  # noqa: F401
     import pyanamo_spark.operators.advanced  # noqa: F401
     import pyanamo_spark.operators.curation  # noqa: F401
     import pyanamo_spark.operators.packing  # noqa: F401

@@ -32,6 +32,7 @@ NONEMPTY_ON_EMPTY = {
     "q_merge_upsert",
     "q_ingest_csv",  # ingests its own literal CSV; corpus-independent
     "q_curation_funnel",  # funnel report: 5 stage rows of zeros
+    "q_table_stats",  # ANALYZE report: one zero-count row per column
 }
 
 
