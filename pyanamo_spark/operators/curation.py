@@ -313,6 +313,59 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample scale: P(keep) = n_chars / _WS_SCALE (≈50% overall
+#: on the fixture's length distribution; uncapped lengths keep at 1)
+_WS_SCALE = 600.0
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE n_chars >= {_WS_SCALE}
+   OR substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(n_chars / {_WS_SCALE} * 4294967296)
+                               AS BIGINT))), 8, '0')
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling: keep each document with
+    probability proportional to its length (the importance-sampling
+    move a data mixer uses to bias toward long documents without a
+    global sort or a normalizing pass).
+
+    Determinism is the design: the coin flip is the 32-bit md5 prefix
+    of the doc key compared against the weight-derived threshold
+    rendered in hex — a pure row property, so the sample is identical
+    across reruns, engines, partitionings, and incremental arrivals,
+    and the oracle replays it exactly (both engines emit lowercase hex;
+    equal-length lexicographic compare == numeric compare). Scale: one
+    codegen'd scan-side filter, no shuffle, no state; weights ≥ the
+    scale keep with probability 1 via the explicit guard (a 9-hex-digit
+    threshold would corrupt the string compare)."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+    threshold = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.col("n_chars") / _WS_SCALE * F.lit(4294967296.0)
+                ).cast("long")
+            )
+        ),
+        8,
+        "0",
+    )
+    return (
+        spark.table("documents")
+        .filter(
+            (F.col("n_chars") >= _WS_SCALE)
+            | (F.substring(key, 1, 8) < threshold)
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
 #: mixture temperature: rates ∝ share^ALPHA (α<1 upweights the tail)
 MIX_ALPHA = 0.7
 #: documents the rebalanced mixture should total

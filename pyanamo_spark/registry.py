@@ -142,6 +142,7 @@ def register(
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # raw body, for tests on ad-hoc views
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = (
@@ -167,6 +168,8 @@ def load_all() -> None:
     import pyanamo_spark.operators.analytics  # noqa: F401
     import pyanamo_spark.operators.tpch_mart  # noqa: F401
     import pyanamo_spark.operators.tpch_wave3  # noqa: F401
+    import pyanamo_spark.operators.timeseries  # noqa: F401
+    import pyanamo_spark.operators.scalejoins  # noqa: F401
     import pyanamo_spark.operators.advanced  # noqa: F401
     import pyanamo_spark.operators.curation  # noqa: F401
     import pyanamo_spark.operators.packing  # noqa: F401
