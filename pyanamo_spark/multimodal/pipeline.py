@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata, processed in Arrow-batched
 Pandas stages.
 
-PNG decode is REAL — ``multimodal/png.py`` is a pure-Python codec
-(stdlib zlib + numpy de-filtering), registered as ``image/png``, and
-``image_features`` runs decode → pixel resize → featurize end to end
-on actual pixels. The ``NotImplementedError`` stub remains only for
-formats with no pure-Python route in this container (JPEG, audio);
-for those, everything Spark-side is still real and tested:
+PNG and WAV decode are REAL — ``multimodal/png.py`` is a pure-Python
+image codec (stdlib zlib + numpy de-filtering) and ``multimodal/wav.py``
+a stdlib-wave PCM codec; ``image_features`` runs decode → pixel resize
+→ featurize on actual pixels and ``audio_features`` decode →
+RMS/peak/zero-crossings on actual samples. The ``NotImplementedError``
+stub remains only for formats with no pure-Python route in this
+container (JPEG, video); for those, everything Spark-side is still
+real and tested:
   - the asset schema (payload binary + metadata struct)
   - deterministic byte-level feature extraction over mapInPandas
     (per-asset byte histogram + entropy — real math on the binary
@@ -75,12 +77,17 @@ def register_default_codecs() -> list[str]:
         registered.append("audio/wav")
     except ImportError:
         pass
-    # dependency-free fallback: pure-Python PNG (no-op if PIL won)
+    # dependency-free fallbacks: pure-Python PNG (no-op if PIL won)
+    # and stdlib-wave WAV (no-op if soundfile won)
     from pyanamo_spark.multimodal.png import decode_png
+    from pyanamo_spark.multimodal.wav import decode_wav
 
     if "image/png" not in CODECS:
         CODECS["image/png"] = decode_png
         registered.append("image/png")
+    if "audio/wav" not in CODECS:
+        CODECS["audio/wav"] = decode_wav
+        registered.append("audio/wav")
     return registered
 
 
@@ -100,11 +107,11 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, mime: str):
     """Decode a binary payload with a registered codec.
 
-    image/png always decodes (pure-Python codec, multimodal/png.py).
-    Formats whose codec libraries are absent in this container (JPEG,
-    audio) remain a clearly-marked stub: the Spark-side plumbing
-    (schema, batching, partitioning) is real and the decoder slots in
-    here.
+    image/png and audio/wav always decode (pure-Python codecs,
+    multimodal/png.py and wav.py). Formats whose codec libraries are
+    absent in this container (JPEG, video) remain a clearly-marked
+    stub: the Spark-side plumbing (schema, batching, partitioning) is
+    real and the decoder slots in here.
     """
     if mime not in CODECS:
         raise NotImplementedError(
@@ -346,6 +353,122 @@ def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def image_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_image_features, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id bigint, channels int, n_samples bigint, duration double, "
+    "rms double, peak double, zcr double"
+)
+
+#: synthetic audio sample rate (Hz)
+_WAV_RATE = 8000
+
+
+def synthetic_wav_assets(
+    spark: SparkSession, n: int = 64, ids: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic real-WAV assets: per asset_id a sine tone whose
+    frequency, amplitude, duration, and channel count derive from the
+    id, encoded with the stdlib codec. Executor-side generation over a
+    range (or ``ids``) DataFrame — the driver never holds payloads.
+    Every 7th asset is silent (rms/zcr zero-path coverage)."""
+    from pyanamo_spark.multimodal.wav import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                i = int(asset_id)
+                n_samp = _WAV_RATE // 20 + (i % 8) * _WAV_RATE // 50
+                t = np.arange(n_samp, dtype=np.float64) / _WAV_RATE
+                freq = 100.0 + (i % 40) * 10.0
+                amp = 0.0 if i % 7 == 3 else 0.1 + 0.8 * (i % 5) / 4.0
+                left = amp * np.sin(2 * np.pi * freq * t)
+                if i % 4 == 0:  # stereo: phase-shifted right channel
+                    right = amp * np.sin(2 * np.pi * freq * t + 1.0)
+                    samples = np.stack([left, right], axis=-1)
+                else:
+                    samples = left
+                payload = encode_wav(samples, rate=_WAV_RATE)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "payload": payload,
+                        "meta": {
+                            "mime": "audio/wav",
+                            "n_bytes": len(payload),
+                            "n_frames": n_samp,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    base = ids.toDF("id") if ids is not None else spark.range(n)
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode → featurize for audio: registered codec per mime,
+    then whole-signal numpy reductions (RMS, peak, zero-crossing rate)
+    — never per-sample Python. Duration comes from the WAV header
+    (wav_info), keeping the rate out of the codec's array contract."""
+    from pyanamo_spark.multimodal.wav import wav_info
+
+    for pdf in batches:
+        rows = []
+        for asset_id, payload, meta in zip(
+            pdf["asset_id"], pdf["payload"], pdf["meta"]
+        ):
+            if payload is None or meta["mime"] not in CODECS:
+                continue
+            raw = bytes(payload)
+            data = np.asarray(CODECS[meta["mime"]](raw), dtype=np.float64)
+            mono = data.mean(axis=1) if data.ndim == 2 else data
+            _nch, rate, n_frames = wav_info(raw)
+            signs = np.sign(mono[np.abs(mono) > 1e-12])
+            zc = int(np.count_nonzero(np.diff(signs))) if signs.size else 0
+            rows.append(
+                {
+                    "asset_id": asset_id,
+                    "channels": data.shape[1] if data.ndim == 2 else 1,
+                    "n_samples": n_frames,
+                    "duration": round(n_frames / rate, 6),
+                    "rms": round(float(np.sqrt(np.mean(mono**2))), 6)
+                    if mono.size
+                    else 0.0,
+                    "peak": round(float(np.max(np.abs(mono))), 6)
+                    if mono.size
+                    else 0.0,
+                    "zcr": round(zc / max(n_frames, 1), 6),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "channels",
+                "n_samples",
+                "duration",
+                "rms",
+                "peak",
+                "zcr",
+            ],
+        )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    return assets.mapInPandas(_audio_features, schema=AUDIO_FEATURE_SCHEMA)
+
+
+@register("q_audio_features", oracle=None)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio path on REAL samples: one generated WAV tone
+    per document row → stdlib decode → RMS/peak/zero-crossing
+    features. Rows-only (sample math is not SQL-expressible);
+    determinism, silent-asset zeros, and stereo handling are pinned in
+    tests/test_wav.py."""
+    ids = spark.table("documents").select("doc_id").limit(64)
+    return audio_features(synthetic_wav_assets(spark, ids=ids))
 
 
 @register("q_multimodal_decode", oracle=None)

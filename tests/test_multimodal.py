@@ -16,14 +16,15 @@ from pyanamo_spark.multimodal.pipeline import (
 from pyanamo_spark import semantics
 
 
-def test_png_always_decodes_others_stay_stubbed():
-    """image/png is always real (pure-Python codec backstop); formats
-    with no pure-Python route stay a clearly-marked stub unless their
-    optional library imports."""
+def test_png_wav_always_decode_others_stay_stubbed():
+    """image/png and audio/wav are always real (pure-Python / stdlib
+    codec backstops); formats with no pure-Python route (JPEG) stay a
+    clearly-marked stub unless their optional library imports."""
     import numpy as np
 
     from pyanamo_spark.multimodal.pipeline import CODECS
     from pyanamo_spark.multimodal.png import encode_png
+    from pyanamo_spark.multimodal.wav import encode_wav
 
     assert "image/png" in CODECS  # registered at import time
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
@@ -31,12 +32,18 @@ def test_png_always_decodes_others_stay_stubbed():
     assert arr.shape == (4, 4, 3)
     assert arr.ravel().tolist() == list(range(48))
 
+    assert "audio/wav" in CODECS  # stdlib-wave backstop
+    sig = decode_image(
+        encode_wav(np.zeros(16), rate=8000), "audio/wav"
+    )
+    assert sig.shape == (16,)
+
     try:
-        import soundfile  # noqa: F401
+        import PIL  # noqa: F401
     except ImportError:
-        assert "audio/wav" not in CODECS
+        assert "image/jpeg" not in CODECS
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF", "audio/wav")
+            decode_image(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_png_roundtrip_every_filter_and_shape():
