@@ -87,11 +87,14 @@ def bloom_prune(fact: DataFrame, key: str, words: DataFrame) -> DataFrame:
     One broadcast hash join per probe against the word table, each
     followed by a bit test — rows failing probe i never reach probe
     i+1, so the common (absent) case costs one probe. All probes are
-    scan-side: nothing here shuffles the fact."""
+    scan-side: nothing here shuffles the fact. The word table is
+    renamed ONCE outside the loop so all k probe joins share one
+    canonical subtree — ReuseExchange then builds/broadcasts the
+    Bloom words a single time instead of k times."""
+    w = words.withColumnRenamed("word", "_w").withColumnRenamed(
+        "bits", "_bits"
+    )
     for i in range(_K_PROBES):
-        w = words.withColumnRenamed("word", "_w").withColumnRenamed(
-            "bits", f"_bits{i}"
-        )
         pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_M_BITS))
         mask = F.expr(
             f"shiftleft(1L, cast(pmod(xxhash64({key}, {i}),"
@@ -100,8 +103,8 @@ def bloom_prune(fact: DataFrame, key: str, words: DataFrame) -> DataFrame:
         fact = (
             fact.withColumn("_w", F.shiftright(pos, 6))
             .join(F.broadcast(w), "_w")
-            .filter(mask.bitwiseAND(F.col(f"_bits{i}")) != 0)
-            .drop("_w", f"_bits{i}")
+            .filter(mask.bitwiseAND(F.col("_bits")) != 0)
+            .drop("_w", "_bits")
         )
     return fact
 

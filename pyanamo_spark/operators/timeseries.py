@@ -94,6 +94,11 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("value").alias("avg_value"),
             F.count("*").alias("n_events"),
         )
+        # grid-sized (series × slots); checkpointing it makes BOTH
+        # consumers (bounds→grid and the gap join) read the
+        # materialized buckets, so the raw fact is scanned once by
+        # construction instead of once per printed subtree copy
+        .localCheckpoint()
     )
     grid = (
         obs.groupBy(F.col("event_type").alias("g_type"))

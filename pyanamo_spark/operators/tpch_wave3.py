@@ -27,7 +27,7 @@ has no warehouse queries; BASELINE.json directs this extension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
@@ -74,15 +74,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: the supply relation is ONE map-side-combined aggregate
     of lineitem on (partkey, suppkey) — at 100 TB it collapses ~30
-    lines per pair before the only fact-sized shuffle. Everything
-    after runs on supply-sized data: the region filter arrives via a
-    broadcast of the (region-filtered) 100-ish-row supplier×nation dim,
-    the per-part MIN re-aggregates supply on partkey (second, far
-    smaller shuffle), and the winner join back to supply is on
-    (partkey, cents) — both sides already partitioned by partkey from
-    their shared parent, so AQE elides the exchange. The part filter
-    broadcasts. MIN-winner selection is on integer cents → ties are
-    exact and both engines return the identical winner set."""
+    lines per pair before the only fact-sized shuffle, and the fact is
+    scanned exactly once. The region filter arrives via a broadcast of
+    the (region-filtered) 100-ish-row supplier×nation dim; the winner
+    selection is a MIN window over partkey on the supply-sized rows
+    (one supply-sized shuffle — NOT the classic aggregate-then-
+    self-join, which would print the fact aggregation twice and bet on
+    ReuseExchange to avoid a second scan). The part filter broadcasts.
+    MIN-winner selection is on integer cents → ties are exact and both
+    engines return the identical winner set."""
     li = spark.table("lineitem")
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
@@ -110,18 +110,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = supply.join(
         F.broadcast(eu_supp), supply.l_suppkey == eu_supp.s_suppkey
     )
-    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_cents").alias("best_cents")
-    )
+    best = F.min("unit_cents").over(Window.partitionBy("l_partkey"))
     parts = spark.table("part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
     )
     return (
-        eligible.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_cents") == F.col("best_cents")),
-        )
+        eligible.withColumn("best_cents", best)
+        .filter(F.col("unit_cents") == F.col("best_cents"))
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_name",
@@ -166,9 +161,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: nation filter broadcasts into the lineitem scan (100 →
     4 suppliers), so the only fact shuffle is the partkey aggregate of
     the ~1/25 surviving lines, with map-side partial combine. The
-    global total is a second aggregation OF THE AGGREGATE (parts-sized,
-    tiny) collected to a 1-row scalar and broadcast back as a literal
-    cross join — no second pass over the fact. The cut compares
+    parts-sized aggregate is localCheckpoint'ed so BOTH its consumers
+    (the 1-row global total and the filtered output) read the
+    materialized rows — the fact is scanned exactly once by
+    construction, not by hoping ReuseExchange dedups two printed
+    copies of the subtree. The total rides back as a broadcast cross
+    join — no second pass over the fact. The cut compares
     integers only: v_cents * n_parts > 2 * t_cents, exact in BIGINT
     (t_cents ~ 1.8e12 at sf0.1 and n_parts ~ 2e4 → product ~ 3.6e16,
     three orders below 2^63; a 100 TB deployment re-scales cents to
@@ -192,6 +190,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_extendedprice") * 100).cast("long")
             ).alias("v_cents")
         )
+        .localCheckpoint()
     )
     tot = val.agg(
         F.sum("v_cents").alias("t_cents"), F.count("*").alias("n_parts")
@@ -297,12 +296,13 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: the part-name filter broadcasts into the lineitem scan
     together with the ship-year pushdown, so the single fact shuffle
     aggregates only matching-year lines of matching parts on
-    (partkey, suppkey). The per-part total re-aggregates THAT result on
-    partkey — child partitioning on (partkey, suppkey) means AQE keeps
-    it local — and the half-of-total join is supply-sized on partkey.
-    The dominant-supplier set dedups to ≤ |suppliers| keys and
-    broadcasts into the supplier semi-join. The 2*qty > total cut is
-    exact: quantities are integral doubles, sums stay below 2^53."""
+    (partkey, suppkey) — and the fact is scanned exactly once. The
+    per-part total is a SUM window over partkey on the supply-sized
+    aggregate (one supply-sized shuffle, replacing the aggregate-then-
+    self-join that would print the fact subtree twice). The
+    dominant-supplier set dedups to ≤ |suppliers| keys and broadcasts
+    into the supplier semi-join. The 2*qty > total cut is exact:
+    quantities are integral doubles, sums stay below 2^53."""
     small_parts = (
         spark.table("part")
         .filter(F.col("p_name").like("small%"))
@@ -318,11 +318,9 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    tot = ship.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("qty").alias("total_qty")
-    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        ship.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        ship.withColumn("total_qty", total)
         .filter(2 * F.col("qty") > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()

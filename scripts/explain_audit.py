@@ -115,6 +115,28 @@ EXCHANGE_BUDGET = {
     "q_mixture_weights": 4,  # source count agg (two-phase) + the
     # global-partition window over the SOURCES-sized aggregate — the
     # single-partition exchange holds ~|sources| rows, never data
+    "q_bloom_join": 12,  # the Bloom word-table subtree is PRINTED once
+    # per probe (k=3); the copies canonicalize identically so
+    # ReuseExchange builds/broadcasts it once at runtime (verified:
+    # executedPlan shows 2 ReusedExchange). Live profile: word agg,
+    # the forced sort-merge join's two sides, final 3-group agg — the
+    # fact shuffles only Bloom survivors
+    "q_salted_join": 6,  # the DEMO forces a sort-merge join (its two
+    # shuffle sides carry (key, salt)) + the two-phase final segment
+    # aggregation; with broadcast allowed the salt demo would be
+    # vacuous
+    "q_min_cost_supplier": 4,  # single fact aggregate on (partkey,
+    # suppkey) + the supply-sized MIN-winner window repartition on
+    # partkey + the final two-phase agg; dims all broadcast
+    "q_excess_suppliers": 6,  # single fact aggregate + supply-sized
+    # half-of-total window on partkey + dominant-supplier distinct
+    # (two-phase) riding back as a semi-join broadcast
+    "q_important_stock": 4,  # single fact aggregate checkpointed
+    # parts-sized; the 1-row total and the threshold filter both read
+    # the materialized rows (no second fact pass)
+    "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
+    # generation, gap join, and LOCF window all run on the
+    # materialized buckets (series-partitioned window, slots-bounded)
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
