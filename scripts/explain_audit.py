@@ -137,6 +137,11 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_error_context": 4,  # count(distinct action) alongside the pair
+    # count plans as the two-phase distinct rewrite (q_text_stats
+    # precedent) after the interval join; at fixture scale the errors
+    # side auto-broadcasts, at 100 TB both sides shuffle on user_id
+    # once — the streaming twin bounds the same state by watermark
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
