@@ -176,6 +176,95 @@ def train_bpe(
     return merges
 
 
+def encode_bpe(
+    corpus: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply a trained merge table to the corpus: per doc, the token
+    count, word count, and mean token length after all merges — the
+    tokenizer-apply pass a training pipeline runs over every shard.
+
+    Scale shape (the apply pass is corpus-sized, so it must stay
+    JVM-side and touch each DISTINCT word once):
+
+    - tokenize once per distinct (doc-independent) word: the corpus
+      collapses to a (word, n_occurrences-per-doc) table, the merge
+      folds run over the DISTINCT word spelling only, and the per-doc
+      stats re-aggregate the joined counts — a web corpus has orders
+      of magnitude fewer distinct words than word occurrences
+    - the merge application is the SAME codegen'd higher-order fold as
+      training's ``_merge_pair``, chained once per merge in rank order
+      (greedy left-to-right per pass, matching the trainer exactly) —
+      no Python in the scan
+    - the (word ↔ doc) join shuffles only (doc_id, word-hash, counts);
+      distinct-word token arrays never leave their aggregation
+    """
+    words = (
+        corpus.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    distinct_words = words.select("w").distinct().select(
+        "w",
+        F.filter(F.split("w", ""), lambda s: s != F.lit("")).alias(
+            "symbols"
+        ),
+    )
+    encoded = distinct_words
+    for _rank, a, b, _n in merges:
+        la, lb = F.lit(a), F.lit(b)
+        fold = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        encoded = encoded.select("w", fold.alias("symbols"))
+    per_word = encoded.select(
+        "w",
+        F.size("symbols").alias("n_word_tokens"),
+        F.aggregate(
+            "symbols", F.lit(0), lambda acc, s: acc + F.length(s)
+        ).alias("n_word_chars"),
+    )
+    return (
+        words.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n_occ") * F.col("n_word_tokens")).alias(
+                "n_tokens"
+            ),
+            F.sum("n_occ").alias("n_words"),
+            F.round(
+                F.sum(F.col("n_occ") * F.col("n_word_chars"))
+                / F.sum(F.col("n_occ") * F.col("n_word_tokens")),
+                4,
+            ).alias("mean_token_len"),
+        )
+    )
+
+
+@register("q_bpe_encode", oracle=None)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: learn {N_MERGES} merges on the documents
+    table, then encode the same corpus and report per-doc token
+    stats. Rows-only (greedy merge application is not
+    SQL-expressible); tests/test_bpe.py pins the JVM fold encoding
+    equal to a pure-Python greedy encoder under the same merges."""
+    docs = spark.table("documents").filter(F.col("text").isNotNull())
+    merges = train_bpe(docs)
+    return encode_bpe(docs, merges)
+
+
 @register("q_bpe_train", oracle=None)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE merge table after {N_MERGES} rounds over the documents

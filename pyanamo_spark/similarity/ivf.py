@@ -167,6 +167,46 @@ def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def append_to_index(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> dict[int, int]:
+    """Incrementally add vectors to a stored IVF index WITHOUT a
+    rebuild: assign against the FROZEN stored centroids, append into
+    the centroid-partitioned lists. New vectors are visible to the
+    next ``search_index`` call (partition pruning is unchanged — the
+    appended files land inside existing centroid_id partitions, or
+    create new ones only if a list was previously empty).
+
+    ``vectors`` must carry the lists' base columns (vec_id, embedding,
+    label) so appended parquet files share the schema.
+
+    Returns {centroid_id: n_appended} — the caller's rebuild signal:
+    because centroids are frozen, a drifting corpus degrades recall by
+    IMBALANCE first (hot lists grow, probes scan more than
+    1/N_CENTROIDS of the corpus), so monitor the running list sizes
+    and re-run ``write_index`` when the largest list exceeds a few
+    multiples of the mean. This is the FAISS/IVF operational contract:
+    cheap adds between periodic re-trains."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    v = vectors.withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    assignments = _nearest(v, centroids, 1)
+    appended = v.join(assignments, "vec_id")
+    (
+        appended.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/lists")
+    )
+    return {
+        r.centroid_id: r.n
+        for r in assignments.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
 def search_index(
     spark: SparkSession,
     index_dir: str,

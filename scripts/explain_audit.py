@@ -137,6 +137,12 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_bpe_encode": 6,  # (doc, word) count agg + distinct-word agg
+    # (each genuinely two-phase) + the final per-doc stats agg; the
+    # chained merge folds are all inside the distinct-word projection
+    # — token arrays never shuffle, and at fixture scale the encoded
+    # word table broadcasts back (at 100 TB it shuffle-joins on the
+    # word key, still only (doc_id, word, counts) rows)
     "q_error_context": 4,  # count(distinct action) alongside the pair
     # count plans as the two-phase distinct rewrite (q_text_stats
     # precedent) after the interval join; at fixture scale the errors

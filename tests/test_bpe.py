@@ -92,3 +92,55 @@ def test_word_vocab_weights(spark):
         for r in word_vocab(df).collect()
     }
     assert rows == {("a", "b"): 3, ("c", "d"): 1}
+
+
+def _py_encode(word: str, merges) -> list[str]:
+    """Independent greedy encoder: apply each merge rank in order,
+    one left-to-right pass per rank (the trainer's semantics)."""
+    out = list(word)
+    for _rank, a, b, _n in merges:
+        new: list[str] = []
+        for s in out:
+            if new and new[-1] == a and s == b:
+                new[-1] = a + b
+            else:
+                new.append(s)
+        out = new
+    return out
+
+
+def test_encode_matches_pure_python(spark):
+    from pyanamo_spark.functions.bpe import encode_bpe, train_bpe
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "wide wider widest lowest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=6)
+    assert merges, "fixture corpus must produce merges"
+    got = {
+        r.doc_id: (r.n_tokens, r.n_words, r.mean_token_len)
+        for r in encode_bpe(docs, merges).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        toks = [t for w in words for t in _py_encode(w, merges)]
+        want[doc_id] = (
+            len(toks),
+            len(words),
+            round(sum(len(t) for t in toks) / len(toks), 4),
+        )
+    assert got == want
+
+
+def test_encode_no_merges_is_char_count(spark):
+    from pyanamo_spark.functions.bpe import encode_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab cde")], "doc_id long, text string"
+    )
+    r = encode_bpe(docs, []).collect()[0]
+    assert (r.n_tokens, r.n_words, r.mean_token_len) == (5, 2, 1.0)

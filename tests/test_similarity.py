@@ -174,3 +174,64 @@ def test_source_similarity_matches_numpy(spark, sf_dir):
         ma, mb = means[sa], means[sb]
         ref = float(ma @ mb / np.sqrt((ma @ ma) * (mb @ mb)))
         assert abs(cs - ref) < 5e-4, (sa, sb)
+
+
+def test_append_to_index_matches_one_shot_build(spark, sf_dir, tmp_path):
+    """Incremental adds against frozen centroids: (base index + append)
+    must search IDENTICALLY to lists written one-shot from the same
+    centroids over the full corpus — and an appended vector must be
+    findable as its own nearest neighbor."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.similarity.ivf import (
+        _nearest,
+        append_to_index,
+        dot,
+        search_index,
+        write_index,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    full = spark.table("embeddings")
+    base = full.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") < 32))
+    extra = full.subtract(base)
+    assert extra.count() > 0
+
+    # base-only corpus view -> build + persist
+    inc_dir = str(tmp_path / "ivf_inc")
+    base.createOrReplaceTempView("embeddings")
+    try:
+        write_index(spark, inc_dir, iters=3)
+    finally:
+        semantics.ensure_views(spark, sf_dir)  # restore the full view
+    counts = append_to_index(spark, inc_dir, extra)
+    assert sum(counts.values()) == extra.count()
+
+    # one-shot comparison index: same frozen centroids, full corpus
+    ref_dir = str(tmp_path / "ivf_ref")
+    centroids = spark.read.parquet(f"{inc_dir}/centroids")
+    v = full.withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    (
+        v.join(_nearest(v, centroids, 1), "vec_id")
+        .repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .parquet(f"{ref_dir}/lists")
+    )
+    centroids.write.parquet(f"{ref_dir}/centroids")
+
+    queries = full.filter(F.col("vec_id").isin(3, 40, 100))
+    got = sorted(
+        map(tuple, search_index(spark, inc_dir, queries).collect())
+    )
+    want = sorted(
+        map(tuple, search_index(spark, ref_dir, queries).collect())
+    )
+    assert got == want
+
+    # an appended vector is retrievable as its own top hit
+    probe_id = extra.select(F.max("vec_id")).first()[0]
+    probe = full.filter(F.col("vec_id") == probe_id)
+    hits = search_index(spark, inc_dir, probe).collect()
+    top = min(hits, key=lambda r: r.rnk)
+    assert top.vec_id == probe_id and abs(top.cos_sim - 1.0) < 1e-6
