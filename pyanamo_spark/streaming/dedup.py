@@ -21,9 +21,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from pyanamo_spark.dedup.incremental import accept_batch
+from pyanamo_spark.streaming.monitor import normalize_event_time
 
 
 def dedup_sink(store_dir: str):
@@ -61,4 +63,50 @@ def streaming_dedup(
             "checkpointLocation", os.path.join(store_dir, "_checkpoint")
         )
         .start()
+    )
+
+
+def windowed_dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """In-stream exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time — the native operator
+    for "duplicates arrive close together" (at-least-once sources,
+    retried producers), where the store-based ledger above would be
+    overkill.
+
+    The two dedup modes split cleanly by duplicate-arrival bound:
+    unbounded duplicate lag → fingerprint store (state parked in
+    parquet); bounded lag → this operator (state evicted by
+    watermark, no store to manage). Emits first-seen rows per
+    (user_id, event_type, ts) key in append mode."""
+    ev = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+def batch_windowed_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch twin of ``windowed_dedup_stream``: one survivor per
+    (user_id, event_type, ts) key — min event_id, the deterministic
+    keeper. The stream keeps the first ARRIVAL (partition-order
+    dependent within a micro-batch), so stream/batch agree on the
+    SURVIVOR KEY SET and count; keeper identity is only pinned on the
+    batch side."""
+    ev = spark.read.parquet(events_dir)
+    w_min = F.min("event_id").over(
+        Window.partitionBy("user_id", "event_type", "ts")
+    )
+    return (
+        ev.withColumn("_keep", w_min)
+        .filter(F.col("event_id") == F.col("_keep"))
+        .select("event_id", "user_id", "event_type", "ts", "value")
     )

@@ -63,3 +63,48 @@ def test_epoch_replay_is_noop(spark, sf_dir, tmp_path):
     before = accepted_corpus(spark, store).count()
     sink(docs, 3)  # replay of the same epoch
     assert accepted_corpus(spark, store).count() == before
+
+
+def test_windowed_dedup_drops_close_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: planted duplicates (same user/
+    type/ts, new event_id) are removed; drained survivors == the batch
+    min-id keeper over the same directory."""
+    from pyspark.sql import functions as F
+
+    from pyanamo_spark.streaming.dedup import (
+        batch_windowed_dedup,
+        windowed_dedup_stream,
+    )
+
+    events_dir = str(tmp_path / "events_dd")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dupes = base.limit(50).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    base.unionByName(dupes).coalesce(1).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    q = (
+        windowed_dedup_stream(spark, events_dir, schema)
+        .writeStream.format("memory")
+        .queryName("dd_within")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.table("dd_within").collect()
+    }
+    want_keys = {
+        (r.user_id, r.event_type, r.ts)
+        for r in batch_windowed_dedup(spark, events_dir).collect()
+    }
+    n_base = base.count()
+    # every key survives exactly once; planted duplicates are gone
+    assert spark.table("dd_within").count() == n_base
+    assert got == want_keys
