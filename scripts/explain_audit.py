@@ -137,6 +137,10 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_snapshot_diff": 4,  # CDC's full-outer join cannot broadcast
+    # either side by semantics — its two key exchanges are the plan;
+    # the derived "new" state is a union read off the same scan (the
+    # demo's construction, not the operator's cost)
     "q_bpe_encode": 6,  # (doc, word) count agg + distinct-word agg
     # (each genuinely two-phase) + the final per-doc stats agg; the
     # chained merge folds are all inside the distinct-word projection

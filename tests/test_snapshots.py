@@ -134,3 +134,39 @@ def test_merge_upsert_commit_write_path(spark, tmp_path):
     assert {
         r.itemID for r in snapshot_read(spark, d, version=1).collect()
     } == {"a", "b"}
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """Commit v1, commit a mutated v2, diff v1->v2: exactly the
+    planted insert/delete/update keys come back, unchanged keys don't,
+    and a same-key null payload transition counts as an update."""
+    from pyspark.sql import functions as F
+
+    from pyanamo_spark.sources.snapshots import (
+        snapshot_commit,
+        snapshot_diff,
+    )
+
+    table = str(tmp_path / "tbl")
+    v1_rows = [(1, "a"), (2, "b"), (3, None), (4, "d")]
+    v1 = spark.createDataFrame(v1_rows, "k long, payload string")
+    assert snapshot_commit(spark, table, v1) == 1
+    # v2: delete 4, update 1, null->value on 3, key 2 unchanged, add 5
+    v2 = spark.createDataFrame(
+        [(1, "A"), (2, "b"), (3, "now-set"), (5, "e")],
+        "k long, payload string",
+    )
+    assert snapshot_commit(spark, table, v2) == 2
+    got = {
+        (r.change, r.k)
+        for r in snapshot_diff(spark, table, ["k"], 1, 2).collect()
+    }
+    assert got == {
+        ("update", 1),
+        ("update", 3),
+        ("delete", 4),
+        ("insert", 5),
+    }
+    # identical versions diff to nothing
+    assert snapshot_commit(spark, table, v2) == 3
+    assert snapshot_diff(spark, table, ["k"], 2, 3).count() == 0
