@@ -113,3 +113,34 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+         AS grouping_lvl,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 explicit GROUPING SETS — the non-hierarchical level list
+    neither rollup nor cube expresses (each single-column marginal +
+    grand total, WITHOUT the (status, priority) cross level), plus
+    ``grouping_id`` to disambiguate a real NULL group key from a
+    superaggregate row. One pass: Spark plans the set list as a single
+    Expand + aggregation, so the fact is scanned once regardless of
+    how many sets are requested."""
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority)
+                    AS BIGINT) AS grouping_lvl,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

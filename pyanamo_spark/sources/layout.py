@@ -20,7 +20,10 @@ match the access path".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def cluster_write(
@@ -31,6 +34,82 @@ def cluster_write(
     (
         df.repartitionByRange(n_files, *cols)
         .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+#: interleave resolution: 16 bits per dimension → 32-bit Morton key
+_Z_BITS = 16
+
+
+def _morton(x: Column, y: Column) -> Column:
+    """Bit-interleave two _Z_BITS-bit non-negative ints (x even bits,
+    y odd) — pure shift/mask arithmetic, whole-stage codegen."""
+    parts = [
+        F.shiftleft(
+            F.shiftright(c, i).bitwiseAND(F.lit(1)), 2 * i + off
+        )
+        for i in range(_Z_BITS)
+        for off, c in ((0, x), (1, y))
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+) -> None:
+    """TWO-dimensional clustering (Delta/Iceberg ``ZORDER BY (x, y)``
+    analogue): rows sort by the Morton interleave of both columns, so
+    every output file covers a COMPACT 2-D region and the parquet
+    footer min/max of BOTH columns is narrow — a selective filter on
+    either column (or both) skips most files.
+
+    Contrast with ``cluster_write([x, y])``: lexicographic ranges make
+    x-ranges disjoint but leave each file's y-range near-global — the
+    second clustering column gets no file-skipping at all. The
+    interleave trades a little x-locality for locality in both.
+
+    Mechanics: both columns min-max-scale to [0, 2^bits) off a 1-row
+    global aggregate (broadcast back, no second pass), the Morton key
+    is shift/mask codegen, and the write is the same
+    repartitionByRange + in-file sort as ``cluster_write`` on the key.
+    One shuffle total."""
+    bounds = df.agg(
+        F.min(col_x).alias("_xlo"),
+        F.max(col_x).alias("_xhi"),
+        F.min(col_y).alias("_ylo"),
+        F.max(col_y).alias("_yhi"),
+    )
+    top = F.lit((1 << _Z_BITS) - 1)
+
+    def scale(c: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        return F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(
+                top,
+                F.floor(
+                    (F.col(c) - F.col(lo))
+                    / span
+                    * (1 << _Z_BITS)
+                ).cast("long"),
+            )
+        )
+
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        _morton(
+            scale(col_x, "_xlo", "_xhi"), scale(col_y, "_ylo", "_yhi")
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
         .write.mode("overwrite")
         .parquet(path)
     )

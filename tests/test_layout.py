@@ -48,3 +48,50 @@ def test_unclustered_layout_has_overlapping_ranges(spark, sf_dir, tmp_path):
     )
     # round-robin repartition: essentially every pair overlaps
     assert overlaps >= len(ranges)
+
+
+def test_zorder_write_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Morton clustering on (orderkey, partkey): per-file footer
+    ranges are narrow for BOTH columns, while lexicographic
+    cluster_write on [x, y] leaves y near-global per file; content
+    survives exactly."""
+    from pyanamo_spark.sources.layout import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "li_z")
+    ldir = str(tmp_path / "li_lex")
+    zorder_write(li, zdir, "l_orderkey", "l_partkey", n_files=16)
+    cluster_write(li, ldir, ["l_orderkey", "l_partkey"], n_files=16)
+
+    def avg_width(path, col):
+        ranges = file_column_ranges(path, col)
+        assert ranges
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    glob_x = li.selectExpr(
+        "max(l_orderkey) - min(l_orderkey)"
+    ).first()[0]
+    glob_y = li.selectExpr(
+        "max(l_partkey) - min(l_partkey)"
+    ).first()[0]
+
+    # z-order: both dimensions clustered well below global width
+    assert avg_width(zdir, "l_orderkey") < 0.55 * glob_x
+    assert avg_width(zdir, "l_partkey") < 0.55 * glob_y
+    # lexicographic control: x is tight but y is near-global
+    assert avg_width(ldir, "l_orderkey") < 0.3 * glob_x
+    assert avg_width(ldir, "l_partkey") > 0.8 * glob_y
+    # and z-order's y-width beats the control's by a wide margin
+    assert avg_width(zdir, "l_partkey") < 0.7 * avg_width(
+        ldir, "l_partkey"
+    )
+
+    # exact content preservation
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert (
+        back.selectExpr("sum(l_orderkey * 37 + l_partkey)").first()[0]
+        == li.selectExpr("sum(l_orderkey * 37 + l_partkey)").first()[0]
+    )
