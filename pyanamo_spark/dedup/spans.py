@@ -311,3 +311,73 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans shared per source pair — the syndication/leakage report that
     tells a curation pipeline which sources duplicate each other."""
     return source_overlap(spark.table("documents"))
+
+
+#: HLL precision: rank error ≈ 1.04/√2^lgk ≈ 0.8% at 14. The
+#: inclusion-exclusion subtraction sees the error of THREE estimates,
+#: each proportional to the SET sizes (not the overlap) — so small
+#: overlaps between big sources carry absolute error ~2.5% of
+#: |A|+|B|. Sketch size 16 KiB/source at 14; raise lgk for tighter
+#: triage, or hand hot pairs to the exact matrix.
+_OVERLAP_LGK = 14
+
+
+def source_overlap_estimate(corpus: DataFrame) -> DataFrame:
+    """Sketch-based overlap matrix — the 100 TB path for
+    ``source_overlap``. The exact form's pair join fans every shared
+    digest out per source pair; at petabyte scale the digest table
+    itself is the cost. This variant reduces each source to ONE
+    mergeable HLL sketch (Spark 4's native datasketches aggregate) in
+    a single map-side-combined pass, then estimates pair overlap by
+    inclusion-exclusion (|A∩B| = |A| + |B| − |A∪B|) over the
+    sources-sized sketch table.
+
+    Everything after the one corpus pass is catalog-sized: C(n,2)
+    pairs × a few-KB sketches. Error is the HLL rank error (~1.6% at
+    lgk=12) amplified by the subtraction — fine for the syndication
+    triage this feeds (which pairs deserve the exact report), wrong
+    tool for exact dedup accounting (that stays ``source_overlap``).
+    """
+    words = corpus.select("source", F.split("text", " ").alias("_w"))
+    gs = words.select(
+        "source", F.explode(gram_array()).alias("gram")
+    ).select("source", F.md5("gram").alias("gram_hash"))
+    sk = gs.groupBy("source").agg(
+        F.hll_sketch_agg("gram_hash", F.lit(_OVERLAP_LGK)).alias("sk"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("gram_hash", F.lit(_OVERLAP_LGK))
+        ).alias("n_est"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.col("a.n_est")
+                    + F.col("b.n_est")
+                    - F.hll_sketch_estimate(
+                        F.hll_union(F.col("a.sk"), F.col("b.sk"))
+                    )
+                ),
+            ).alias("est_shared_grams"),
+        )
+    )
+
+
+@register("q_overlap_estimate", oracle=None)
+def q_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated cross-source span overlap (HLL
+    inclusion-exclusion) — rows-only (estimates are
+    sketch-randomized across engines); tests/test_spans_lines.py pins
+    each estimate within tolerance of the exact matrix."""
+    est = source_overlap_estimate(spark.table("documents"))
+    return est.select(
+        "source_a",
+        "source_b",
+        F.round("est_shared_grams", 1).alias("est_shared_grams"),
+    )

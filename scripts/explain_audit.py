@@ -137,6 +137,11 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_overlap_estimate": 4,  # the per-source sketch subtree is
+    # PRINTED twice (sketch + its own cardinality estimate) and the
+    # cross-join sides canonicalize identically (ReuseExchange dedups
+    # at runtime); live: one corpus-pass sketch aggregation, then a
+    # C(n,2) pair matrix over the SOURCES-sized sketch table
     "q_snapshot_diff": 4,  # CDC's full-outer join cannot broadcast
     # either side by semantics — its two key exchanges are the plan;
     # the derived "new" state is a union read off the same scan (the

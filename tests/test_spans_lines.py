@@ -247,3 +247,44 @@ def test_dup_passages_randomized_brute_force(spark):
             ).collect()
         }
         assert got == brute(docs, 3), seed
+
+
+def test_overlap_estimate_tracks_exact_matrix(spark, sf_dir):
+    """HLL inclusion-exclusion estimates stay within sketch tolerance
+    of the exact shared-gram counts for every source pair (error is
+    ~1.6% of the UNION size, amplified by the subtraction — bound it
+    by a few percent of the larger source)."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.spans import (
+        source_overlap,
+        source_overlap_estimate,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    exact = {
+        (r.source_a, r.source_b): r.n_shared_grams
+        for r in source_overlap(docs).collect()
+    }
+    sizes = {
+        r.source: r.n
+        for r in docs.selectExpr(
+            "source", "explode(split(text, ' ')) AS w"
+        )
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.est_shared_grams
+        for r in source_overlap_estimate(docs).collect()
+    }
+    # every exact pair is present in the estimate matrix
+    assert set(exact) <= set(est)
+    for pair, e in est.items():
+        x = exact.get(pair, 0)
+        # three ±0.8% estimates (lgk=14) feed the subtraction, each
+        # proportional to SET size: bound by ~2.5% of |A|+|B|
+        tol = 0.025 * (sizes.get(pair[0], 0) + sizes.get(pair[1], 0)) + 5
+        assert abs(e - x) <= tol, (pair, e, x, tol)
