@@ -137,6 +137,12 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_contrastive_pairs": 10,  # checkpointed positive pairs feed the
+    # slot fan-out + both anti-join orientations without re-running
+    # the LSH pipeline; live shuffles: band self-join (2, band-id
+    # rows), shingle join-backs on doc_id (2), rank-table range
+    # exchange, negative-rank join, accidental-positive anti-join —
+    # each exchanged row is ids/digests, never document text
     "q_overlap_estimate": 4,  # the per-source sketch subtree is
     # PRINTED twice (sketch + its own cardinality estimate) and the
     # cross-join sides canonicalize identically (ReuseExchange dedups

@@ -33,6 +33,7 @@ NONEMPTY_ON_EMPTY = {
     "q_ingest_csv",  # ingests its own literal CSV; corpus-independent
     "q_curation_funnel",  # funnel report: 5 stage rows of zeros
     "q_table_stats",  # ANALYZE report: one zero-count row per column
+    "q_validate",  # constraint report: one all-pass row per rule
 }
 
 
