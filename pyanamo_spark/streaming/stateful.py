@@ -73,3 +73,84 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state v2) twin
+# ---------------------------------------------------------------------------
+
+
+def make_running_totals_processor(ttl_ms: int | None = None):
+    """Factory returning a StatefulProcessor (imported lazily so the
+    module stays importable on Spark versions without the v2 API)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n, total, last = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last = max(last, int(pdf["event_id"].max()))
+            self._totals.update((n, round(total, 6), last))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "total_value": round(total, 6),
+                        "last_event_id": last,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals_v2(
+    spark: SparkSession, events_path: str, schema
+) -> DataFrame:
+    """``running_user_totals`` on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state v2 operator (typed ValueState/ListState/
+    MapState handles, per-state TTL, timers). Semantics are pinned
+    identical to the v1 operator and the batch aggregate in
+    tests/test_stateful_streaming.py; the state store layout is the
+    same user_id-partitioned RocksDB-backed store, so the scale
+    contract (bounded per-key state, checkpointable, executor-
+    partitioned) carries over unchanged.
+
+    Runtime requirements (v2 runner): the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` (the runner's state channel) — the latter is
+    absent in this container, so the equivalence test import-skips;
+    the operator itself builds its plan without it and runs where
+    protobuf is installed."""
+    from pyanamo_spark.streaming.monitor import normalize_event_time
+
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(events_path)
+    )
+    return (
+        stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_running_totals_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

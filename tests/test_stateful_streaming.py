@@ -85,3 +85,98 @@ def test_foreachbatch_sink_router_integration(spark, tmp_path):
     cw = spark.read.parquet(paths["cloudwatch"])
     row = cw.collect()[0]
     assert row.itemID == "i2" and row.salvaged == "keep"
+
+
+def test_v2_transform_with_state_matches_v1_and_batch(
+    spark, sf_dir, tmp_path
+):
+    """The transformWithStateInPandas (arbitrary-state v2) operator
+    produces the same per-user totals as the v1 applyInPandasWithState
+    operator and the batch aggregate — across an incremental two-file
+    arrival where cross-batch state must carry.
+
+    The v2 Python runner ships state over a protobuf channel, so the
+    test (like the operator) needs google.protobuf — absent in this
+    container; the operator stays import-clean and the plan builds,
+    only execution needs the dependency."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyanamo_spark.streaming.stateful import running_user_totals_v2
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_dir = str(tmp_path / "events_v2")
+    ck = str(tmp_path / "ck_v2")
+    half = events.approxQuantile("event_id", [0.5], 0.001)[0]
+    events.filter(F.col("event_id") <= half).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    latest: dict = {}
+
+    def drain():
+        def sink(batch, _id):
+            for r in batch.collect():
+                latest[r.user_id] = (
+                    r.n_events,
+                    round(r.total_value, 4),
+                    r.last_event_id,
+                )
+
+        q = (
+            running_user_totals_v2(spark, events_dir, schema)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    events.filter(F.col("event_id") > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    drain()
+
+    expected = {
+        r.user_id: (r.n, round(r.total, 4), r.last)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert latest == expected
+
+
+def test_v2_plan_builds_without_protobuf(spark, sf_dir, tmp_path):
+    """Plan construction (analysis) for the v2 operator needs no
+    optional dependency — only execution does. Guards against the
+    operator regressing into an import-time protobuf requirement."""
+    from pyanamo_spark.streaming.stateful import running_user_totals_v2
+
+    events_dir = str(tmp_path / "events_v2_plan")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(
+        events_dir
+    )
+    df = running_user_totals_v2(
+        spark, events_dir, spark.read.parquet(events_dir).schema
+    )
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "last_event_id",
+    ]
