@@ -1,0 +1,170 @@
+"""Monitoring analytics: rolling-band anomaly detection and cohort
+retention — the two reports the reference's polling monitors gesture
+at (manager.py's count sweeps) but cannot compute from point-in-time
+counts alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+#: rolling window: this many PRIOR slots form the expectation band
+ANOMALY_LOOKBACK = 8
+#: flag threshold in rolling-sigma units
+ANOMALY_K = 3.0
+
+
+@register(
+    "q_anomaly",
+    oracle=f"""
+WITH slots AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 HOUR, ts) AS slot,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+banded AS (
+  SELECT event_type, slot, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sigma,
+         COUNT(*) OVER w AS n_prior
+  FROM slots
+  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING
+                        AND 1 PRECEDING)
+)
+SELECT event_type, slot, n,
+       ROUND(mu, 4) AS expected,
+       ROUND(ABS(n - mu) / sigma, 4) AS z
+FROM banded
+WHERE n_prior = {ANOMALY_LOOKBACK}
+  AND sigma > 0
+  AND ABS(n - mu) / sigma > {ANOMALY_K}
+""",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-band anomaly detection: hourly per-type event counts
+    flagged when they sit more than {ANOMALY_K} rolling sigmas from
+    the trailing-{ANOMALY_LOOKBACK}-slot mean (slots with a full
+    trailing window and non-degenerate sigma only) — the alert rule a
+    monitoring deployment runs on the resampled series.
+
+    Scale shape: the fact collapses to (series × slots) in ONE
+    map-side-combined aggregation; the rolling window runs on that
+    grid partitioned by series — bounded by span/step per series, the
+    q_resample contract. Epoch-aligned hour buckets keep both engines
+    on identical slots; the z-expression is arithmetic on the same
+    doubles both sides."""
+    slots = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.window(F.col("ts").cast("timestamp"), "1 hour")[
+                "start"
+            ].alias("slot"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    banded = slots.select(
+        "event_type",
+        "slot",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    z = F.abs(F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        banded.filter(
+            (F.col("n_prior") == ANOMALY_LOOKBACK)
+            & (F.col("sigma") > 0)
+            & (z > ANOMALY_K)
+        )
+        .select(
+            "event_type",
+            "slot",
+            "n",
+            F.round("mu", 4).alias("expected"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT a.cohort_day, a.day_offset,
+       COUNT(*) AS n_active,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 4) AS retention
+FROM activity a JOIN sizes s ON s.cohort_day = a.cohort_day
+WHERE a.day_offset <= 14
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, and
+    for each day offset (0..14) the count and share of the cohort
+    active that day — THE longitudinal engagement report.
+
+    Scale shape: first-seen is one user-keyed aggregate; activity
+    dedups to (user, day) rows (map-side distinct partials); the
+    cohort join is user-keyed on already-aggregated rows, and cohort
+    sizes ride back as a broadcast onto the cohort×offset-sized
+    result. Nothing fact-sized shuffles twice."""
+    days = spark.table("events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    # users-sized; BOTH consumers (activity join, cohort sizes) read
+    # the materialized rows — one fact scan by construction
+    firsts = (
+        days.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint()
+    )
+    activity = (
+        days.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 14)
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"),
+                4,
+            ).alias("retention"),
+        )
+    )

@@ -176,6 +176,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.cdc  # noqa: F401
     import pyanamo_spark.operators.contrastive  # noqa: F401
     import pyanamo_spark.operators.temporal  # noqa: F401
+    import pyanamo_spark.operators.cohort  # noqa: F401
     import pyanamo_spark.operators.advanced  # noqa: F401
     import pyanamo_spark.operators.curation  # noqa: F401
     import pyanamo_spark.operators.packing  # noqa: F401

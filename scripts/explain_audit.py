@@ -137,6 +137,12 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_anomaly": 4,  # fact→(series, slot) two-phase aggregation +
+    # the grid-sized rolling-window repartition on series — the
+    # q_resample shape with a band filter on top
+    "q_retention": 6,  # user-keyed first-seen agg (checkpointed
+    # users-sized, feeds both consumers), (user, day) distinct
+    # two-phase, cohort×offset agg; cohort sizes broadcast back
     "q_contrastive_pairs": 10,  # checkpointed positive pairs feed the
     # slot fan-out + both anti-join orientations without re-running
     # the LSH pipeline; live shuffles: band self-join (2, band-id
