@@ -168,3 +168,68 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY 1
+),
+lat AS (
+  SELECT epoch(t_buy) - epoch(t_view) AS secs
+  FROM firsts
+  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(secs, 0.5), 4) AS p50_secs,
+       ROUND(quantile_cont(secs, 0.9), 4) AS p90_secs
+FROM lat
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles: seconds from a user's first view
+    to their first purchase (users whose first purchase follows their
+    first view), p50/p90 exact — the funnel report's missing HOW-LONG
+    axis.
+
+    Scale shape: first-touch timestamps fold in ONE user-keyed
+    conditional-MIN aggregation (map-side combined); latencies are a
+    users-sized frame, and the percentiles run through the
+    bounded-memory exact machinery (functions/quantiles.py, empty
+    group list) — no percentile aggregation buffer holds the latency
+    set even when "users-sized" means billions."""
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+
+    ev = spark.table("events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    lat = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("t_buy").cast("timestamp"))
+            - F.unix_micros(F.col("t_view").cast("timestamp"))
+        ).cast("double").alias("secs_us")
+    ).select((F.col("secs_us") / 1e6).alias("secs"))
+    lat = lat.localCheckpoint()  # two consumers: count + percentile fit
+    pct = exact_group_percentiles(
+        lat, [], "secs", {"p50_secs": 0.5, "p90_secs": 0.9}
+    )
+    n = lat.agg(F.count("*").alias("n_converted"))
+    return n.crossJoin(F.broadcast(pct)).select(
+        "n_converted",
+        F.round("p50_secs", 4).alias("p50_secs"),
+        F.round("p90_secs", 4).alias("p90_secs"),
+    )

@@ -137,6 +137,11 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_funnel_latency": 12,  # the bounded-memory percentile fit's
+    # inherent multi-pass shape (sketch bracket agg + fused verify,
+    # cf. q_percentiles) over the CHECKPOINTED users-sized latency
+    # frame, plus the 1-row count — the fact folds once into the
+    # first-touch aggregation; everything after is users-sized
     "q_anomaly": 4,  # fact→(series, slot) two-phase aggregation +
     # the grid-sized rolling-window repartition on series — the
     # q_resample shape with a band filter on top

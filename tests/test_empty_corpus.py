@@ -34,6 +34,7 @@ NONEMPTY_ON_EMPTY = {
     "q_curation_funnel",  # funnel report: 5 stage rows of zeros
     "q_table_stats",  # ANALYZE report: one zero-count row per column
     "q_validate",  # constraint report: one all-pass row per rule
+    "q_funnel_latency",  # 1-row report: zero conversions, null p50/p90
 }
 
 
