@@ -564,3 +564,39 @@ _ORACLES["q_curation_funnel"] = _ORACLES["q_curation_funnel"].format(
     qmin=FUNNEL_QUALITY_MIN,
     val_lo=_VAL_LO,
 )
+
+
+@register(
+    "q_group_split",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN substr(md5(source || ':gs'), 1, 1) < '{_VAL_LO}'
+            THEN 'train'
+            WHEN substr(md5(source || ':gs'), 1, 1) < '{_TEST_LO}'
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test assignment: the split key is the
+    SOURCE, not the document — every document of a source lands in the
+    same split (the GroupKFold discipline). Doc-keyed splitting leaks
+    near-duplicates and syndicated copies across the train/eval
+    boundary, because duplicates cluster within and across sources;
+    group-keying is the standard defense (and composes with
+    q_decontaminate for cross-source leakage).
+
+    Same engine-portable md5-prefix mechanism as q_hash_split — a pure
+    row property, no shuffle, stable under reruns and incremental
+    arrivals of new docs from known sources."""
+    prefix = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":gs"))), 1, 1
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.when(prefix < _VAL_LO, "train")
+        .when(prefix < _TEST_LO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -169,3 +169,63 @@ def q_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders")
     )
+
+
+def estimate_join_rows(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Exact inner-join output size WITHOUT running the join:
+    Σ_k n_fact(k)·n_dim(k) over shared keys, from two key-count
+    aggregates joined keys-sized — plus the largest single-key
+    contribution (the skew alarm: one key producing a large share of
+    the output is what stalls a task).
+
+    Both inputs collapse to (key, count) with map-side combine before
+    anything joins, so the estimate costs two scans and a keys-sized
+    shuffle — the pre-flight a pipeline runs before committing a
+    petabyte shuffle join."""
+    a = fact.groupBy(F.col(fact_key).alias("_k")).agg(
+        F.count("*").alias("_na")
+    )
+    b = dim.groupBy(F.col(dim_key).alias("_k")).agg(
+        F.count("*").alias("_nb")
+    )
+    return (
+        a.join(b, "_k")
+        .select((F.col("_na") * F.col("_nb")).alias("_c"))
+        .agg(
+            F.sum("_c").alias("predicted_rows"),
+            F.count("*").alias("n_shared_keys"),
+            F.max("_c").alias("max_key_rows"),
+        )
+    )
+
+
+@register(
+    "q_join_cardinality",
+    oracle="""
+WITH a AS (
+  SELECT l_orderkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1
+)
+SELECT SUM(na * nb) AS predicted_rows,
+       COUNT(*) AS n_shared_keys,
+       MAX(na * nb) AS max_key_rows
+FROM a JOIN b USING (k)
+""",
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight size of lineitem⋈orders: predicted output rows,
+    shared-key count, and the heaviest key's contribution — the
+    numbers that decide whether the shuffle join is affordable and
+    whether it needs the salted path first. Oracle replays the same
+    count-product identity; for an inner equi-join it is EXACT, not
+    an estimate."""
+    return estimate_join_rows(
+        spark.table("lineitem"),
+        spark.table("orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )

@@ -137,6 +137,10 @@ EXCHANGE_BUDGET = {
     "q_resample": 4,  # fact bucket agg checkpointed grid-sized; grid
     # generation, gap join, and LOCF window all run on the
     # materialized buckets (series-partitioned window, slots-bounded)
+    "q_join_cardinality": 6,  # two genuine key-count aggregations
+    # (each two-phase with map-side combine) + their keys-sized join;
+    # the 1-row rollup rides the join's partitioning — that IS the
+    # pre-flight's entire cost, by design far below the join it prices
     "q_funnel_latency": 12,  # the bounded-memory percentile fit's
     # inherent multi-pass shape (sketch bracket agg + fused verify,
     # cf. q_percentiles) over the CHECKPOINTED users-sized latency

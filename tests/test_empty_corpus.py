@@ -35,6 +35,7 @@ NONEMPTY_ON_EMPTY = {
     "q_table_stats",  # ANALYZE report: one zero-count row per column
     "q_validate",  # constraint report: one all-pass row per rule
     "q_funnel_latency",  # 1-row report: zero conversions, null p50/p90
+    "q_join_cardinality",  # 1-row pre-flight: zero predicted rows
 }
 
 
