@@ -33,9 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from pyanamo_spark.dedup.minhash import candidate_pairs
+from pyanamo_spark.operators.windows import global_rank_frame
 from pyanamo_spark.registry import register
 
 #: exact-Jaccard floor for a candidate pair to count as a positive
@@ -45,41 +45,12 @@ N_NEGATIVES = 2
 
 
 def global_ranks(df: DataFrame, key: str) -> DataFrame:
-    """(key, rank): contiguous 0-based ranks of ``key`` — the
-    q_global_ids plan (operators/windows.py:190) as a reusable frame:
-    range exchange, per-partition row_number, driver cumsum of
-    partition counts broadcast back. No single-partition window."""
-    spark = df.sparkSession
-    ranged = (
-        df.select(key)
-        .repartitionByRange(32, key)
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = [
-        (r.pid, r.n)
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    ]
-    offsets, acc = {}, 0
-    for pid, n in sorted(counts):
-        offsets[pid] = acc
-        acc += n
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(offsets.items()), "pid int, offset long"
-        )
-    )
-    w = W.partitionBy("pid").orderBy(key)
-    return (
-        ranged.join(offset_df, "pid")
-        .withColumn("local", F.row_number().over(w))
-        .select(
-            key,
-            (F.col("offset") + F.col("local") - 1)
-            .cast("long")
-            .alias("rank"),
-        )
-    )
+    """(key, rank): contiguous 0-based ranks of ``key`` — the shared
+    global-rank scale frame (operators/windows.global_rank_frame):
+    range exchange whose width tracks the input, per-partition
+    row_number, driver cumsum of partition counts broadcast back. No
+    single-partition window, no constant parallelism."""
+    return global_rank_frame(df, key, base=0)
 
 
 def mine_contrastive(

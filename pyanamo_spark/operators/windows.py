@@ -15,6 +15,82 @@ from pyspark.sql import functions as F
 from pyanamo_spark.registry import register
 
 
+def rank_width(df: DataFrame) -> int:
+    """Width of the global-rank range exchange.
+
+    The pattern exists to avoid the single-task global window, so its
+    parallelism must track the input rather than a constant: at 100 TB
+    a fixed 32 would put ~3 TB in every range partition and cap the
+    per-partition sorts at 32 concurrent tasks on a thousand-core
+    cluster. We take the max of the input's own partition count (scan
+    splits grow with data volume) and the session shuffle width (the
+    floor the user sized for this cluster), so tiny fixtures keep
+    their current plans while big inputs fan out with their scans.
+    The driver-side offset table is one integer pair per partition —
+    still negligible at any realistic width.
+    """
+    try:
+        shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+        shuffle = 200
+    return max(df.rdd.getNumPartitions(), shuffle, 1)
+
+
+def global_rank_frame(df: DataFrame, key: str, *, base: int = 0) -> DataFrame:
+    """(key, rank): contiguous global ranks of ``key``, ``base``-based.
+
+    The scale shape for global numbering (the naive ``row_number()``
+    over an unpartitioned window collapses the table into ONE task):
+
+      1. ``repartitionByRange`` on the order key — one range exchange,
+         partition p holds keys strictly below partition p+1; width
+         from :func:`rank_width`, never a constant
+      2. per-partition ``row_number`` (partitioned by
+         ``spark_partition_id``, so every window sort fits one task)
+      3. per-partition row counts — #partitions integers — cumsum'd on
+         the driver into offsets, joined back as a broadcast
+
+    rank = offset(p) + local row_number − 1 + base. Deterministic for
+    a unique key, hence oracle-exact against ``ROW_NUMBER() OVER
+    (ORDER BY key)``. Nothing leaves its partition after the single
+    range exchange.
+    """
+    spark = df.sparkSession
+    ranged = (
+        df.select(key)
+        .repartitionByRange(rank_width(df), key)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # localCheckpoint pins the partitioning: pid must mean the same
+    # physical partition in both the counting pass and the ranking
+    # pass, which re-planning from lineage does not guarantee
+    ranged = ranged.localCheckpoint()
+    counts = [
+        (r.pid, r.n)
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    ]
+    offsets, acc = {}, 0
+    for pid, n in sorted(counts):
+        offsets[pid] = acc
+        acc += n
+    offset_df = F.broadcast(
+        spark.createDataFrame(sorted(offsets.items()), "pid int, offset long")
+    )
+    w = W.partitionBy("pid").orderBy(key)
+    return (
+        ranged.join(offset_df, "pid")
+        .withColumn("local", F.row_number().over(w))
+        .select(
+            key,
+            (F.col("offset") + F.col("local") - 1 + F.lit(base))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
 @register(
     "q_rolling_avg",
     oracle="""
@@ -206,39 +282,10 @@ def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_id = offset(p) + local rank. Deterministic for a unique
     order key, hence oracle-exact against ROW_NUMBER. The offset
     table is bounded by partition count, not data size; nothing else
-    leaves its partition after the single range exchange.
+    leaves its partition after the single range exchange. Shared
+    machinery: :func:`global_rank_frame` (exchange width tracks the
+    input via :func:`rank_width`, never a constant).
     """
-    ranged = (
-        spark.table("documents")
-        .select("doc_id")
-        .repartitionByRange(32, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    # localCheckpoint pins the partitioning: pid must mean the same
-    # physical partition in both the counting pass and the ranking
-    # pass, which re-planning from lineage does not guarantee
-    ranged = ranged.localCheckpoint()
-    counts = [
-        (r.pid, r.n)
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    ]
-    offsets, acc = {}, 0
-    for pid, n in sorted(counts):
-        offsets[pid] = acc
-        acc += n
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(offsets.items()), "pid int, offset long"
-        )
-    )
-    w = W.partitionBy("pid").orderBy("doc_id")
-    return (
-        ranged.join(offset_df, "pid")
-        .withColumn("local", F.row_number().over(w))
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local")).cast("long").alias(
-                "global_id"
-            ),
-        )
-    )
+    return global_rank_frame(
+        spark.table("documents"), "doc_id", base=1
+    ).withColumnRenamed("rank", "global_id")
