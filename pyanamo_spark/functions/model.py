@@ -1,0 +1,216 @@
+"""Batch model inference as literal JVM expressions.
+
+The reference's final ETL stage loads a trained rpart decision tree
+and scores it over PC columns inside each task's R process
+(/root/reference/code/use-cases/example_docker/classify-ancestry-trace.r:21-29)
+— one model, many rows, the canonical "broadcast the model, stream the
+data" shape. The rebuild makes that a first-class operator instead of
+a subprocess: the model rides the plan as *literal expressions*
+(nested CASE WHEN for trees, dot products for linear models), so
+scoring is whole-stage-codegen'd JVM work with zero Python in the
+per-row path and zero extra shuffle.
+
+Two model families, both oracle-checkable:
+
+- **linear**: fit IN the engine with the ANSI aggregates
+  ``regr_slope`` / ``regr_intercept`` (exact closed form — both Spark
+  and DuckDB implement them), optionally per group. The fitted frame
+  is GROUPS-sized, broadcast back for scoring. Coefficients are
+  rounded before use so both engines score the identical model.
+- **tree**: a pinned spec (nested ``(feature, threshold, low, high)``
+  tuples, leaves are strings) compiled by the SAME structure into a
+  Spark Column and a SQL CASE expression — parity by construction,
+  mirroring how a trained rpart/XGBoost tree ships to production as
+  generated code.
+
+At 100 TB: the fit is one aggregation (map-side partial regr moments),
+the score is a narrow map over the fact scan with a GROUPS-sized
+broadcast join — no state, no skew sensitivity, no Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanamo_spark.registry import register
+
+# --------------------------------------------------------------------
+# literal decision trees
+
+#: nested spec: (feature, threshold, low_subtree, high_subtree) where
+#: the low branch takes feature < threshold; leaves are class labels.
+TreeSpec = tuple | str
+
+#: pinned example tree over lineitem — the stand-in for a trained
+#: rpart model (structure chosen for class balance on the fixture)
+ORDER_TREE: TreeSpec = (
+    "l_quantity",
+    25.0,
+    ("l_discount", 0.05, "small-full", "small-discounted"),
+    ("l_extendedprice", 30000.0, "bulk-low", "bulk-high"),
+)
+
+
+def tree_column(node: TreeSpec) -> Column:
+    """Compile a tree spec into one nested CASE Column (pure JVM)."""
+    if isinstance(node, str):
+        return F.lit(node)
+    feat, thr, lo, hi = node
+    return F.when(F.col(feat) < F.lit(thr), tree_column(lo)).otherwise(
+        tree_column(hi)
+    )
+
+
+def tree_sql(node: TreeSpec) -> str:
+    """The same tree as an ANSI CASE expression — generated from the
+    same spec object as :func:`tree_column`, so the two scorers cannot
+    drift."""
+    if isinstance(node, str):
+        return f"'{node}'"
+    feat, thr, lo, hi = node
+    return (
+        f"CASE WHEN {feat} < {thr!r} THEN {tree_sql(lo)} "
+        f"ELSE {tree_sql(hi)} END"
+    )
+
+
+def tree_predict(node: TreeSpec, row: dict) -> str:
+    """Pure-Python reference evaluator (tests pin both compilers to
+    this)."""
+    while not isinstance(node, str):
+        feat, thr, lo, hi = node
+        node = lo if row[feat] < thr else hi
+    return node
+
+
+# --------------------------------------------------------------------
+# linear models, fitted in-engine
+
+#: decimals both engines round coefficients to before scoring — the
+#: fitted values differ in the last ulps between engines (summation
+#: order), the rounded model is identical
+COEF_DECIMALS = 6
+
+
+def linear_fit(
+    df: DataFrame,
+    y: str,
+    x: str,
+    by: list[str] | None = None,
+    decimals: int = COEF_DECIMALS,
+) -> DataFrame:
+    """OLS y ~ x (optionally per group): one aggregation using the
+    exact ANSI regr_* closed forms. Output is GROUPS-sized (or 1 row):
+    (by..., slope, icept)."""
+    aggs = [
+        F.round(F.regr_slope(F.col(y), F.col(x)), decimals).alias("slope"),
+        F.round(F.regr_intercept(F.col(y), F.col(x)), decimals).alias(
+            "icept"
+        ),
+    ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def linear_score(
+    df: DataFrame, model: DataFrame, y: str, x: str, by: list[str]
+) -> DataFrame:
+    """Broadcast the GROUPS-sized model frame and append ``pred`` /
+    ``resid`` as codegen'd arithmetic."""
+    scored = df.join(F.broadcast(model), on=by)
+    pred = F.col("icept") + F.col("slope") * F.col(x)
+    return scored.withColumn("pred", pred).withColumn(
+        "resid", F.col(y) - pred
+    )
+
+
+# --------------------------------------------------------------------
+# declared query
+
+#: md5-hex first char < 'c' → 12/16 of rows train the model, the rest
+#: are scored — the q_hash_split determinism contract (stable across
+#: engines/reruns/partitionings, no RNG state)
+_TRAIN_HI = "c"
+
+_MODEL_ORACLE = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_quantity, l_discount, l_extendedprice,
+         substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 1) AS hx
+  FROM lineitem
+),
+model AS (
+  SELECT l_returnflag,
+         ROUND(regr_slope(l_extendedprice, l_quantity), {COEF_DECIMALS})
+           AS slope,
+         ROUND(regr_intercept(l_extendedprice, l_quantity), {COEF_DECIMALS})
+           AS icept
+  FROM keyed WHERE hx < '{_TRAIN_HI}'
+  GROUP BY l_returnflag
+),
+scored AS (
+  SELECT k.l_returnflag,
+         {tree_sql(ORDER_TREE)} AS tree_class,
+         k.l_extendedprice - (m.icept + m.slope * k.l_quantity) AS resid
+  FROM keyed k JOIN model m USING (l_returnflag)
+  WHERE k.hx >= '{_TRAIN_HI}'
+)
+SELECT l_returnflag, tree_class,
+       COUNT(*) AS n_scored,
+       ROUND(SQRT(AVG(resid * resid)), 2) AS rmse,
+       ROUND(AVG(ABS(resid)), 2) AS mae
+FROM scored
+GROUP BY l_returnflag, tree_class
+"""
+
+
+@register("q_model_score", oracle=_MODEL_ORACLE)
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score batch inference, entirely in-plan.
+
+    Hash-split lineitem (md5 key prefix, engine-portable) into a 75%
+    train / 25% score partition; fit a per-returnflag OLS of
+    extendedprice on quantity with the exact regr_* aggregates; score
+    the held-out rows through the broadcast 3-row model AND the pinned
+    literal decision tree; report per (flag, tree class) count, RMSE
+    and MAE. The scoring scan is pure codegen'd expressions — the
+    native replacement for the reference's per-task rpart subprocess
+    (classify-ancestry-trace.r:21-29).
+    """
+    keyed = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("hx"),
+    )
+    model = linear_fit(
+        keyed.filter(F.col("hx") < _TRAIN_HI),
+        y="l_extendedprice",
+        x="l_quantity",
+        by=["l_returnflag"],
+    )
+    scored = linear_score(
+        keyed.filter(F.col("hx") >= _TRAIN_HI),
+        model,
+        y="l_extendedprice",
+        x="l_quantity",
+        by=["l_returnflag"],
+    ).withColumn("tree_class", tree_column(ORDER_TREE))
+    return scored.groupBy("l_returnflag", "tree_class").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.sqrt(F.avg(F.col("resid") * F.col("resid"))), 2).alias(
+            "rmse"
+        ),
+        F.round(F.avg(F.abs("resid")), 2).alias("mae"),
+    )

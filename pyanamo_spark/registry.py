@@ -28,65 +28,25 @@ ORACLES: dict[str, str] = {}
 #: so the declared inventory must lead the iteration order — extensions
 #: follow (see ``ordered_queries``).
 DECLARED: tuple[str, ...] = (
-    # §2.1–2.2 scans / projections / filters
+    # Rotation rule (one rotation per round, at round START so every
+    # seat is actually recorded): ids hash-green in BOTH of the two
+    # previous recorded windows cede their seats to extensions that so
+    # far have only replay/pytest evidence; the entry() smoke query and
+    # a small §2-spanning canary set never rotate. r05 rotation: 36 of
+    # the 41 twice-green (r03+r04) ids ceded seats — cumulative
+    # driver-recorded coverage grows 66 → 102 of 145 ids.
+    #
+    # canaries — one per §2 family, never rotated: scan+scalar
+    # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
+    # (q_state_join), window (q_rolling_avg), dedup (q_dedup_exact)
     "q_ingest_csv",
-    "q_filter_project",
-    "q_nest_filter",
-    "q_log_route",
-    # §2.3 joins
-    "q_state_join",
-    "q_map_align",
-    # §2.4 aggregations
-    "q_state_counts",
     "q_progress_histogram",
-    "q_line_count",
-    "q_done_nests",
-    "q_item_finalize",
-    "q_width_profile",
-    # §2.5–2.6 windows / sorts / sampling
+    "q_state_join",
     "q_rolling_avg",
-    # §2.7 mutation / set ops
-    "q_nest_build",
-    "q_bulk_update",
-    "q_item_reset",
-    "q_map_update",
-    "q_map_remove",
-    "q_delete_anti",
-    "q_partition_split",
-    # §2.8 scalar functions
-    "q_tag_extract",
-    "q_log_mine",
-    "q_json_roundtrip",
-    # §2.9 streaming (batch form)
-    "q_event_window",
-    # §2.10 UDF + extension operators X1–X9
-    "q_pipe_exec",
     "q_dedup_exact",
-    "q_dedup_lines",
-    "q_knn_topk",
-    "q_text_stats",
-    "q_vector_math",
-    "q_join_equi",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_window_rank",
-    "q_window_lag",
-    "q_rollup",
-    "q_setops",
-    # verified extensions promoted into the recorded window. Rotated
-    # per round so cumulative driver-recorded coverage grows: ids green
-    # in BOTH of the previous two recorded windows (plus the
-    # contractually rows-only ids, whose recorded check is weak) cede
-    # their seats to extensions that so far have only replay/pytest
-    # evidence. Rotated out in r04: q_rand_order, q_sample_topk,
-    # q_dedup_near, q_approx_distinct (rows-only by contract);
-    # q_limit, q_point_lookup, q_date_format, q_threshold_counts
-    # (green in r02 and r03).
-    "q_sessionize",
+    # green only in the r04 window (r03 flake or rotated in at r04) —
+    # stay until twice-green per the rule
     "q_embed_covariance",
-    "q_dup_spans",
-    "q_lang_mix",
     "q_global_ids",
     "q_join_asof",
     "q_merge_upsert",
@@ -95,6 +55,51 @@ DECLARED: tuple[str, ...] = (
     "q_mixture_weights",
     "q_bpe_pairs",
     "q_equidepth",
+    # rotated IN at r05 — never driver-recorded before this round.
+    # Declared-inventory extensions and the LLM-pipeline surface:
+    "q_model_score",  # new this round (batch model inference)
+    # joins / plans
+    "q_join_auto",
+    "q_join_cardinality",
+    "q_bloom_join",
+    "q_salted_join",
+    "q_skew_profile",
+    # storage / change management
+    "q_snapshot_diff",
+    "q_scd2",
+    "q_validate",
+    "q_table_stats",
+    # temporal / product analytics
+    "q_session_events",
+    "q_anomaly",
+    "q_retention",
+    "q_funnel_latency",
+    "q_resample",
+    "q_percentiles",
+    # grouped-aggregation surface
+    "q_cube",
+    "q_grouping_sets",
+    # dedup suite
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    "q_dup_passages",
+    "q_source_overlap",
+    "q_source_similarity",
+    # text analysis
+    "q_tfidf",
+    "q_lm_score",
+    # curation
+    "q_curation_funnel",
+    "q_hash_split",
+    "q_group_split",
+    "q_scrub",
+    "q_decontaminate",
+    "q_chunk_documents",
+    "q_stratified_sample",
+    "q_group_sample",
+    "q_weighted_sample",
 )
 
 
@@ -185,6 +190,7 @@ def load_all() -> None:
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.functions.sketches  # noqa: F401
     import pyanamo_spark.functions.pca  # noqa: F401
+    import pyanamo_spark.functions.model  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
     import pyanamo_spark.dedup.lines  # noqa: F401
     import pyanamo_spark.dedup.spans  # noqa: F401
