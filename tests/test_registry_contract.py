@@ -16,17 +16,64 @@ load_all()
 
 #: declared ids that are rows-only BY CONTRACT: seeded randomness or a
 #: sketch algorithm DuckDB cannot replicate — engines cannot agree on
-#: a value hash. As of the r04 rotation every id in the recorded
-#: window carries an oracle; the contractually rows-only ids
-#: (q_rand_order, q_sample_topk, q_dedup_near, q_approx_distinct)
-#: rotated out to the extensions tail — they stay registered and
-#: replay-checked, their recorded seat was the weak rows-only check.
+#: a value hash. Every seat in the r05 window carries an oracle.
 DECLARED_ROWS_ONLY: set[str] = set()
 
-#: ids whose recorded-window seat was ceded in the r04 rotation; they
-#: must remain registered (and oracle'd where applicable) so the full
-#: replay keeps verifying them
-ROTATED_OUT_R04 = {
+#: never-rotated seats: the entry() smoke plus one canary per §2 family
+CANARIES = {
+    "q_ingest_csv",
+    "q_progress_histogram",
+    "q_state_join",
+    "q_rolling_avg",
+    "q_dedup_exact",
+}
+
+#: ids whose recorded-window seat was ceded in the r05 rotation
+#: (hash-green in BOTH the r03 and r04 recorded windows); they must
+#: remain registered with their oracles so the full replay keeps
+#: verifying them
+ROTATED_OUT_R05 = {
+    "q_filter_project",
+    "q_nest_filter",
+    "q_log_route",
+    "q_map_align",
+    "q_state_counts",
+    "q_line_count",
+    "q_done_nests",
+    "q_item_finalize",
+    "q_width_profile",
+    "q_nest_build",
+    "q_bulk_update",
+    "q_item_reset",
+    "q_map_update",
+    "q_map_remove",
+    "q_delete_anti",
+    "q_partition_split",
+    "q_tag_extract",
+    "q_log_mine",
+    "q_json_roundtrip",
+    "q_event_window",
+    "q_pipe_exec",
+    "q_dedup_lines",
+    "q_knn_topk",
+    "q_text_stats",
+    "q_vector_math",
+    "q_join_equi",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_lag",
+    "q_rollup",
+    "q_setops",
+    "q_sessionize",
+    "q_dup_spans",
+    "q_lang_mix",
+}
+
+#: ids rotated out in earlier rounds (r04) — same staying-registered
+#: contract
+ROTATED_OUT_EARLIER = {
     "q_rand_order",
     "q_sample_topk",
     "q_dedup_near",
@@ -37,26 +84,66 @@ ROTATED_OUT_R04 = {
     "q_threshold_counts",
 }
 
+#: the 36 seats rotated IN at r05 — never driver-recorded before
+ROTATED_IN_R05 = {
+    "q_model_score",
+    "q_join_auto",
+    "q_join_cardinality",
+    "q_bloom_join",
+    "q_salted_join",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_scd2",
+    "q_validate",
+    "q_table_stats",
+    "q_session_events",
+    "q_anomaly",
+    "q_retention",
+    "q_funnel_latency",
+    "q_resample",
+    "q_percentiles",
+    "q_cube",
+    "q_grouping_sets",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    "q_dup_passages",
+    "q_source_overlap",
+    "q_source_similarity",
+    "q_tfidf",
+    "q_lm_score",
+    "q_curation_funnel",
+    "q_hash_split",
+    "q_group_split",
+    "q_scrub",
+    "q_decontaminate",
+    "q_chunk_documents",
+    "q_stratified_sample",
+    "q_group_sample",
+    "q_weighted_sample",
+}
+
 
 def test_rotated_out_ids_stay_registered():
-    missing = [n for n in ROTATED_OUT_R04 if n not in QUERIES]
+    gone = ROTATED_OUT_R05 | ROTATED_OUT_EARLIER
+    missing = [n for n in gone if n not in QUERIES]
     assert not missing, missing
-    # oracle'd ids keep their oracles when they leave the window
-    for n in ("q_limit", "q_point_lookup", "q_date_format", "q_threshold_counts"):
-        assert n in ORACLES, n
+    # every r05-rotated-out id was oracle'd and keeps its oracle
+    missing_oracle = [n for n in ROTATED_OUT_R05 if n not in ORACLES]
+    assert not missing_oracle, missing_oracle
+    # none of them still occupies a seat
+    still_in = [n for n in gone if n in DECLARED]
+    assert not still_in, still_in
+
+
+def test_canaries_hold_their_seats():
+    for n in CANARIES:
+        assert n in DECLARED, n
 
 
 def test_rotated_in_ids_sit_in_the_window():
-    for n in (
-        "q_global_ids",
-        "q_join_asof",
-        "q_merge_upsert",
-        "q_setops_fused",
-        "q_dedup_stats",
-        "q_mixture_weights",
-        "q_bpe_pairs",
-        "q_equidepth",
-    ):
+    for n in ROTATED_IN_R05:
         assert n in DECLARED, n
         assert n in ORACLES, n
 
@@ -71,6 +158,7 @@ def test_declared_lead_the_iteration_order():
     assert order[: len(DECLARED)] == [n for n in DECLARED if n in QUERIES]
     # the recorded window (~50 entries) must be exactly the declared set
     assert len(DECLARED) == 50
+    assert len(set(DECLARED)) == 50
 
 
 def test_declared_have_oracles_unless_contractually_rows_only():
