@@ -3,11 +3,13 @@
 JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the sum over queries of each query's best-of-2 wall-clock
+``value`` is the sum over queries of each query's best-of-3 wall-clock
 (each executed to completion with a cheap count-style sink so results
-materialize but don't transfer to the driver). Best-of-2 because this
-host's timings swing ~20% run-to-run (shared VM): the min of two runs
-measures the query's actual cost, not the noise floor.
+materialize but don't transfer to the driver). Best-of-3 because this
+host's timings swing 20-40% run-to-run (shared VM): the min of three
+runs measures the query's actual cost, not the noise floor — best-of-2
+still let load spikes masquerade as 1.3-1.7x per-query regressions in
+the r04 review.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ def main() -> None:
     warm.collect()
 
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)

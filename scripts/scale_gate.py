@@ -71,15 +71,21 @@ def main() -> int:
 
 
 def _print_suite_ratio() -> None:
-    """Suite-level regression line: latest full bench vs the r01
-    recording (BASELINE_QUERIES_r01.json), summed over the query ids
-    present in both. Informational — per-query budgets above are the
-    gate; this tracks drift of the whole suite across rounds."""
+    """Suite-level regression line: latest full bench vs the frozen
+    baseline (BASELINE_QUERIES.json — r01 values where the r01
+    recording survived, earliest complete archive otherwise, with a
+    per-id provenance field), summed over the shared query ids.
+    Informational — per-query budgets above are the gate; this tracks
+    drift of the whole suite across rounds against ONE stable
+    denominator."""
     import json
 
     repo = Path(__file__).resolve().parent.parent
+    base_path = repo / "BASELINE_QUERIES.json"
+    if not base_path.exists():  # pre-freeze checkouts
+        base_path = repo / "BASELINE_QUERIES_r01.json"
     try:
-        base = json.loads((repo / "BASELINE_QUERIES_r01.json").read_text())
+        base = json.loads(base_path.read_text())
         cur = json.loads((repo / "BENCH_full.json").read_text())
     except OSError:
         print("[ratio] skipped: baseline or BENCH_full.json missing")
@@ -91,17 +97,29 @@ def _print_suite_ratio() -> None:
             f"current {cur.get('sf')}) or no shared ids"
         )
         return
+    prov = base.get("provenance", {})
     b = sum(base["queries"][q] for q in shared)
     c = sum(cur["queries"][q] for q in shared)
     worst = sorted(
         shared, key=lambda q: -(cur["queries"][q] / max(base["queries"][q], 1e-9))
     )[:3]
     detail = ", ".join(
-        f"{q} {base['queries'][q]:.2f}->{cur['queries'][q]:.2f}s" for q in worst
+        f"{q} {base['queries'][q]:.2f}->{cur['queries'][q]:.2f}s"
+        f" [{prov.get(q, '?')}]"
+        for q in worst
+    )
+    by_prov: dict[str, list[str]] = {}
+    for q in shared:
+        by_prov.setdefault(prov.get(q, "?"), []).append(q)
+    prov_detail = ", ".join(
+        f"{p}: {sum(cur['queries'][q] for q in qs):.1f}s/"
+        f"{sum(base['queries'][q] for q in qs):.1f}s over {len(qs)}"
+        for p, qs in sorted(by_prov.items())
     )
     print(
-        f"[ratio] suite vs r01 recorded over {len(shared)} shared queries: "
-        f"{c:.1f}s / {b:.1f}s = {c / b:.2f}x (top regressions: {detail})"
+        f"[ratio] suite vs frozen baseline over {len(shared)} shared "
+        f"queries: {c:.1f}s / {b:.1f}s = {c / b:.2f}x "
+        f"(by provenance: {prov_detail}; top regressions: {detail})"
     )
 
 
