@@ -44,11 +44,11 @@ def register_default_codecs() -> list[str]:
     """Register decoders for every optional codec library present.
 
     Tried: Pillow (image/png, image/jpeg → HxWxC uint8 ndarray) and
-    soundfile (audio/wav → float ndarray); the pure-Python PNG codec
-    (multimodal/png.py) backstops image/png so PNG decode works with
-    no optional library at all. Returns the mime types registered;
-    formats absent from the list leave ``decode_image`` a documented
-    stub.
+    soundfile (audio/wav → float ndarray); the pure-Python codecs
+    (multimodal/png.py, jpeg.py, wav.py) backstop image/png,
+    image/jpeg and audio/wav so all three decode with no optional
+    library at all. Returns the mime types registered; only video
+    remains a documented ``decode_image`` stub (no pure-Python route).
     """
     registered: list[str] = []
     try:
@@ -77,14 +77,18 @@ def register_default_codecs() -> list[str]:
         registered.append("audio/wav")
     except ImportError:
         pass
-    # dependency-free fallbacks: pure-Python PNG (no-op if PIL won)
-    # and stdlib-wave WAV (no-op if soundfile won)
+    # dependency-free fallbacks: pure-Python PNG/JPEG (no-ops if PIL
+    # won) and stdlib-wave WAV (no-op if soundfile won)
+    from pyanamo_spark.multimodal.jpeg import decode_jpeg
     from pyanamo_spark.multimodal.png import decode_png
     from pyanamo_spark.multimodal.wav import decode_wav
 
     if "image/png" not in CODECS:
         CODECS["image/png"] = decode_png
         registered.append("image/png")
+    if "image/jpeg" not in CODECS:
+        CODECS["image/jpeg"] = decode_jpeg
+        registered.append("image/jpeg")
     if "audio/wav" not in CODECS:
         CODECS["audio/wav"] = decode_wav
         registered.append("audio/wav")
@@ -107,11 +111,11 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, mime: str):
     """Decode a binary payload with a registered codec.
 
-    image/png and audio/wav always decode (pure-Python codecs,
-    multimodal/png.py and wav.py). Formats whose codec libraries are
-    absent in this container (JPEG, video) remain a clearly-marked
-    stub: the Spark-side plumbing (schema, batching, partitioning) is
-    real and the decoder slots in here.
+    image/png, image/jpeg and audio/wav always decode (pure-Python
+    codecs, multimodal/png.py, jpeg.py and wav.py). Only video, whose
+    decode has no pure-Python route, remains a clearly-marked stub:
+    the Spark-side plumbing (schema, batching, partitioning) is real
+    and the decoder slots in here.
     """
     if mime not in CODECS:
         raise NotImplementedError(
@@ -303,6 +307,59 @@ def synthetic_png_assets(
     return base.mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
+def synthetic_image_assets(
+    spark: SparkSession, n: int = 64, ids: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic mixed-codec image assets: the same per-id gradient
+    image as :func:`synthetic_png_assets`, but every 3rd asset is
+    encoded as baseline JPEG (alternating 4:4:4 / 4:2:0) instead of
+    PNG — so one frame exercises both real decoders and the mime
+    dispatch in ``_image_features``. Executor-side generation; the
+    driver never holds payloads."""
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg
+    from pyanamo_spark.multimodal.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                i = int(asset_id)
+                h = 8 + i % 9  # 8..16
+                w = 8 + (i * 3) % 9
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (x * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), i % 256, np.uint8),
+                    ],
+                    axis=-1,
+                )
+                if i % 3 == 2:
+                    payload = encode_jpeg(
+                        img, quality=90, subsample=bool(i % 2)
+                    )
+                    mime = "image/jpeg"
+                else:
+                    payload = encode_png(img, filter_type=i % 5)
+                    mime = "image/png"
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "payload": payload,
+                        "meta": {
+                            "mime": mime,
+                            "n_bytes": len(payload),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    base = ids.toDF("id") if ids is not None else spark.range(n)
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
 def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Real decode → resize → featurize: registered codec per mime,
     nearest-neighbor resize to THUMB², per-channel means + a grayscale
@@ -473,15 +530,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_multimodal_decode", oracle=None)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image path on REAL pixels: one generated PNG per
-    document row → pure-Python decode → nearest-neighbor resize →
+    """End-to-end image path on REAL pixels: one generated image per
+    document row (PNG, with every 3rd asset baseline JPEG in both
+    4:4:4 and 4:2:0) → pure-Python decode → nearest-neighbor resize →
     channel/thumbnail features. Asset ids come from the documents
     table so the pipeline's volume tracks the corpus (and an empty
     corpus decodes nothing). Rows-only (pixel math is not
     SQL-expressible); determinism and numpy parity are pinned in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py and tests/test_jpeg.py."""
     ids = spark.table("documents").select("doc_id").limit(64)
-    return image_features(synthetic_png_assets(spark, ids=ids))
+    return image_features(synthetic_image_assets(spark, ids=ids))
 
 
 @register("q_multimodal_features", oracle=None)

@@ -38,12 +38,17 @@ def test_png_wav_always_decode_others_stay_stubbed():
     )
     assert sig.shape == (16,)
 
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        assert "image/jpeg" not in CODECS
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff", "image/jpeg")
+    # JPEG always decodes too (pure-Python baseline codec backstop)
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg
+
+    assert "image/jpeg" in CODECS
+    jarr = decode_image(encode_jpeg(img, quality=100), "image/jpeg")
+    assert np.asarray(jarr).shape == (4, 4, 3)
+
+    # video is the one remaining documented stub (no pure-Python route)
+    assert "video/mp4" not in CODECS
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_png_roundtrip_every_filter_and_shape():
