@@ -12,12 +12,40 @@ written for a multi-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import sys
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 
+def _activate_protobuf_shim() -> None:
+    """Make ``google.protobuf`` importable when no real wheel exists.
+
+    The v2 stateful operator (``transformWithStateInPandas``) speaks a
+    protobuf channel from the PYTHON WORKER process, so the vendored
+    shim (vendor/google/protobuf — a minimal pure-Python wire runtime)
+    must be visible both on this interpreter's sys.path and on the
+    PYTHONPATH the JVM hands its python workers. A real installed
+    protobuf always wins: we only append when the import fails.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    vendor = str(Path(__file__).resolve().parent.parent / "vendor")
+    if vendor not in sys.path:
+        sys.path.append(vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{existing}{os.pathsep}{vendor}" if existing else vendor
+        )
+
+
 def get_spark(app_name: str = "pyanamo_spark", cpus: int | str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _activate_protobuf_shim()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -95,13 +95,15 @@ def test_v2_transform_with_state_matches_v1_and_batch(
     operator and the batch aggregate — across an incremental two-file
     arrival where cross-batch state must carry.
 
-    The v2 Python runner ships state over a protobuf channel, so the
-    test (like the operator) needs google.protobuf — absent in this
-    container; the operator stays import-clean and the plan builds,
-    only execution needs the dependency."""
+    The v2 Python runner ships state over a protobuf channel. No real
+    google.protobuf wheel exists in this container; the session
+    factory activates the vendored pure-Python wire shim
+    (vendor/google/protobuf), so this test executes the full
+    worker↔JVM state protocol — the JVM parses the shim's bytes with
+    real protobuf and the shim parses the JVM's responses."""
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip("google.protobuf")  # shim activated by get_spark
     from pyanamo_spark.streaming.stateful import running_user_totals_v2
 
     spark.conf.set(
