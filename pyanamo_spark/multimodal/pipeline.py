@@ -45,10 +45,11 @@ def register_default_codecs() -> list[str]:
 
     Tried: Pillow (image/png, image/jpeg → HxWxC uint8 ndarray) and
     soundfile (audio/wav → float ndarray); the pure-Python codecs
-    (multimodal/png.py, jpeg.py, wav.py) backstop image/png,
-    image/jpeg and audio/wav so all three decode with no optional
-    library at all. Returns the mime types registered; only video
-    remains a documented ``decode_image`` stub (no pure-Python route).
+    (multimodal/png.py, jpeg.py, wav.py, avi.py) backstop image/png,
+    image/jpeg, audio/wav and video/avi (MJPEG) so all four decode
+    with no optional library at all. Returns the mime types
+    registered; only inter-frame video codecs (H.264 et al) remain a
+    documented ``decode_image`` stub (no pure-Python route).
     """
     registered: list[str] = []
     try:
@@ -78,7 +79,8 @@ def register_default_codecs() -> list[str]:
     except ImportError:
         pass
     # dependency-free fallbacks: pure-Python PNG/JPEG (no-ops if PIL
-    # won) and stdlib-wave WAV (no-op if soundfile won)
+    # won), stdlib-wave WAV (no-op if soundfile won), MJPEG-AVI video
+    from pyanamo_spark.multimodal.avi import decode_avi
     from pyanamo_spark.multimodal.jpeg import decode_jpeg
     from pyanamo_spark.multimodal.png import decode_png
     from pyanamo_spark.multimodal.wav import decode_wav
@@ -92,6 +94,9 @@ def register_default_codecs() -> list[str]:
     if "audio/wav" not in CODECS:
         CODECS["audio/wav"] = decode_wav
         registered.append("audio/wav")
+    if "video/avi" not in CODECS:
+        CODECS["video/avi"] = decode_avi
+        registered.append("video/avi")
     return registered
 
 
@@ -111,11 +116,12 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, mime: str):
     """Decode a binary payload with a registered codec.
 
-    image/png, image/jpeg and audio/wav always decode (pure-Python
-    codecs, multimodal/png.py, jpeg.py and wav.py). Only video, whose
-    decode has no pure-Python route, remains a clearly-marked stub:
-    the Spark-side plumbing (schema, batching, partitioning) is real
-    and the decoder slots in here.
+    image/png, image/jpeg, audio/wav and video/avi (MJPEG) always
+    decode (pure-Python codecs: multimodal/png.py, jpeg.py, wav.py,
+    avi.py). Only inter-frame video codecs, whose decode has no
+    pure-Python route, remain a clearly-marked stub: the Spark-side
+    plumbing (schema, batching, partitioning) is real and the decoder
+    slots in here.
     """
     if mime not in CODECS:
         raise NotImplementedError(
@@ -549,3 +555,125 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     practically SQL-expressible in the oracle); determinism and schema
     are asserted in tests/test_multimodal.py."""
     return extract_features(synthetic_assets(spark))
+
+
+# ---------------------------------------------------------------------
+# video: MJPEG-AVI (container parse + per-frame JPEG decode)
+
+VIDEO_FEATURE_SCHEMA = (
+    "asset_id bigint, n_frames int, sampled int, height int, width int, "
+    "fps double, brightness double, motion double"
+)
+
+#: frame-sampling stride for the featurizer (decode every k-th frame)
+_FRAME_STRIDE = 3
+
+
+def synthetic_video_assets(
+    spark: SparkSession, n: int = 16, ids: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic real-MJPEG-AVI assets: per asset_id a short clip
+    (4–10 frames) of a moving gradient whose phase advances per frame,
+    encoded with the pure-Python AVI/JPEG codecs. Executor-side
+    generation — the driver never holds payloads."""
+    from pyanamo_spark.multimodal.avi import encode_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                i = int(asset_id)
+                t = 4 + i % 7
+                h = 16 + (i % 3) * 8
+                w = 16 + ((i * 5) % 3) * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                (yy * 4 + f * 16 + i) % 256,
+                                (xx * 4) % 256,
+                                ((yy + xx) * 2 + f * 8) % 256,
+                            ],
+                            axis=-1,
+                        )
+                        for f in range(t)
+                    ]
+                ).astype(np.uint8)
+                payload = encode_avi(frames, fps=5 + i % 10, quality=90)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "payload": payload,
+                        "meta": {
+                            "mime": "video/avi",
+                            "n_bytes": len(payload),
+                            "n_frames": t,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    base = ids.toDF("id") if ids is not None else spark.range(n)
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def _video_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Container probe → strided frame decode → clip features.
+
+    The probe reads frame byte-ranges from the AVI index, so only the
+    sampled frames are ever JPEG-decoded — at corpus scale the stride
+    is the knob that makes hour-long clips affordable. Features:
+    per-clip mean brightness and mean inter-(sampled-)frame absolute
+    difference (motion proxy), whole-clip numpy ops only."""
+    from pyanamo_spark.multimodal.avi import decode_avi, probe_avi
+
+    for pdf in batches:
+        rows = []
+        for asset_id, payload, meta in zip(
+            pdf["asset_id"], pdf["payload"], pdf["meta"]
+        ):
+            if payload is None or meta["mime"] != "video/avi":
+                continue
+            raw = bytes(payload)
+            info = probe_avi(raw)
+            clip = decode_avi(raw, every=_FRAME_STRIDE).astype(np.float64)
+            motion = (
+                float(np.mean(np.abs(np.diff(clip, axis=0))))
+                if clip.shape[0] > 1
+                else 0.0
+            )
+            rows.append(
+                {
+                    "asset_id": asset_id,
+                    "n_frames": info["n_frames"],
+                    "sampled": clip.shape[0],
+                    "height": info["height"],
+                    "width": info["width"],
+                    "fps": round(1e6 / info["usec_per_frame"], 3),
+                    "brightness": round(float(clip.mean()), 6),
+                    "motion": round(motion, 6),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "n_frames", "sampled", "height", "width",
+                "fps", "brightness", "motion",
+            ],
+        )
+
+
+def video_features(assets: DataFrame) -> DataFrame:
+    return assets.mapInPandas(_video_features, schema=VIDEO_FEATURE_SCHEMA)
+
+
+@register("q_video_frames", oracle=None)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video path on REAL frames: one generated MJPEG-AVI
+    clip per document row → container probe → strided frame decode
+    (skipped frames never touch the JPEG decoder) → brightness/motion
+    features. Rows-only (pixel math is not SQL-expressible);
+    determinism and sampling behavior are pinned in tests/test_avi.py."""
+    ids = spark.table("documents").select("doc_id").limit(16)
+    return video_features(synthetic_video_assets(spark, ids=ids))
