@@ -4,12 +4,13 @@ The 64-bit SimHash is computed in a vectorized Pandas UDF (Arrow batch
 transfer — the sanctioned slow path for bit-twiddling Spark expressions
 can't do cheaply); everything downstream is DataFrame ops:
 
-  - candidate blocking: split the 64-bit signature into 8 × 8-bit
-    chunks; by pigeonhole, any pair within Hamming distance 7 differs
-    in at most 7 chunks and therefore shares at least one exact chunk
-    → self-join on (chunk_idx, chunk_value). Detection within the
-    radius is guaranteed, not probabilistic; pairs beyond it are out
-    of scope (the classic SimHash blocking trade)
+  - identical signatures collapse before any pairing (duplicate mass
+    multiplies blocking buckets quadratically otherwise)
+  - candidate blocking over DISTINCT signatures: 9 blocks, join on
+    every PAIR of block values (pigeonhole: ≤7 differing bits touch
+    ≤7 blocks, so ≥2 agree). Detection within the radius is
+    guaranteed, not probabilistic; pairs beyond it are out of scope
+    (the classic SimHash blocking trade)
   - verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side
 
 Token hashes use md5 (stable across workers/runs — never Python's
@@ -33,8 +34,6 @@ from pyanamo_spark.dedup import corpus_with_mutants
 from pyanamo_spark.registry import register
 
 HAMMING_MAX = 7
-N_CHUNKS = 8
-CHUNK_BITS = 8
 
 
 def _simhash64(text: str) -> int:
@@ -128,50 +127,165 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return _simhash_batch(texts)
 
 
-def _chunks(sig_col):
-    """8 × (chunk_idx, 8-bit chunk value) structs from a signed i64."""
-    return F.expr(
-        f"transform(sequence(0, {N_CHUNKS - 1}),"
-        f" c -> struct(c AS chunk_idx,"
-        f"   (shiftrightunsigned({sig_col}, c * {CHUNK_BITS})"
-        f"    & {2**CHUNK_BITS - 1}) AS chunk_val))"
-    )
+#: pair-of-blocks blocking: 9 blocks of 7-8 bits each. Hamming ≤ 7
+#: touches ≤ 7 blocks, so ≥ 2 blocks agree on any true pair — the
+#: pair of agreeing blocks is the join key (C(9,2)=36 keys per sig).
+#: The old single-block scheme had only 8 keys × 256 values = 2048
+#: buckets in total, so candidates grew QUADRATICALLY with corpus
+#: size — the r05 sf1 gate measured 98× cost at 10× data.
+_N_BLOCKS = 9
+
+
+def _balanced_blocks(distinct_sigs: DataFrame) -> list[list[int]]:
+    """Assign the 64 signature bits to 9 blocks by measured balance.
+
+    Real-corpus SimHash bits are wildly unequal: bits whose vote is
+    dominated by the common vocabulary are near-constant across docs,
+    and a block made of such bits agrees for a huge fraction of ALL
+    pairs (the sf1 diagnosis measured 200 candidates per true pair
+    from exactly this). One 64-sum aggregate over the distinct
+    signatures measures each bit's 1-frequency; bits are ranked by
+    distance from 0.5 and dealt round-robin so every block carries
+    its share of the high-entropy bits. The pigeonhole guarantee is
+    untouched — any partition of the 64 bits into 9 blocks works —
+    only bucket sizes change. Cost: a 64-number driver model.
+    """
+    row = distinct_sigs.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("sig"), b).bitwiseAND(F.lit(1))
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    ).first()
+    n = max(row["n"], 1)
+    order = sorted(range(64), key=lambda b: abs((row[f"b{b}"] or 0) / n - 0.5))
+    blocks: list[list[int]] = [[] for _ in range(_N_BLOCKS)]
+    for rank, bit in enumerate(order):
+        blocks[rank % _N_BLOCKS].append(bit)
+    return blocks
+
+
+def _pair_keys(sig_col: str, blocks: list[list[int]]):
+    """Array of C(9,2)=36 (pair_idx, key_val) structs: one per pair of
+    signature blocks, key_val = both blocks' bit-gathered values
+    packed. Pure shift/mask codegen — 64 bit extractions total."""
+    col = F.col(sig_col)
+    block_vals = []
+    for bits in blocks:
+        v = None
+        for k, p in enumerate(bits):
+            term = F.shiftrightunsigned(col, p).bitwiseAND(F.lit(1)) * F.lit(
+                1 << k
+            )
+            v = term if v is None else v + term
+        block_vals.append(v)
+    structs = []
+    pid = 0
+    for i in range(len(block_vals)):
+        for j in range(i + 1, len(block_vals)):
+            structs.append(
+                F.struct(
+                    F.lit(pid).alias("pair_idx"),
+                    (block_vals[i] * 256 + block_vals[j]).alias("key_val"),
+                )
+            )
+            pid += 1
+    return F.array(*structs)
 
 
 @register("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star SimHash dedup: pairs within Hamming distance 7 over
-    the mutant corpus, found via chunk-blocked self-join."""
-    corpus = (
+    """North-star SimHash dedup: all pairs within Hamming distance 7
+    over the mutant corpus.
+
+    Scale shape (the part that must stay linear-ish at 100 TB):
+
+      1. signature pass — one Arrow-batched UDF scan, persisted as a
+         skinny (doc_id, sig) frame
+      2. identical signatures collapse BEFORE pairing: duplicate and
+         near-duplicate mass (the whole point of a dedup corpus)
+         otherwise multiplies every blocking bucket and the candidate
+         count grows with the SQUARE of the duplication factor.
+         Within-group pairs are emitted directly (hamming 0) by a
+         sig-keyed self-join — output-sized work
+      3. DISTINCT signatures block on pairs of signature blocks
+         (pigeonhole: ≤7 differing bits touch ≤7 of 9 blocks, so ≥2
+         agree → some pair key matches; detection within the radius
+         stays guaranteed, not probabilistic). Bits are dealt to
+         blocks by measured balance (_balanced_blocks) so correlated
+         low-entropy bits can't produce giant buckets
+      4. verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side,
+         on candidate signature pairs; survivors expand back to doc
+         pairs through two joins against the signature frame
+
+    Output is all qualifying pairs, which is inherently quadratic
+    inside one identical-signature group (a boilerplate sig shared by
+    millions of docs IS millions² of pairs) — a keeper/representative
+    variant of step 2 makes that linear when pair enumeration isn't
+    required downstream.
+    """
+    sigs = (
         corpus_with_mutants(spark)
         .where(F.col("text").isNotNull())  # nothing to compare
-        .withColumn("sig", simhash_udf(F.col("text")))
-    )
-    # persisted: the self-join otherwise runs the simhash pandas UDF
-    # over the full corpus on BOTH aliases; 4 skinny rows/doc is far
-    # cheaper to hold than a second UDF pass over all text
-    chunked = (
-        corpus.select(
-            "doc_id", "sig", F.explode(_chunks("sig")).alias("ch")
-        )
-        .select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+        .select("doc_id", simhash_udf(F.col("text")).alias("sig"))
+        # persisted: three consumers below (within-group join, distinct
+        # blocking, member expansion); 16 bytes/doc is far cheaper than
+        # re-running the signature UDF over all text per consumer
         .persist()
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    x, y = sigs.alias("x"), sigs.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.sig") == F.col("y.sig"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    uniq = sigs.select("sig").distinct().persist()
+    blocks = _balanced_blocks(uniq)
+    blocked = (
+        uniq.select("sig", F.explode(_pair_keys("sig", blocks)).alias("k"))
+        .select("sig", "k.pair_idx", "k.key_val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
+    sig_pairs = (
         a.join(
             b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.pair_idx") == F.col("b.pair_idx"))
+            & (F.col("a.key_val") == F.col("b.key_val"))
+            & (F.col("a.sig") < F.col("b.sig")),
         )
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
             "hamming",
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["sig_a", "sig_b"])
     )
+    cross = (
+        sig_pairs.join(
+            sigs.select(
+                F.col("sig").alias("sig_a"), F.col("doc_id").alias("da")
+            ),
+            "sig_a",
+        )
+        .join(
+            sigs.select(
+                F.col("sig").alias("sig_b"), F.col("doc_id").alias("db")
+            ),
+            "sig_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)

@@ -555,3 +555,119 @@ def lm_score(docs: DataFrame) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(-F.col("ll") / F.col("n_tokens"), 4).alias("nll"),
     )
+
+
+# ---------------------------------------------------------------------
+# BM25 relevance (retrieval scoring over the corpus)
+
+#: literal query set (terms drawn from the fixture vocabulary) — the
+#: deterministic stand-in for a query log, same pattern as
+#: q_decontaminate's benchmark set
+BM25_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q1", "spark sort column"),
+    ("q2", "hash join order"),
+    ("q3", "scan value fast batch"),
+)
+BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 5
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH queries(query_id, term) AS (
+  VALUES {", ".join(f"('{qid}', '{t}')" for qid, q in BM25_QUERIES for t in q.split())}
+),
+docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT t.doc_id, t.term, COUNT(*) AS tf
+  FROM toks t SEMI JOIN queries q ON t.term = q.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN queries q USING (term)
+  JOIN df USING (term)
+  JOIN docs d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BM25_TOP}
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring: top-5 documents per query for a literal
+    query set (Robertson/Okapi form, the lexical half of every
+    RAG/retrieval stack).
+
+    Shuffle profile at scale: document text crosses the wire ONCE, as
+    (doc_id, term, tf) triples pre-filtered by a broadcast semi-join
+    on the query vocabulary — the per-doc length table is a second
+    narrow aggregate; df and the corpus stats ride back as broadcasts
+    (query vocab ≪ corpus). Ranking uses the ROUNDED score with a
+    doc_id tie-break so both engines order identically."""
+    docs = spark.table("documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id string, term string",
+    )
+    toks = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("raw")
+        )
+        .withColumn("score", F.round("raw", 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
