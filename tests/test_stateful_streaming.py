@@ -3,9 +3,28 @@ tests — the two streaming paths beyond plain aggregations."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyanamo_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(autouse=True)
+def _no_nodata_batches(spark):
+    """Work around a Spark 4.1.2 defect: the NO-DATA state-cleanup
+    micro-batch that processing-time timeouts schedule after an
+    availableNow drain re-plans the Python stateful operator without
+    an active session (PythonSQLMetrics NPE: "SparkPlan.session() is
+    null"), and the stream retries that batch forever — the query
+    hangs in "No new data but cleaning up state" until the test times
+    out. Timeout eviction still fires on every DATA batch, which is
+    what these drain-and-compare tests exercise; quiet-stream eviction
+    is covered by the operator's documented semantics, not by this
+    harness."""
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
 
 
 
@@ -27,7 +46,7 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(300), "stream drain timed out"
     try:
         got = {
             r.user_id: (r.n_events, round(r.total_value, 4), r.last_event_id)
@@ -75,7 +94,7 @@ def test_foreachbatch_sink_router_integration(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(300), "stream drain timed out"
     query.stop()
 
     assert batches, "foreachBatch must have fired"
@@ -140,7 +159,7 @@ def test_v2_transform_with_state_matches_v1_and_batch(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
         q.stop()
 
     drain()

@@ -41,7 +41,7 @@ def test_streaming_dedup_matches_global(spark, sf_dir, tmp_path):
     q = streaming_dedup(
         spark, flat, "doc_id long, text string", store
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream drain timed out"
 
     got = {r.fingerprint for r in accepted_corpus(spark, store).collect()}
     want = {
@@ -93,7 +93,7 @@ def test_windowed_dedup_drops_close_duplicates(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream drain timed out"
     q.stop()
 
     got = {

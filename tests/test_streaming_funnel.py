@@ -42,7 +42,7 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream drain timed out"
         q.stop()
 
     # chronological halves: arrival order == event-time order, so the

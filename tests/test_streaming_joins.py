@@ -43,7 +43,7 @@ def _drain(spark, events_dir, schema, ckpt, collected):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream drain timed out"
     q.stop()
 
 
