@@ -28,12 +28,22 @@ def _activate_protobuf_shim() -> None:
     PYTHONPATH the JVM hands its python workers. A real installed
     protobuf always wins: we only append when the import fails.
     """
-    try:
-        import google.protobuf  # noqa: F401
-        return
-    except ImportError:
-        pass
+    import importlib.util
+
     vendor = str(Path(__file__).resolve().parent.parent / "vendor")
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no `google` namespace at all
+        spec = None
+    if spec is not None and spec.origin and not spec.origin.startswith(vendor):
+        return  # a real wheel is installed — it wins everywhere
+    # Either protobuf is absent or it already resolves to the shim
+    # (e.g. a test put vendor on sys.path before the session started).
+    # Both interpreter path AND the exported PYTHONPATH must carry the
+    # vendor dir: the JVM hands PYTHONPATH to every python worker it
+    # spawns, and skipping the export because the DRIVER could already
+    # import the shim leaves those workers unable to (the exact
+    # collection-order bug that broke the v2 drain mid-suite in r05).
     if vendor not in sys.path:
         sys.path.append(vendor)
     existing = os.environ.get("PYTHONPATH", "")

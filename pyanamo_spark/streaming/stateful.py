@@ -11,6 +11,16 @@ partitioned across executors, checkpointable — the shape that holds at
 
 A processing-time timeout evicts idle users (the streaming analogue of
 the reference's wall-time-bounded sessions, timeKeeper.py:33-73).
+
+Known engine defect (Spark 4.1.2): with a processing-time timeout
+registered, the NO-DATA cleanup micro-batch scheduled after an
+``availableNow`` drain re-plans the Python stateful operator without
+an active session (PythonSQLMetrics NPE) and the stream retries it
+forever. Until fixed upstream, drain-style consumers should set
+``spark.sql.streaming.noDataMicroBatches.enabled=false`` for the
+session (timeout eviction still fires on every data batch);
+continuously-fed production streams never sit in the no-data path
+long enough to care.
 """
 
 from __future__ import annotations

@@ -41,3 +41,23 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+@pytest.fixture()
+def no_nodata_batches(spark):
+    """Work around a Spark 4.1.2 defect hit by Python stateful
+    operators with processing-time timeouts: the NO-DATA cleanup
+    micro-batch scheduled after an availableNow drain re-plans the
+    operator without an active session (PythonSQLMetrics NPE,
+    "SparkPlan.session() is null") and the stream retries it forever
+    ("No new data but cleaning up state"). Timeout eviction still
+    fires on every DATA batch, which is what the drain-and-compare
+    tests exercise. Scoped to the modules that use
+    applyInPandasWithState / transformWithStateInPandas with timeouts
+    (streaming/stateful.py, streaming/funnel.py) — watermarked-window
+    tests rely on no-data batches to flush final windows and must NOT
+    inherit this."""
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)

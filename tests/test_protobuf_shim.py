@@ -15,11 +15,13 @@ from pathlib import Path
 import pytest
 
 VENDOR = str(Path(__file__).resolve().parent.parent / "vendor")
-if VENDOR not in sys.path:  # mirror session._activate_protobuf_shim
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        sys.path.append(VENDOR)
+# Use the session helper, never a local sys.path hack: the helper also
+# exports PYTHONPATH so python workers spawned by a later JVM can see
+# the shim (a collection-time sys.path.append here once left PYTHONPATH
+# unset and broke the v2 driver worker mid-suite).
+from pyanamo_spark.session import _activate_protobuf_shim  # noqa: E402
+
+_activate_protobuf_shim()
 
 
 @pytest.fixture(scope="module")

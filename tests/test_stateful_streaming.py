@@ -10,21 +10,11 @@ from pyanamo_spark.streaming.stateful import running_user_totals
 
 
 @pytest.fixture(autouse=True)
-def _no_nodata_batches(spark):
-    """Work around a Spark 4.1.2 defect: the NO-DATA state-cleanup
-    micro-batch that processing-time timeouts schedule after an
-    availableNow drain re-plans the Python stateful operator without
-    an active session (PythonSQLMetrics NPE: "SparkPlan.session() is
-    null"), and the stream retries that batch forever — the query
-    hangs in "No new data but cleaning up state" until the test times
-    out. Timeout eviction still fires on every DATA batch, which is
-    what these drain-and-compare tests exercise; quiet-stream eviction
-    is covered by the operator's documented semantics, not by this
-    harness."""
-    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+def _no_nodata(no_nodata_batches):
+    """This module drains timeout-bearing stateful operators — see
+    conftest.no_nodata_batches for the Spark 4.1.2 defect it works
+    around."""
     yield
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
 
 
 

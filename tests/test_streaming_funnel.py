@@ -7,6 +7,15 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import QUERIES, load_all
 from pyanamo_spark.streaming.funnel import funnel_stream
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _no_nodata(no_nodata_batches):
+    """funnel_stream is a timeout-bearing stateful operator — see
+    conftest.no_nodata_batches for the Spark 4.1.2 defect it works
+    around."""
+    yield
 
 load_all()
 
