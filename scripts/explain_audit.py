@@ -39,8 +39,24 @@ EXCHANGE_BUDGET = {
     # plans as Expand + two-stage aggregation: 2 extra exchanges are
     # inherent to the distinct rewrite
     "q_dedup_near": 5,  # band self-join + dedup + verify
-    "q_dedup_simhash": 5,
+    "q_dedup_simhash": 7,  # sig-group collapse added two aggregates
+    # (distinct sigs + the 64-bit-frequency balance model) on top of
+    # the within-group join, block-pair self-join, and the two member
+    # expansion joins; every exchanged row is (sig) or (sig, key) —
+    # 16 bytes — and the r05 sf1 gate shows the result: 3.6x cost at
+    # 10x data where the 2-exchange form was 98x
     "q_dedup_ngram": 4,
+    "q_model_score": 4,  # train-split regr aggregation (two-phase)
+    # + the final per-(flag, tree-class) report aggregation; the
+    # GROUPS-sized model joins back as a broadcast with no exchange
+    "q_bm25": 16,  # the tf subtree is PRINTED thrice (own consumer,
+    # df derivation, scored join) and the doc-length subtree twice
+    # (stats + join) — copies canonicalize identically so
+    # ReuseExchange dedups at runtime, same story as q_tfidf. Live
+    # profile: tf shuffle, df shuffle, doc-length agg, doc_id join,
+    # final per-query window; the query-vocab semi-join prefilter
+    # keeps every exchanged row a (doc, query-term) triple
+    "q_video_frames": 2,
     "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
     # (1) + count-distinct's two-phase Expand aggregation; every
     # exchanged row is an id pair — document text stays map-side
