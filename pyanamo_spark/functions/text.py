@@ -570,11 +570,10 @@ BM25_QUERIES: tuple[tuple[str, str], ...] = (
 )
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 5
 
-
-@register(
-    "q_bm25",
-    oracle=f"""
-WITH queries(query_id, term) AS (
+#: BM25 scoring as DuckDB CTEs ending in bm25_scored(query_id, doc_id,
+#: score[rounded 6]) — shared by the q_bm25 oracle and the hybrid-RRF
+#: oracle so the lexical leg cannot drift between the two
+BM25_SCORE_CTES = f"""queries(query_id, term) AS (
   VALUES {", ".join(f"('{qid}', '{t}')" for qid, q in BM25_QUERIES for t in q.split())}
 ),
 docs AS (
@@ -592,26 +591,32 @@ tf AS (
   GROUP BY 1, 2
 ),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-scored AS (
+bm25_scored AS (
   SELECT q.query_id, tf.doc_id,
-         SUM(
+         ROUND(SUM(
            ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * ({BM25_K1} + 1)
            / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
-         ) AS score
+         ), 6) AS score
   FROM tf
   JOIN queries q USING (term)
   JOIN df USING (term)
   JOIN docs d USING (doc_id)
   CROSS JOIN stats s
   GROUP BY 1, 2
-),
+)"""
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH {BM25_SCORE_CTES},
 ranked AS (
-  SELECT query_id, doc_id, ROUND(score, 6) AS score,
+  SELECT query_id, doc_id, score,
          ROW_NUMBER() OVER (
-           PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, doc_id
+           PARTITION BY query_id ORDER BY score DESC, doc_id
          ) AS rnk
-  FROM scored
+  FROM bm25_scored
 )
 SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {BM25_TOP}
@@ -628,6 +633,19 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow aggregate; df and the corpus stats ride back as broadcasts
     (query vocab ≪ corpus). Ranking uses the ROUNDED score with a
     doc_id tie-break so both engines order identically."""
+    scored = bm25_scores(spark)
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def bm25_scores(spark: SparkSession) -> DataFrame:
+    """(query_id, doc_id, score): rounded BM25 of every matching doc
+    per query — the full lexical leg, shared by q_bm25 (top-k) and the
+    hybrid RRF fusion (rank frame)."""
     docs = spark.table("documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("dl")
     )
@@ -665,9 +683,4 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("score", F.round("raw", 6))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= BM25_TOP)
-        .select("query_id", "doc_id", "score", "rnk")
-    )
+    return scored.select("query_id", "doc_id", "score")

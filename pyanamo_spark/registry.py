@@ -203,5 +203,6 @@ def load_all() -> None:
     import pyanamo_spark.dedup.clusters  # noqa: F401
     import pyanamo_spark.similarity.knn  # noqa: F401
     import pyanamo_spark.similarity.ivf  # noqa: F401
+    import pyanamo_spark.similarity.hybrid  # noqa: F401
     import pyanamo_spark.multimodal.pipeline  # noqa: F401
     import pyanamo_spark.executor.pipe  # noqa: F401
