@@ -214,3 +214,145 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.abs("resid")), 2).alias("mae"),
     )
+
+
+# --------------------------------------------------------------------
+# logistic regression (IRLS), fitted by iterated aggregations
+
+#: IRLS iterations / ridge / probability clamp — fixed so the fit is
+#: deterministic across runs and machines
+IRLS_ITERS = 8
+IRLS_RIDGE = 1e-3
+_MU_EPS = 1e-6
+
+
+def logistic_fit(
+    df: DataFrame,
+    y: str,
+    xs: list[str],
+    iters: int = IRLS_ITERS,
+    ridge: float = IRLS_RIDGE,
+) -> np.ndarray:
+    """IRLS logistic fit of ``y`` (0/1 column) on ``xs``; returns
+    [intercept, coef...].
+
+    Each iteration is ONE aggregation: the weighted normal-equation
+    moments XᵀWX ((p+1)² scalars) and XᵀWz (p+1 scalars) computed as
+    explicit column products — the per-row working weights/response
+    derive from the CURRENT coefficients riding in as literals, so
+    every pass is whole-stage-codegen'd JVM work and the driver only
+    ever sees a (p+1)(p+2)-number moment row. A ridge term keeps the
+    solve stable when classes are (near-)separable; the feature frame
+    should be persisted by the caller (it is scanned once per
+    iteration).
+
+    numpy is driver-side only: the solve of a (p+1)×(p+1) system.
+    """
+    import numpy as _np
+
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in xs]
+    p1 = len(cols)
+    beta = _np.zeros(p1)
+    for _ in range(iters):
+        eta = sum(
+            (float(beta[i]) * cols[i] for i in range(1, p1)),
+            F.lit(float(beta[0])),
+        )
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        mu = F.least(F.greatest(mu, F.lit(_MU_EPS)), F.lit(1.0 - _MU_EPS))
+        w = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col(y).cast("double") - mu) / w
+        aggs = []
+        for i in range(p1):
+            for j in range(i, p1):
+                aggs.append(
+                    F.sum(w * cols[i] * cols[j]).alias(f"xx_{i}_{j}")
+                )
+        for i in range(p1):
+            aggs.append(F.sum(w * cols[i] * z).alias(f"xz_{i}"))
+        row = df.agg(*aggs).first()
+        if row["xx_0_0"] is None:
+            raise ValueError(
+                "logistic_fit needs a non-empty training frame"
+            )
+        xtwx = _np.zeros((p1, p1))
+        xtwz = _np.zeros(p1)
+        for i in range(p1):
+            for j in range(i, p1):
+                xtwx[i, j] = xtwx[j, i] = row[f"xx_{i}_{j}"] or 0.0
+            xtwz[i] = row[f"xz_{i}"] or 0.0
+        beta = _np.linalg.solve(xtwx + ridge * _np.eye(p1), xtwz)
+    return beta
+
+
+def logistic_score(
+    df: DataFrame,
+    beta,
+    xs: list[str],
+    threshold: float = 0.5,
+    decimals: int = COEF_DECIMALS,
+) -> DataFrame:
+    """Append ``prob``/``predicted`` from literal (rounded)
+    coefficients — codegen'd arithmetic, no Python in the scan.
+    ``threshold`` defaults to 0.5; pass the train-set prevalence for
+    imbalanced labels (at 0.5 a well-calibrated model on a 30%%
+    positive class can degenerate to all-majority predictions)."""
+    eta = sum(
+        (
+            round(float(beta[i + 1]), decimals) * F.col(c).cast("double")
+            for i, c in enumerate(xs)
+        ),
+        F.lit(round(float(beta[0]), decimals)),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    return df.withColumn("prob", prob).withColumn(
+        "predicted", (prob >= F.lit(round(float(threshold), decimals))).cast("int")
+    )
+
+
+@register("q_logit_score", oracle=None)
+def q_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-classifier lifecycle, all in-engine: label documents
+    long (n_chars ≥ 250), fit P(long | token count, mean word length)
+    by IRLS on the hash-split train partition, score the held-out
+    docs through literal coefficients at the train-prevalence
+    threshold, and report the confusion matrix.
+
+    The label is a genuine but NONLINEAR function of the features
+    (chars ≈ tokens × word length), so the linear classifier must
+    learn a real boundary rather than memorize a column — the fixture
+    corpus deliberately decorrelates its natural columns, which would
+    make any cross-column label pure noise. Rows-only (IRLS is
+    iterative, not SQL-expressible); coefficient parity vs a
+    pure-numpy IRLS and the no-Python-stage plan are pinned in
+    tests/test_model.py."""
+    toks = F.split("text", " ")
+    keyed = spark.table("documents").select(
+        (F.length("text") >= 250).cast("int").alias("long_doc"),
+        F.size(toks).cast("double").alias("n_toks"),
+        (
+            F.length("text") / F.greatest(F.size(toks), F.lit(1))
+        ).alias("mean_wlen"),
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        ).alias("hx"),
+    )
+    train = keyed.filter(F.col("hx") < _TRAIN_HI).persist()
+    beta = logistic_fit(train, y="long_doc", xs=["n_toks", "mean_wlen"])
+    # decision threshold at the TRAIN prevalence (standard for
+    # imbalanced labels; 0.5 can collapse to the majority class)
+    prevalence = float(train.agg(F.avg("long_doc")).first()[0])
+    train.unpersist()
+    scored = logistic_score(
+        keyed.filter(F.col("hx") >= _TRAIN_HI),
+        beta,
+        ["n_toks", "mean_wlen"],
+        threshold=prevalence,
+    )
+    return (
+        scored.groupBy(
+            F.col("long_doc").alias("actual"), F.col("predicted")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual", "predicted")
+    )

@@ -15,7 +15,7 @@ load_all()
 
 #: model-fit queries that cannot produce a model from nothing; their
 #: contract is a clear ValueError, not an empty result
-FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune"}
+FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune", "q_logit_score"}
 
 #: queries whose CORRECT empty-input output is non-empty: ungrouped
 #: aggregates yield their single zero/null row (SQL semantics), the

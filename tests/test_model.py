@@ -82,3 +82,70 @@ def test_scoring_plan_has_no_python_stage(spark, sf_dir):
         assert marker not in plan, marker
     # and the GROUPS-sized model really broadcasts
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def _numpy_irls(X, y, iters=8, ridge=1e-3):
+    import numpy as np
+
+    Xb = np.column_stack([np.ones(len(X)), X])
+    beta = np.zeros(Xb.shape[1])
+    for _ in range(iters):
+        eta = Xb @ beta
+        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-6, 1 - 1e-6)
+        w = mu * (1 - mu)
+        z = eta + (y - mu) / w
+        xtwx = Xb.T @ (Xb * w[:, None])
+        beta = np.linalg.solve(
+            xtwx + ridge * np.eye(Xb.shape[1]), Xb.T @ (w * z)
+        )
+    return beta
+
+
+def test_logistic_fit_matches_numpy_irls(spark):
+    from pyanamo_spark.functions.model import logistic_fit
+
+    rng = np.random.default_rng(3)
+    x1 = rng.uniform(0, 10, 500)
+    x2 = rng.uniform(0, 1, 500)
+    logit = 0.8 * x1 - 2.0 * x2 - 3.0
+    y = (rng.random(500) < 1 / (1 + np.exp(-logit))).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    ).persist()
+    beta = logistic_fit(df, y="y", xs=["x1", "x2"])
+    ref = _numpy_irls(np.column_stack([x1, x2]), y)
+    assert np.allclose(beta, ref, atol=1e-6), (beta, ref)
+    # and the fit actually recovered the generating direction
+    assert beta[1] > 0 and beta[2] < 0
+
+
+def test_logit_score_query(spark, sf_dir):
+    from pyanamo_spark.functions.model import q_logit_score
+
+    rows = q_logit_score(spark, sf_dir).collect()
+    cells = {(r["actual"], r["predicted"]): r["n"] for r in rows}
+    total = sum(cells.values())
+    correct = cells.get((0, 0), 0) + cells.get((1, 1), 0)
+    # quantity drives extendedprice with per-part price noise: the
+    # classifier must clearly beat both chance and the majority class
+    # (measured ~0.71 on the fixture)
+    majority = max(
+        sum(n for (a, _), n in cells.items() if a == 0),
+        sum(n for (a, _), n in cells.items() if a == 1),
+    )
+    assert correct / total > 0.65
+    assert correct > majority
+
+
+def test_logit_scoring_plan_stays_jvm_side(spark, sf_dir):
+    from pyanamo_spark.functions.model import q_logit_score
+
+    plan = (
+        q_logit_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan, marker
