@@ -57,6 +57,17 @@ EXCHANGE_BUDGET = {
     # final per-query window; the query-vocab semi-join prefilter
     # keeps every exchanged row a (doc, query-term) triple
     "q_video_frames": 2,
+    "q_hybrid_search": 28,  # the BM25 leg's CTE chain (itself
+    # print-duplicated, see q_bm25) appears again under the fusion's
+    # full-outer join, and the centroid aggregate subtree is PRINTED
+    # per consumer — identical copies canonicalize so ReuseExchange
+    # dedups at runtime. Live: the q_bm25 profile + posexplode
+    # centroid agg + dense window + fusion join; legs are rank frames
+    # (query_id, doc_id, r), never text or vectors
+    "q_logit_score": 4,  # train-split moment aggregation (two-phase)
+    # + the confusion-matrix report aggregation; IRLS re-aggregates
+    # per iteration but each pass is the SAME two-exchange shape over
+    # the persisted feature frame
     "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
     # (1) + count-distinct's two-phase Expand aggregation; every
     # exchanged row is an id pair — document text stays map-side
