@@ -356,3 +356,123 @@ def q_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+# --------------------------------------------------------------------
+# k-fold cross-validation from sufficient statistics
+
+K_FOLDS = 5
+
+_CV_ORACLE = f"""
+WITH keyed AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 2)
+              AS INTEGER) % {K_FOLDS} AS fold
+  FROM lineitem
+),
+fold_stats AS (
+  SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM keyed GROUP BY fold
+),
+totals AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxy) AS sxy, SUM(sxx) AS sxx
+  FROM fold_stats
+),
+models AS (
+  SELECT f.fold,
+         ROUND((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+               / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)),
+               6) AS slope,
+         ROUND((t.sy - f.sy) / (t.n - f.n)
+               - ((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+                  / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)))
+                 * (t.sx - f.sx) / (t.n - f.n),
+               6) AS icept
+  FROM fold_stats f CROSS JOIN totals t
+)
+SELECT k.fold, COUNT(*) AS n_test, m.slope, m.icept,
+       ROUND(SQRT(AVG((k.y - (m.icept + m.slope * k.x))
+                      * (k.y - (m.icept + m.slope * k.x)))), 2) AS rmse
+FROM keyed k JOIN models m ON k.fold = m.fold
+GROUP BY k.fold, m.slope, m.icept
+"""
+
+
+@register("q_crossval", oracle=_CV_ORACLE)
+def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the OLS model in TWO passes total,
+    independent of k.
+
+    The naive form refits k times (k scans); the scale shape computes
+    per-fold sufficient statistics (n, Σx, Σy, Σxy, Σx²) in ONE
+    aggregation, derives every fold's leave-that-fold-out model by
+    SUBTRACTING its stats from the totals (GROUPS-sized arithmetic —
+    the same trick jackknife/LOO estimators use), and scores each
+    fold against its own held-out model in one more pass with the
+    k-row model table broadcast. Fold assignment is the engine-
+    portable md5 hash (q_hash_split contract), so both engines build
+    identical folds; coefficients round before scoring so both score
+    the identical models.
+    """
+    keyed = spark.table("lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        # engine-portable fold: first md5 hex byte as int (q_hash_split
+        # determinism contract; 256 values mod 5 is near-uniform)
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % K_FOLDS
+        ).cast("long").alias("fold"),
+    )
+    fold_stats = keyed.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    totals = fold_stats.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    cn = F.col("tn") - F.col("n")
+    csx = F.col("tsx") - F.col("sx")
+    csy = F.col("tsy") - F.col("sy")
+    csxy = F.col("tsxy") - F.col("sxy")
+    csxx = F.col("tsxx") - F.col("sxx")
+    slope = (csxy - csx * csy / cn) / (csxx - csx * csx / cn)
+    models = fold_stats.crossJoin(F.broadcast(totals)).select(
+        "fold",
+        F.round(slope, 6).alias("slope"),
+        F.round(csy / cn - slope * csx / cn, 6).alias("icept"),
+    )
+    resid = F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))
+    return (
+        keyed.join(F.broadcast(models), "fold")
+        .groupBy("fold", "slope", "icept")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.sqrt(F.avg(resid * resid)), 2).alias("rmse"),
+        )
+        .select("fold", "n_test", "slope", "icept", "rmse")
+    )
