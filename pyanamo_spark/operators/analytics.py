@@ -468,3 +468,114 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(SKEW_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------
+# distribution drift (population stability index per source)
+
+#: fixed n_chars bucketing for the drift report: 10 × 100-char buckets
+_DRIFT_BUCKETS, _DRIFT_WIDTH = 10, 100
+#: Laplace smoothing so empty buckets don't blow up the log-ratio —
+#: identical constant on both engines
+_DRIFT_ALPHA = 0.5
+
+_DRIFT_ORACLE = f"""
+WITH bucketed AS (
+  SELECT source,
+         LEAST(n_chars // {_DRIFT_WIDTH}, {_DRIFT_BUCKETS - 1}) AS bucket
+  FROM documents
+),
+per_source AS (
+  SELECT source, bucket, COUNT(*) AS n
+  FROM bucketed GROUP BY source, bucket
+),
+grid AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM bucketed) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_DRIFT_BUCKETS - 1})) AS bucket) b
+),
+filled AS (
+  SELECT g.source, g.bucket, COALESCE(p.n, 0) AS n
+  FROM grid g LEFT JOIN per_source p
+    ON g.source = p.source AND g.bucket = p.bucket
+),
+global_b AS (
+  SELECT bucket, SUM(n) AS n FROM filled GROUP BY bucket
+),
+sized AS (
+  SELECT f.source, f.bucket, f.n,
+         gb.n - f.n AS n_rest,
+         SUM(f.n) OVER (PARTITION BY f.source) AS n_src,
+         (SELECT SUM(n) FROM global_b) AS n_all
+  FROM filled f JOIN global_b gb USING (bucket)
+),
+probs AS (
+  SELECT source, bucket,
+         (n + {_DRIFT_ALPHA})
+           / (n_src + {_DRIFT_ALPHA * _DRIFT_BUCKETS}) AS pa,
+         (n_rest + {_DRIFT_ALPHA})
+           / ((n_all - n_src) + {_DRIFT_ALPHA * _DRIFT_BUCKETS}) AS pb
+  FROM sized
+)
+SELECT source, ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM probs GROUP BY source
+"""
+
+
+@register("q_drift", oracle=_DRIFT_ORACLE)
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: population stability index of each
+    source's document-length distribution against the REST of the
+    corpus — the crawl-batch QA check that flags a source whose
+    content shifted before it contaminates a training mix.
+
+    Scale shape: one bucketing aggregation over the corpus →
+    (sources × buckets)-sized everything after (dense grid via a
+    cross join of two tiny frames, rest-counts by subtracting the
+    source's own counts from the broadcast global bucket totals,
+    PSI as a per-source fold). Laplace smoothing keeps empty buckets
+    finite and is applied identically in both engines.
+    """
+    bucketed = spark.table("documents").select(
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / _DRIFT_WIDTH).cast("long"),
+            F.lit(_DRIFT_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    per_source = bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    sources = bucketed.select("source").distinct()
+    buckets = spark.range(_DRIFT_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
+    grid = sources.crossJoin(F.broadcast(buckets))
+    filled = (
+        grid.join(per_source, ["source", "bucket"], "left")
+        .fillna(0, subset=["n"])
+    )
+    global_b = filled.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    from pyspark.sql import Window as W
+
+    n_src = F.sum("n").over(W.partitionBy("source"))
+    sized = (
+        filled.join(F.broadcast(global_b), "bucket")
+        .withColumn("n_src", n_src)
+        .crossJoin(
+            F.broadcast(
+                filled.agg(F.sum("n").alias("n_all"))
+            )
+        )
+    )
+    pa = (F.col("n") + _DRIFT_ALPHA) / (
+        F.col("n_src") + _DRIFT_ALPHA * _DRIFT_BUCKETS
+    )
+    pb = (F.col("gn") - F.col("n") + _DRIFT_ALPHA) / (
+        (F.col("n_all") - F.col("n_src")) + _DRIFT_ALPHA * _DRIFT_BUCKETS
+    )
+    return (
+        sized.withColumn("term", (pa - pb) * F.log(pa / pb))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
