@@ -684,3 +684,118 @@ def bm25_scores(spark: SparkSession) -> DataFrame:
         .withColumn("score", F.round("raw", 6))
     )
     return scored.select("query_id", "doc_id", "score")
+
+
+# ---------------------------------------------------------------------
+# PMI co-occurrence (collocation / phrase-mining primitive)
+
+#: frequent-vocabulary cap: only words appearing in ≥ MIN_DF docs can
+#: form pairs — the prune that bounds per-doc pair fan-out at corpus
+#: scale (a doc's pair count is ≤ |vocab∩doc|², not |doc|²)
+PMI_MIN_DF = 50
+PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS (
+  SELECT w, COUNT(*) AS df FROM words GROUP BY w
+  HAVING COUNT(*) >= {PMI_MIN_DF}
+),
+kept AS (
+  SELECT wo.doc_id, wo.w FROM words wo SEMI JOIN df ON wo.w = df.w
+),
+pair_df AS (
+  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS df_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.wa, p.wb, p.df_ab, da.df AS df_a, db.df AS df_b,
+         ROUND(ln((CAST(p.df_ab AS DOUBLE) / n.n_docs)
+                  / ((CAST(da.df AS DOUBLE) / n.n_docs)
+                     * (CAST(db.df AS DOUBLE) / n.n_docs))), 6) AS pmi
+  FROM pair_df p
+  JOIN df da ON p.wa = da.w
+  JOIN df db ON p.wb = db.w
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT wa, wb, df_ab, df_a, df_b, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, wa, wb) AS rnk
+  FROM scored
+)
+SELECT wa, wb, df_ab, df_a, df_b, pmi, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {PMI_TOP}
+"""
+
+
+@register("q_pmi", oracle=_PMI_ORACLE)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word pairs by document-level pointwise mutual
+    information — the collocation signal phrase mining / tokenizer
+    curricula start from.
+
+    Scale shape: per-doc DISTINCT words first (one aggregation), then
+    a min-df prune via broadcast semi-join BEFORE any pairing — the
+    per-doc pair fan-out is bounded by the frequent vocabulary, never
+    by document length, and the doc_id-keyed pair join shuffles only
+    (doc, frequent-word) rows. All probabilities are document
+    frequencies over one broadcast corpus count; the final top-k is a
+    single ordered limit on the vocab²-bounded pair table."""
+    words = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    df_ = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    kept = words.join(F.broadcast(df_.select("w")), "w", "semi")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pair_df = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count("*").alias("df_ab"))
+    )
+    n_docs = spark.table("documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        pair_df.join(
+            F.broadcast(df_.select(F.col("w").alias("wa"), F.col("df").alias("df_a"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("w").alias("wb"), F.col("df").alias("df_b"))),
+            "wb",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("df_ab").cast("double") / F.col("n_docs"))
+                    / (
+                        (F.col("df_a").cast("double") / F.col("n_docs"))
+                        * (F.col("df_b").cast("double") / F.col("n_docs"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.orderBy(F.col("pmi").desc(), "wa", "wb")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PMI_TOP)
+        .select("wa", "wb", "df_ab", "df_a", "df_b", "pmi", "rnk")
+    )
