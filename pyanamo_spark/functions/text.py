@@ -799,3 +799,51 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PMI_TOP)
         .select("wa", "wb", "df_ab", "df_a", "df_b", "pmi", "rnk")
     )
+
+
+@register(
+    "q_zipf",
+    oracle="""
+WITH counts AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+  FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       ROUND(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_slope,
+       ROUND(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS r2
+FROM ranked
+""",
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token frequency distribution: OLS slope of
+    log-frequency on log-rank plus R² — natural language sits near
+    slope −1 with high R², so the report is the cheap corpus-
+    naturalness check (synthetic/templated/spam-heavy crawls bend the
+    curve). One token aggregation; the vocabulary-sized rank window
+    orders by (freq, w) so ranks are engine-identical; the fit is the
+    exact regr_* closed form on vocab-sized data."""
+    counts = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("freq").desc(), "w")),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
