@@ -68,6 +68,25 @@ EXCHANGE_BUDGET = {
     # + the confusion-matrix report aggregation; IRLS re-aggregates
     # per iteration but each pass is the SAME two-exchange shape over
     # the persisted feature frame
+    "q_crossval": 8,  # the fold-stats subtree is PRINTED twice (its
+    # own consumer + the totals derivation) and the fact is scanned
+    # twice (stats pass + residual pass) — copies canonicalize so
+    # ReuseExchange dedups at runtime. Live: one k-row fold-stats
+    # shuffle, a singleton totals agg, the broadcast model join, and
+    # the final k-row report agg
+    "q_drift": 16,  # the (sources x buckets) filled grid feeds four
+    # consumers (per-bucket totals, per-source windows, corpus total,
+    # PSI fold) and each PRINTS its subtree; all post-scan frames are
+    # grid-sized (tens of rows), the corpus is scanned once
+    "q_pmi": 24,  # the distinct-words and min-df subtrees are PRINTED
+    # once per consumer (df join back on both pair sides + the kept
+    # semi-join); copies canonicalize so ReuseExchange dedups at
+    # runtime. Live: distinct-words agg, df agg, the doc_id pair
+    # join, pair-count agg, and the top-k sort — every wide row is a
+    # (doc, frequent-word) pair or smaller
+    "q_zipf": 4,  # token-count agg (two-phase) + the vocabulary-sized
+    # global rank window + the single-row regr fit; only the first
+    # exchange carries corpus-derived rows (the distinct vocabulary)
     "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
     # (1) + count-distinct's two-phase Expand aggregation; every
     # exchanged row is an id pair — document text stays map-side
