@@ -600,3 +600,50 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------
+# training-shard plan
+
+#: output shard count for the shard-plan report
+N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            AS INTEGER) % {N_SHARDS} AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_shard_plan", oracle=_SHARD_ORACLE)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every document to one of
+    N_SHARDS output shards by the engine-portable md5-byte hash (the
+    q_hash_split determinism contract — stable under reruns, engines,
+    repartitioning, and incremental arrivals) and report per-shard
+    volume. The report IS the writer's plan: `df.write.partitionBy`
+    on the same expression produces exactly these shards, and the
+    near-equal n_docs/total_chars rows are the balance check a
+    dataloader needs before training starts. One aggregation; at
+    100 TB the hash assignment is a narrow codegen'd expression on
+    the scan."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % N_SHARDS
+    ).cast("long")
+    return (
+        spark.table("documents")
+        .groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
