@@ -579,3 +579,81 @@ def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum("term"), 6).alias("psi"))
     )
+
+
+_KS_ORACLE = """
+WITH vals AS (
+  SELECT source, n_chars AS v FROM documents
+),
+per_sv AS (
+  SELECT source, v, COUNT(*) AS n FROM vals GROUP BY source, v
+),
+per_v AS (
+  SELECT v, SUM(n) AS gn FROM per_sv GROUP BY v
+),
+grid AS (
+  SELECT s.source, pv.v, pv.gn, COALESCE(p.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM vals) s
+  CROSS JOIN per_v pv
+  LEFT JOIN per_sv p ON p.source = s.source AND p.v = pv.v
+),
+sized AS (
+  SELECT source, v,
+         SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum_src,
+         SUM(gn - n) OVER (PARTITION BY source ORDER BY v) AS cum_rest,
+         SUM(n) OVER (PARTITION BY source) AS n_src,
+         SUM(gn - n) OVER (PARTITION BY source) AS n_rest
+  FROM grid
+)
+SELECT source,
+       ROUND(MAX(ABS(CAST(cum_src AS DOUBLE) / n_src
+                     - CAST(cum_rest AS DOUBLE) / n_rest)), 6) AS ks
+FROM sized GROUP BY source
+"""
+
+
+@register("q_ks_drift", oracle=_KS_ORACLE)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift: for each source, the max
+    ECDF gap of its document-length distribution against the rest of
+    the corpus — the binning-free twin of q_drift's PSI (PSI needs
+    bucket choices; KS sees any shape difference the buckets blur).
+
+    Scale shape: one (source, value) counting aggregation, the dense
+    (sources × distinct-values) grid from two small frames, then the
+    ECDFs as cumulative windows per source — everything after the
+    first aggregation is grid-sized. Distinct value counts bound the
+    state (lengths, scores, and similar profile metrics have small
+    value domains; for continuous metrics quantize first — q_drift's
+    buckets ARE that quantization)."""
+    from pyspark.sql import Window as W
+
+    vals = spark.table("documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    per_sv = vals.groupBy("source", "v").agg(F.count("*").alias("n"))
+    per_v = per_sv.groupBy("v").agg(F.sum("n").alias("gn"))
+    sources = vals.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(per_v))
+        .join(per_sv, ["source", "v"], "left")
+        .fillna(0, subset=["n"])
+    )
+    cum = W.partitionBy("source").orderBy("v")
+    tot = W.partitionBy("source")
+    sized = grid.select(
+        "source",
+        "v",
+        F.sum("n").over(cum).alias("cum_src"),
+        F.sum(F.col("gn") - F.col("n")).over(cum).alias("cum_rest"),
+        F.sum("n").over(tot).alias("n_src"),
+        F.sum(F.col("gn") - F.col("n")).over(tot).alias("n_rest"),
+    )
+    gap = F.abs(
+        F.col("cum_src").cast("double") / F.col("n_src")
+        - F.col("cum_rest").cast("double") / F.col("n_rest")
+    )
+    return (
+        sized.groupBy("source")
+        .agg(F.round(F.max(gap), 6).alias("ks"))
+    )

@@ -44,6 +44,8 @@ HOT_QUERIES = [
     # curation + text scoring
     "q_curation_funnel", "q_hash_split", "q_chunk_documents",
     "q_tfidf", "q_lm_score",
+    # retrieval
+    "q_bm25", "q_hybrid_search",
 ]
 
 DATA_RATIO = 10.0  # sf1 / sf0.1
