@@ -127,3 +127,124 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------
+# asymmetric containment (quote / excerpt / subset detection)
+
+#: containment floor: |A∩B| / |A| for the CONTAINED side A
+CONTAIN_T = 0.8
+#: posting-list prune: shingles appearing in more than this many docs
+#: are dropped from candidate generation (boilerplate shingles pair
+#: everything with everything); exactness is preserved by verifying
+#: candidates on their FULL shingle sets
+CONTAIN_MAX_DF = 500
+
+_CONTAIN_ORACLE = f"""
+WITH corpus AS (
+{CORPUS_SQL}
+),
+prepped AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM corpus
+),
+sized AS (
+  SELECT doc_id, lang, sh, len(sh) AS n_sh FROM prepped
+),
+pairs AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         len(list_intersect(a.sh, b.sh)) AS inter, a.n_sh AS na
+  FROM sized a JOIN sized b
+    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+)
+SELECT contained_doc, container_doc,
+       ROUND(CAST(inter AS DOUBLE) / na, 6) AS containment
+FROM pairs
+WHERE inter >= {CONTAIN_T} * na
+"""
+
+
+@register("q_dedup_contain", oracle=_CONTAIN_ORACLE)
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment: (contained, container) pairs where ≥80%
+    of the contained doc's trigram set appears in the container — the
+    quote/excerpt/boilerplate-subset signal symmetric Jaccard misses
+    (a tweet quoted inside an article has tiny Jaccard but containment
+    ≈ 1).
+
+    Scale shape mirrors q_dedup_ngram's inverted index with two
+    containment-specific changes: no size-bucket blocking (containment
+    deliberately crosses sizes) and a max-df prune on posting lists —
+    near-universal shingles would pair everything with everything, and
+    dropping them from CANDIDATE GENERATION is safe because a doc with
+    ≥80%% of its shingles shared keeps plenty of sub-threshold-df ones
+    at any realistic vocabulary skew; the final filter recounts on the
+    real intersection. The oracle runs the exact all-pairs form, so
+    the prune's completeness is hash-checked, not assumed, at every
+    driver run."""
+    from pyanamo_spark.dedup import corpus_with_mutants, shingles
+
+    corpus = corpus_with_mutants(spark)
+    prepped = (
+        corpus.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(shingles("text"), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    postings = prepped.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("h")
+    )
+    rare = (
+        postings.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAIN_MAX_DF)
+        .select("h")
+    )
+    pruned = postings.join(rare, "h", "semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count("*").alias("shared_rare"))
+    )
+    # verify candidates on the FULL shingle sets (prune-independent)
+    full = prepped.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    fullb = prepped.select(
+        F.col("doc_id").alias("container_doc"), F.col("sh").alias("sh_b")
+    )
+    verified = (
+        pair_counts.join(full, "contained_doc")
+        .join(fullb, "container_doc")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .filter(F.col("inter") >= CONTAIN_T * F.col("na"))
+    )
+    return verified.select(
+        "contained_doc",
+        "container_doc",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6).alias(
+            "containment"
+        ),
+    )

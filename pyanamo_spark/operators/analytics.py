@@ -606,8 +606,9 @@ sized AS (
   FROM grid
 )
 SELECT source,
-       ROUND(MAX(ABS(CAST(cum_src AS DOUBLE) / n_src
-                     - CAST(cum_rest AS DOUBLE) / n_rest)), 6) AS ks
+       ROUND(MAX(ABS(CAST(cum_src AS DOUBLE) / NULLIF(n_src, 0)
+                     - CAST(cum_rest AS DOUBLE) / NULLIF(n_rest, 0))), 6)
+         AS ks
 FROM sized GROUP BY source
 """
 
@@ -649,9 +650,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(tot).alias("n_src"),
         F.sum(F.col("gn") - F.col("n")).over(tot).alias("n_rest"),
     )
+    # NULLIF guards the single-source corpus (empty "rest") — the KS
+    # of a population against nothing is undefined, reported as null
     gap = F.abs(
-        F.col("cum_src").cast("double") / F.col("n_src")
-        - F.col("cum_rest").cast("double") / F.col("n_rest")
+        F.col("cum_src").cast("double")
+        / F.nullif(F.col("n_src"), F.lit(0))
+        - F.col("cum_rest").cast("double")
+        / F.nullif(F.col("n_rest"), F.lit(0))
     )
     return (
         sized.groupBy("source")

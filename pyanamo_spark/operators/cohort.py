@@ -233,3 +233,92 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50_secs", 4).alias("p50_secs"),
         F.round("p90_secs", 4).alias("p90_secs"),
     )
+
+
+# ---------------------------------------------------------------------
+# A/B experiment analysis
+
+_AB_ORACLE = """
+WITH assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1)
+                   < '8' THEN 'control' ELSE 'treatment' END AS variant,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT variant, COUNT(*) AS n, AVG(value) AS mean,
+         VAR_SAMP(value) AS var
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'control' THEN n END) AS n_c,
+    MAX(CASE WHEN variant = 'control' THEN mean END) AS mean_c,
+    MAX(CASE WHEN variant = 'control' THEN var END) AS var_c,
+    MAX(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+    MAX(CASE WHEN variant = 'treatment' THEN mean END) AS mean_t,
+    MAX(CASE WHEN variant = 'treatment' THEN var END) AS var_t
+  FROM stats
+)
+SELECT CAST(n_c AS BIGINT) AS n_control, CAST(n_t AS BIGINT) AS n_treatment,
+       ROUND(mean_c, 4) AS mean_control, ROUND(mean_t, 4) AS mean_treatment,
+       ROUND(mean_t - mean_c, 4) AS lift,
+       ROUND((mean_t - mean_c) / SQRT(var_c / n_c + var_t / n_t), 4)
+         AS z_score
+FROM wide
+"""
+
+
+@register("q_ab_test", oracle=_AB_ORACLE)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash users into control/treatment
+    (engine-portable md5 split, salted ':ab' so assignment is
+    independent of every other hash draw in the pipeline), compare
+    purchase values with a Welch z-score. One aggregation to
+    2 variant rows, then scalar arithmetic — the experiment readout
+    costs the same at any event volume. (The synthetic fixture has no
+    real treatment effect, so z lands near 0 — the null behaving as
+    a null is the correct readout.)"""
+    assigned = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                    1,
+                    1,
+                )
+                < "8",
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("variant"),
+            "value",
+        )
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("mean"))).alias("mean_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("var"))).alias("var_c"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("mean"))).alias("mean_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("var"))).alias("var_t"),
+    )
+    lift = F.col("mean_t") - F.col("mean_c")
+    z = lift / F.sqrt(
+        F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t")
+    )
+    return wide.select(
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("n_t").cast("long").alias("n_treatment"),
+        F.round("mean_c", 4).alias("mean_control"),
+        F.round("mean_t", 4).alias("mean_treatment"),
+        F.round(lift, 4).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )

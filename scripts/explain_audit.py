@@ -87,6 +87,16 @@ EXCHANGE_BUDGET = {
     "q_zipf": 4,  # token-count agg (two-phase) + the vocabulary-sized
     # global rank window + the single-row regr fit; only the first
     # exchange carries corpus-derived rows (the distinct vocabulary)
+    "q_ab_test": 4,  # variant aggregation (two-phase) + the 2-row
+    # pivot-to-scalars aggregation; everything after the scan is ≤ 2
+    # rows
+    "q_ks_drift": 8,  # the (source, value) count subtree feeds three
+    # consumers (grid join, per-value totals, distinct sources) and
+    # each PRINTS it; all post-scan frames are (sources × distinct
+    # values)-sized, cumulative windows partition by source
+    "q_dedup_contain": 6,  # posting df agg + semi prune + pair-count
+    # shuffle + the two full-set verification joins; wide rows are
+    # (doc, shingle-hash) pairs or candidate ids, never text
     "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
     # (1) + count-distinct's two-phase Expand aggregation; every
     # exchanged row is an id pair — document text stays map-side

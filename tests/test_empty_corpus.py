@@ -37,6 +37,7 @@ NONEMPTY_ON_EMPTY = {
     "q_funnel_latency",  # 1-row report: zero conversions, null p50/p90
     "q_join_cardinality",  # 1-row pre-flight: zero predicted rows
     "q_zipf",  # 1-row corpus report: zero vocab, null slope/r2
+    "q_ab_test",  # 1-row experiment readout: null counts/means
 }
 
 
