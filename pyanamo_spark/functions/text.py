@@ -847,3 +847,66 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------
+# compression-ratio quality signal
+
+#: flag documents whose utf-8 bytes compress below this ratio —
+#: highly repetitive/templated content (the deflate-filter rule real
+#: corpus-quality pipelines run alongside Gopher heuristics)
+COMPRESS_MIN_RATIO = 0.35
+
+
+def compression_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio, too_repetitive): stdlib
+    deflate per document, Arrow-batched.
+
+    This is a sanctioned Python stage: no JVM expression computes
+    deflate, and the work is bytes-local — each batch compresses its
+    own documents with zero shuffle, so the stage scales exactly like
+    the scan. Ratio = compressed/raw; natural prose lands ~0.4-0.7,
+    templated/repeated content collapses toward 0."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                comp = len(zlib.compress(raw, 6))
+                ratio = round(comp / max(len(raw), 1), 6)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(raw),
+                        "n_compressed": comp,
+                        "ratio": ratio,
+                        "too_repetitive": ratio < COMPRESS_MIN_RATIO,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "n_compressed", "ratio",
+                    "too_repetitive",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id bigint, n_bytes bigint, n_compressed bigint, "
+        "ratio double, too_repetitive boolean",
+    )
+
+
+@register("q_compress_filter", oracle=None)
+def q_compress_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter over the corpus: per-doc
+    deflate ratio + the repetitive flag. Rows-only (deflate output is
+    library-defined, not SQL-expressible); determinism and the
+    planted-repetitive-doc behavior are pinned in tests/test_text.py."""
+    return compression_stats(spark.table("documents"))

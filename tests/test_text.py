@@ -100,3 +100,28 @@ def test_lm_score_ranks_common_below_rare(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["nll"] for r in lm_score(df).collect()}
     assert out[0] < out[100]
+
+
+def test_compression_filter_flags_repetitive_docs(spark):
+    """A planted highly-repetitive doc must flag; natural-ish fixture
+    prose must not; reruns are byte-identical (zlib is deterministic
+    at a fixed level)."""
+    from pyanamo_spark.functions.text import compression_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "word " * 400),
+            (2, "the quick brown fox jumps over a lazy dog near the river "
+                "bank while seven wizards mix quartz vials of strange brew "
+                "and twelve jovial acrobats vault over frozen hedges"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_stats(docs).collect()}
+    assert rows[1]["too_repetitive"] is True
+    assert rows[2]["too_repetitive"] is False
+    assert rows[1]["ratio"] < rows[2]["ratio"]
+    again = {r["doc_id"]: r for r in compression_stats(docs).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
