@@ -910,3 +910,139 @@ def q_compress_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     library-defined, not SQL-expressible); determinism and the
     planted-repetitive-doc behavior are pinned in tests/test_text.py."""
     return compression_stats(spark.table("documents"))
+
+
+_VOCAB_K = 256
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM tf ORDER BY n DESC, tok LIMIT {_VOCAB_K})
+SELECT lang,
+       COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 END)
+         AS covered,
+       ROUND(COUNT(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 END)
+             * 1.0 / COUNT(*), 6) AS coverage
+FROM toks
+GROUP BY lang
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: take the corpus-global top-256
+    pre-tokens (the BPE-ish regex of q_token_count) as the vocabulary
+    and report, per language, what fraction of token occurrences it
+    covers — the first question asked of any proposed vocab size
+    before training a tokenizer (q_bpe_train) on a multilingual mix.
+
+    Scale shape: term frequencies collapse map-side to a VOCAB-sized
+    table; top-K is TakeOrdered over that table (K rows, never a
+    global sort of tokens); membership joins back as a broadcast
+    LEFT SEMI-shaped flag on the token stream, and the readout is one
+    LANGS-sized aggregation. The token stream itself is never
+    shuffled — explode, flag, aggregate all pipeline in the scan
+    stage.
+    """
+    toks = spark.table("documents").select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        tf.orderBy(F.col("n").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("in_vocab").alias("covered"),
+        F.round(F.count("in_vocab") / F.count("*"), 6).alias("coverage"),
+    )
+
+
+@register(
+    "q_bigram_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT lang, tok,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+cab AS (
+  SELECT lang, prev, tok, COUNT(*) AS c_ab
+  FROM big WHERE prev IS NOT NULL
+  GROUP BY lang, prev, tok
+),
+ctx AS (
+  SELECT lang, prev, c_ab,
+         SUM(c_ab) OVER (PARTITION BY lang, prev) AS c_a,
+         SUM(c_ab) OVER (PARTITION BY lang) AS n
+  FROM cab
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       ROUND(-SUM((c_ab * 1.0 / n) * LN(c_ab * 1.0 / c_a)), 6)
+         AS cond_entropy
+FROM ctx
+GROUP BY lang
+""",
+)
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-word entropy per language,
+    H(next|prev) = −Σ p(a,b)·ln(c_ab/c_a) over word bigrams — the
+    zeroth-order language-model signal: low entropy means the corpus
+    is predictable (templated/boilerplate), high means diverse; the
+    cross-language comparison normalizes quality thresholds per lang
+    before filtering.
+
+    Scale shape: bigrams come from ONE lag window over the positional
+    token stream (partitioned by doc — bounded by the longest
+    document, the same exchange any sequence op pays), collapsing
+    immediately to the BIGRAM-VOCAB-sized count table; the context
+    and corpus totals are windows over that bounded table, and the
+    entropy fold is one LANGS-sized aggregation.
+    """
+    split_col = F.split(F.col("text"), " ")
+    toks = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.posexplode(split_col).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "lang", "tok", F.lag("tok").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cab = big.groupBy("lang", "prev", "tok").agg(F.count("*").alias("c_ab"))
+    ctx = cab.select(
+        "lang",
+        "c_ab",
+        F.sum("c_ab").over(W.partitionBy("lang", "prev")).alias("c_a"),
+        F.sum("c_ab").over(W.partitionBy("lang")).alias("n"),
+    )
+    p_ab = F.col("c_ab") / F.col("n")
+    return ctx.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.round(-F.sum(p_ab * F.log(F.col("c_ab") / F.col("c_a"))), 6).alias(
+            "cond_entropy"
+        ),
+    )

@@ -662,3 +662,68 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized.groupBy("source")
         .agg(F.round(F.max(gap), 6).alias("ks"))
     )
+
+
+@register(
+    "q_gini",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM pc
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_entities,
+       ROUND(2.0 * SUM(rnk * rev) / (MAX(n) * SUM(rev))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       ROUND(SUM(CASE WHEN rnk > 0.9 * n THEN rev ELSE 0 END)
+             / SUM(rev), 6) AS top_decile_share
+FROM r
+""",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration diagnostics of customer revenue: the Gini
+    coefficient (rank-sum form G = 2·Σ rᵢxᵢ / (n·Σxᵢ) − (n+1)/n over
+    ascending values) and the top-decile revenue share — the same
+    readout a corpus curator runs per source to spot a crawl
+    dominated by a handful of domains.
+
+    Scale shape: revenue collapses to one row per entity first
+    (map-combined). The ascending global rank is the one step that
+    must not be a naive unpartitioned window; it reuses
+    :func:`~pyanamo_spark.operators.windows.global_rank_frame`
+    (range exchange with input-tracked width + broadcast offsets).
+    The entity count rides along as a 1-row broadcast scalar and the
+    Gini fold is ONE single-row aggregation — no Lorenz self-join,
+    no driver-side curve.
+    """
+    from pyanamo_spark.operators.windows import global_rank_frame
+
+    pc = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ranked = global_rank_frame(pc, "rev", "o_custkey", base=1)
+    total = ranked.agg(F.max("rank").alias("n_total"))
+    n = F.max("rank").cast("double")
+    return ranked.join(F.broadcast(total)).agg(
+        F.max("rank").cast("long").alias("n_entities"),
+        F.round(
+            2.0 * F.sum(F.col("rank") * F.col("rev")) / (n * F.sum("rev"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rank") > 0.9 * F.col("n_total"), F.col("rev")
+                ).otherwise(0.0)
+            )
+            / F.sum("rev"),
+            6,
+        ).alias("top_decile_share"),
+    )

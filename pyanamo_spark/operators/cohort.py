@@ -322,3 +322,172 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lift, 4).alias("lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "q_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         DATEDIFF('day', DATE '1970-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+st AS (
+  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM st
+GROUP BY user_id
+""",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks per user (gaps-and-islands): consecutive
+    active days collapse into islands via the classic day-number −
+    row-number trick; per user, the active-day count, streak count,
+    and the longest streak — the engagement shape a retention model
+    features on.
+
+    Scale shape: distinct (user, day) first (map-side combine bounds
+    the stream at entity-days), then ONE per-user window (the same
+    exchange every sequence op pays, reused by the island groupBy via
+    the shared user_id prefix) and two entity-bounded aggregations.
+    No self-join — the naive "join each day to the next" form is
+    quadratic per user.
+    """
+    days = (
+        spark.table("events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    island = (
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    streaks = (
+        days.select("user_id", island.alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "q_survival",
+    oracle="""
+WITH bounds AS (SELECT MAX(ts) AS mx FROM events),
+u AS (
+  SELECT user_id,
+         DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+           AS dur,
+         CASE WHEN MAX(ts) < (SELECT mx FROM bounds) - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n FROM u),
+d AS (
+  SELECT dur,
+         COUNT(CASE WHEN observed = 1 THEN 1 END) AS deaths,
+         COUNT(*) AS leaving
+  FROM u GROUP BY dur
+),
+km AS (
+  SELECT dur, deaths,
+         (SELECT n FROM tot)
+           - COALESCE(SUM(leaving) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS at_risk
+  FROM d
+)
+SELECT dur AS duration_days,
+       CAST(deaths AS BIGINT) AS deaths,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CASE WHEN MAX(CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY dur) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(
+                   CASE WHEN deaths < at_risk
+                        THEN LN(1 - deaths * 1.0 / at_risk)
+                        ELSE 0 END) OVER (ORDER BY dur)), 6)
+       END AS survival
+FROM km
+""",
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: duration =
+    days between a user's first and last event; users still active
+    within 7 days of the corpus end are right-censored (they count in
+    the at-risk denominator but never as churn). S(t) multiplies
+    (1 − d/n) over event times — computed as exp of a running log-sum
+    so the cumulative product is one ordered window, with an explicit
+    zero once the at-risk set is exhausted (log of zero never
+    evaluates on either engine).
+
+    Scale shape: per-user min/max is one entity-bounded aggregation;
+    everything after runs on the DURATIONS-sized table (distinct
+    day-counts), where the global ordered windows are the documented
+    bounded-model exception. The censor cutoff is a 1-row broadcast
+    scalar, not a driver round-trip.
+    """
+    events = spark.table("events")
+    bounds = events.agg(F.max("ts").alias("mx"))
+    u = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .join(F.broadcast(bounds))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+                "dur"
+            ),
+            F.when(
+                F.col("last_ts")
+                < F.col("mx") - F.expr("INTERVAL 7 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    d = u.groupBy("dur").agg(
+        F.count(F.when(F.col("observed") == 1, 1)).alias("deaths"),
+        F.count("*").alias("leaving"),
+    )
+    tot = u.agg(F.count("*").alias("n"))
+    w_prev = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy("dur")
+    km = d.join(F.broadcast(tot)).select(
+        "dur",
+        "deaths",
+        (
+            F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    factor = F.when(
+        F.col("deaths") < F.col("at_risk"),
+        F.log(1 - F.col("deaths") / F.col("at_risk")),
+    ).otherwise(F.lit(0.0))
+    exhausted = F.max(
+        F.when(F.col("deaths") >= F.col("at_risk"), 1).otherwise(0)
+    ).over(w_run)
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.when(exhausted == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(factor).over(w_run)), 6))
+        .alias("survival"),
+    )

@@ -647,3 +647,74 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+@register(
+    "q_curriculum",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln(1 + n_chars)
+               * (n_chars * 1.0 / len(string_split(text, ' '))),
+               6) AS difficulty
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, difficulty,
+         ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM d
+)
+SELECT CAST(1 + FLOOR((rnk - 1) * 4.0 / total) AS BIGINT) AS phase,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(difficulty), 4) AS avg_difficulty,
+       ROUND(MIN(difficulty), 6) AS min_difficulty,
+       ROUND(MAX(difficulty), 6) AS max_difficulty,
+       SUM(n_chars) AS total_chars
+FROM r
+GROUP BY phase
+""",
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: score every document's difficulty (mean
+    word length × log-length — longer words and longer texts read
+    harder), rank the corpus easy→hard, and cut it into 4 equal
+    curriculum phases with per-phase volume stats — the schedule a
+    curriculum-trained run consumes phase by phase.
+
+    Scale shape: the global easy→hard ordering is the single
+    operation that canNOT be a naive ``row_number()`` window (one
+    task at 100 TB); it reuses :func:`~pyanamo_spark.operators.windows.
+    global_rank_frame` — range exchange on (difficulty, doc_id) with
+    input-tracked width, per-partition rank, broadcast offsets. Phase
+    is then a pure expression over rank (floor((rank−1)·K/total)), and
+    the readout is one 4-row aggregation. Difficulty is rounded before
+    ranking so both engines order identical values; doc_id breaks ties.
+    """
+    from pyanamo_spark.operators.windows import global_rank_frame
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(1 + F.col("n_chars"))
+            * (F.col("n_chars") / F.size(F.split(F.col("text"), " "))),
+            6,
+        ).alias("difficulty"),
+    )
+    total = docs.count()  # bounded driver scalar: corpus row count
+    ranks = global_rank_frame(docs, "difficulty", "doc_id", base=1)
+    phase = (
+        1 + F.floor((F.col("rank") - 1) * 4.0 / F.lit(total))
+    ).cast("long")
+    return (
+        ranks.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("difficulty"), 4).alias("avg_difficulty"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -138,3 +138,224 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_filled"),
     )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY d
+),
+s AS (
+  SELECT rev,
+         LAG(rev, 1) OVER (ORDER BY d) AS rev_lag1,
+         LAG(rev, 7) OVER (ORDER BY d) AS rev_lag7
+  FROM daily
+)
+SELECT COUNT(*) AS n_days,
+       ROUND(CORR(rev, rev_lag1), 6) AS acf_1,
+       ROUND(CORR(rev, rev_lag7), 6) AS acf_7
+FROM s
+""",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the stationarity/seasonality probe run before fitting any
+    forecaster (lag-7 exposes weekly cycles).
+
+    Scale shape: the corpus collapses to the DAYS-sized daily series
+    in one map-combined aggregation; the lag window and the Pearson
+    corr then run on that bounded model (the documented global-window
+    exception — thousands of rows however big the fact table). corr
+    is the two-pass-free JVM aggregate on both engines; null pairs
+    from the warm-up lags fall out of corr on both sides identically.
+    """
+    daily = (
+        spark.table("orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    s = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_lag1"),
+        F.lag("rev", 7).over(w).alias("rev_lag7"),
+    )
+    return s.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("rev", "rev_lag1"), 6).alias("acf_1"),
+        F.round(F.corr("rev", "rev_lag7"), 6).alias("acf_7"),
+    )
+
+
+@register(
+    "q_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY d
+),
+s AS (
+  SELECT rev,
+         LAG(rev, 1) OVER (ORDER BY d) AS f_naive,
+         LAG(rev, 7) OVER (ORDER BY d) AS f_seasonal
+  FROM daily
+)
+SELECT COUNT(*) AS n_eval,
+       ROUND(AVG(ABS(rev - f_naive)), 2) AS mae_naive,
+       ROUND(AVG(ABS(rev - f_seasonal)), 2) AS mae_seasonal,
+       ROUND(AVG(ABS(rev - f_naive) / rev), 6) AS mape_naive,
+       ROUND(AVG(ABS(rev - f_seasonal) / rev), 6) AS mape_seasonal
+FROM s
+WHERE f_seasonal IS NOT NULL
+""",
+)
+def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest on the daily revenue series:
+    score the naive (yesterday) and seasonal-naive (same weekday last
+    week) forecasters by MAE and MAPE over every day where both have
+    a history — the evaluation harness that decides whether a fitted
+    model (q_revenue_forecast) actually beats the trivial baselines.
+
+    Scale shape: identical to q_autocorr — corpus collapses to the
+    DAYS-sized series in one map-combined aggregation; lags + the
+    error fold run on that bounded model (documented global-window
+    exception). The 7-day warm-up is excluded on both engines by the
+    same predicate.
+    """
+    daily = (
+        spark.table("orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    s = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("f_naive"),
+        F.lag("rev", 7).over(w).alias("f_seasonal"),
+    ).filter(F.col("f_seasonal").isNotNull())
+    err = lambda f: F.abs(F.col("rev") - F.col(f))  # noqa: E731
+    return s.agg(
+        F.count("*").alias("n_eval"),
+        F.round(F.avg(err("f_naive")), 2).alias("mae_naive"),
+        F.round(F.avg(err("f_seasonal")), 2).alias("mae_seasonal"),
+        F.round(F.avg(err("f_naive") / F.col("rev")), 6).alias("mape_naive"),
+        F.round(F.avg(err("f_seasonal") / F.col("rev")), 6).alias(
+            "mape_seasonal"
+        ),
+    )
+
+
+@register(
+    "q_seasonality",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         COUNT(*) AS n_events,
+         SUM(value) AS s
+  FROM events GROUP BY dow, hr
+),
+tot AS (SELECT SUM(n_events) AS tn FROM cell)
+SELECT dow, hr, n_events,
+       ROUND(s / n_events, 4) AS avg_value,
+       ROUND(n_events * 168.0 / (SELECT tn FROM tot), 4) AS load_index
+FROM cell
+""",
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume and mean value per
+    (day-of-week × hour) cell, plus a load index normalizing each
+    cell against a perfectly uniform week (1.0 = average traffic;
+    168 = 7·24 cells) — the capacity-planning heat-map.
+
+    Scale shape: ONE map-combined aggregation to the 168-cell grid;
+    the normalizing total is a 1-row broadcast scalar. Day-of-week
+    numbering is aligned across engines (Spark's dayofweek is
+    1=Sunday, DuckDB's dow is 0=Sunday — the Spark side shifts).
+    """
+    cell = spark.table("events").groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("s"))
+    tot = cell.agg(F.sum("n_events").alias("tn"))
+    return cell.join(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n_events",
+        F.round(F.col("s") / F.col("n_events"), 4).alias("avg_value"),
+        F.round(F.col("n_events") * 168.0 / F.col("tn"), 4).alias(
+            "load_index"
+        ),
+    )
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY d
+),
+stats AS (
+  SELECT AVG(rev) AS mu, STDDEV_SAMP(rev) AS sd, COUNT(*) AS nd
+  FROM daily
+),
+cus AS (
+  SELECT d,
+         SUM(rev - (SELECT mu FROM stats)) OVER (ORDER BY d)
+           / ((SELECT sd FROM stats) * SQRT((SELECT nd FROM stats)))
+           AS cusum
+  FROM daily
+)
+SELECT d AS change_date,
+       ROUND(cusum, 6) AS cusum_peak,
+       ROUND(ABS(cusum), 6) AS magnitude
+FROM cus
+ORDER BY ABS(cusum) DESC, d
+LIMIT 1
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series: the
+    normalized cumulative deviation from the global mean (Brownian-
+    bridge scaling: /(σ·√n)) peaks at the most likely level-shift
+    point — the alarm a data pipeline raises when a source's volume
+    regime changes (crawler breakage, upstream migration).
+
+    Scale shape: the corpus collapses to the DAYS-sized series; the
+    global mean/σ are a 1-row broadcast scalar, the running sum is an
+    ordered window over the bounded series (documented exception),
+    and the peak is a 1-row TakeOrdered. The ordered accumulation
+    makes the float fold deterministic on both engines.
+    """
+    daily = (
+        spark.table("orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    stats = daily.agg(
+        F.avg("rev").alias("mu"),
+        F.stddev_samp("rev").alias("sd"),
+        F.count("*").alias("nd"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cus = daily.join(F.broadcast(stats)).select(
+        "d",
+        (
+            F.sum(F.col("rev") - F.col("mu")).over(w)
+            / (F.col("sd") * F.sqrt(F.col("nd")))
+        ).alias("cusum"),
+    )
+    # order on the UNROUNDED statistic (matching the oracle), round
+    # only in the final projection
+    return (
+        cus.orderBy(F.abs(F.col("cusum")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("change_date"),
+            F.round("cusum", 6).alias("cusum_peak"),
+            F.round(F.abs("cusum"), 6).alias("magnitude"),
+        )
+    )

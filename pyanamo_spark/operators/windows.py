@@ -38,8 +38,11 @@ def rank_width(df: DataFrame) -> int:
     return max(df.rdd.getNumPartitions(), shuffle, 1)
 
 
-def global_rank_frame(df: DataFrame, key: str, *, base: int = 0) -> DataFrame:
-    """(key, rank): contiguous global ranks of ``key``, ``base``-based.
+def global_rank_frame(df: DataFrame, *keys: str, base: int = 0) -> DataFrame:
+    """(keys…, rank): contiguous global ranks of ``keys``, ``base``-based.
+
+    Accepts a compound order key (e.g. score with a unique tiebreak);
+    ranks follow the lexicographic order of ``keys``.
 
     The scale shape for global numbering (the naive ``row_number()``
     over an unpartitioned window collapses the table into ONE task):
@@ -59,8 +62,8 @@ def global_rank_frame(df: DataFrame, key: str, *, base: int = 0) -> DataFrame:
     """
     spark = df.sparkSession
     ranged = (
-        df.select(key)
-        .repartitionByRange(rank_width(df), key)
+        df.select(*keys)
+        .repartitionByRange(rank_width(df), *keys)
         .withColumn("pid", F.spark_partition_id())
     )
     # localCheckpoint pins the partitioning: pid must mean the same
@@ -78,12 +81,12 @@ def global_rank_frame(df: DataFrame, key: str, *, base: int = 0) -> DataFrame:
     offset_df = F.broadcast(
         spark.createDataFrame(sorted(offsets.items()), "pid int, offset long")
     )
-    w = W.partitionBy("pid").orderBy(key)
+    w = W.partitionBy("pid").orderBy(*keys)
     return (
         ranged.join(offset_df, "pid")
         .withColumn("local", F.row_number().over(w))
         .select(
-            key,
+            *keys,
             (F.col("offset") + F.col("local") - 1 + F.lit(base))
             .cast("long")
             .alias("rank"),
@@ -289,3 +292,48 @@ def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank_frame(
         spark.table("documents"), "doc_id", base=1
     ).withColumnRenamed("rank", "global_id")
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 3) AS rolling_median
+FROM orders
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of order value over each customer's last
+    ≤7 orders — the robust centre-line a spend-anomaly monitor tracks
+    (median shrugs off the one-off spike that drags a rolling mean).
+
+    Spark has no exact-median window function; the frame here is
+    BOUNDED (7 rows), so the scale-safe expression is collect_list
+    over the rows frame → array_sort → midpoint (mean of the two
+    middle values when the frame is even) — O(frame) per row, never
+    O(history), and the per-user window is the same single exchange
+    every sequence operator pays. An UNBOUNDED frame would need the
+    running-sketch path instead (functions/quantiles.py); this
+    operator deliberately pins the exact-bounded-frame variant.
+    """
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("o_totalprice")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        # round to 3, not 2: the even-frame midpoint of two 2-decimal
+        # prices sits exactly on a .xx5 rounding tie, where engine
+        # ROUND semantics diverge; the 3rd decimal is tie-free
+        F.round(((lo + hi) / 2).cast("double"), 3).alias("rolling_median"),
+    )

@@ -185,6 +185,9 @@ def load_all() -> None:
     import pyanamo_spark.operators.advanced  # noqa: F401
     import pyanamo_spark.operators.curation  # noqa: F401
     import pyanamo_spark.operators.packing  # noqa: F401
+    import pyanamo_spark.operators.graph  # noqa: F401
+    import pyanamo_spark.operators.governance  # noqa: F401
+    import pyanamo_spark.operators.market  # noqa: F401
     import pyanamo_spark.functions.text  # noqa: F401
     import pyanamo_spark.functions.bpe  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401

@@ -46,6 +46,8 @@ HOT_QUERIES = [
     "q_tfidf", "q_lm_score",
     # retrieval
     "q_bm25", "q_hybrid_search",
+    # iterative graph + incremental maintenance + global-rank folds
+    "q_pagerank", "q_mv_refresh", "q_curriculum", "q_gini",
 ]
 
 DATA_RATIO = 10.0  # sf1 / sf0.1

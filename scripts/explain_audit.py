@@ -57,6 +57,77 @@ EXCHANGE_BUDGET = {
     # final per-query window; the query-vocab semi-join prefilter
     # keeps every exchanged row a (doc, query-term) triple
     "q_video_frames": 2,
+    "q_pagerank": 28,  # the damped fixpoint runs 5 FIXED rounds as
+    # one lazy plan: each round is an edge⋈rank shuffle + a per-node
+    # contribution aggregate (two-phase), and the static print repeats
+    # the checkpointed edge/degree scans per consumer. Every exchanged
+    # row is (long, long) or (long, double) — 16 bytes; the edge
+    # distinct and degree tables are checkpointed once, outside the
+    # loop
+    "q_transitions": 6,  # per-user lag window + the STATES²-sized
+    # transition aggregate (two-phase) + the row-normalizing window,
+    # which runs over the bounded transition matrix, not the facts
+    "q_kanon": 4,  # two chained aggregations (quasi-identifier groups
+    # → per-nation rollup), each two-phase; the first is map-combined
+    # and bounded by the quasi-identifier domain
+    "q_attribution": 4,  # per-user ordered window (running first/last
+    # touch state) + the CHANNELS²-bounded report aggregate
+    "q_curriculum": 4,  # the global-rank frame is checkpointed (its
+    # range exchange is paid inside global_rank_frame); what remains
+    # is the rank⋈difficulty join-back and the 4-row phase aggregate
+    "q_gini": 8,  # rank-frame join-back printed per consumer (entity
+    # count scalar + the Gini fold); live profile is the checkpointed
+    # rank frame, a 1-row broadcast total, and ONE single-row
+    # aggregation over the entity-sized frame
+    "q_autocorr": 4,  # corpus → DAYS-sized daily series aggregation
+    # (two-phase); the lag window and final corr singleton run on the
+    # bounded series (documented global-window exception)
+    "q_streaks": 4,  # distinct (user, day) exchange, the per-user
+    # island window, and two entity-bounded aggregations
+    "q_basket_rules": 18,  # the distinct-items subtree is PRINTED
+    # four times (both self-join sides + both support legs) — copies
+    # canonicalize so ReuseExchange dedups at runtime. Live profile:
+    # item distinct, the basket-keyed pair self-join (cost Σ basket²,
+    # never catalog²), the pair-vocab count aggregate, two ITEM-sized
+    # support joins (AQE broadcasts), a 1-row basket total, and the
+    # TakeOrdered top-k
+    "q_top_paths": 10,  # the assembled-paths subtree is PRINTED per
+    # consumer (path counts + the 1-row total); live: the session
+    # assembly aggregation, the PATH-VOCAB count aggregate, the
+    # broadcast total, and TakeOrdered
+    "q_changepoint": 8,  # corpus → DAYS-sized daily aggregation; the
+    # series subtree is PRINTED for the stats scalar and the cusum
+    # window; live: one aggregation, a 1-row broadcast of mean/σ, the
+    # bounded ordered window, and a 1-row TakeOrdered
+    "q_vocab_coverage": 4,  # term-frequency aggregation (two-phase,
+    # map-combined to VOCAB size) + the K-row TakeOrdered vocabulary;
+    # the vocab flag joins back as a broadcast and the readout is a
+    # LANGS-sized aggregate — the token stream itself never shuffles
+    "q_bigram_entropy": 6,  # positional token stream → per-doc lag
+    # window (one doc-keyed exchange) → bigram-vocab-sized count
+    # aggregate; the context/corpus-total windows and the entropy fold
+    # all run over that bounded table
+    "q_mv_refresh": 8,  # the orders scan subtree is PRINTED per
+    # consumer (old image, mutated new image, stored-view aggregate) —
+    # copies canonicalize so ReuseExchange dedups at runtime. Live
+    # profile: the key-shuffled full-outer diff, the changes-sized
+    # delta aggregate, and the GROUPS-sized view merge
+    "q_backtest": 4,  # same shape as q_autocorr: corpus → DAYS-sized
+    # series aggregation (two-phase); lag window + error fold run on
+    # the bounded series
+    "q_seasonality": 6,  # one map-combined aggregation to the 168-cell
+    # grid (two-phase) plus the 1-row normalizing total, whose subtree
+    # the static print repeats per consumer
+    "q_degree_stats": 10,  # the distinct-pairs subtree is PRINTED in
+    # both histogram legs (copies canonicalize; ReuseExchange dedups
+    # at runtime); live: pair distinct, one (key,count) aggregation
+    # per side, and the DEGREES-sized histogram fold
+    "q_survival": 14,  # the entity min/max aggregate and the
+    # DURATIONS-sized death table are each PRINTED per consumer
+    # (at-risk window, exhaustion window, running log-sum all read the
+    # same subtree) — copies canonicalize so ReuseExchange dedups at
+    # runtime; live profile: one entity aggregation, a 1-row censor
+    # scalar, and windows over the bounded duration table
     "q_hybrid_search": 28,  # the BM25 leg's CTE chain (itself
     # print-duplicated, see q_bm25) appears again under the fusion's
     # full-outer join, and the centroid aggregate subtree is PRINTED

@@ -61,3 +61,18 @@ def no_nodata_batches(spark):
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     yield
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
+
+
+@pytest.fixture()
+def planted_views(spark):
+    """For tests that REPLACE base fixture views (documents/orders/…)
+    with small planted tables: ensure_views memoizes per sf_dir, so a
+    later registered-query call in the same session would silently
+    read the planted leftovers. Teardown invalidates the memo so the
+    next ensure_views re-registers the real views (ordering-flake
+    net: test_graph_governance poisoning test_hybrid's corpus)."""
+    yield
+    try:
+        spark.conf.unset("pyanamo_spark.views.sf_dir")
+    except Exception:  # noqa: BLE001 — conf key may not be set yet
+        pass

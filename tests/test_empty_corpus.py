@@ -38,6 +38,9 @@ NONEMPTY_ON_EMPTY = {
     "q_join_cardinality",  # 1-row pre-flight: zero predicted rows
     "q_zipf",  # 1-row corpus report: zero vocab, null slope/r2
     "q_ab_test",  # 1-row experiment readout: null counts/means
+    "q_gini",  # 1-row concentration readout: null gini/share
+    "q_autocorr",  # 1-row series readout: zero days, null acf
+    "q_backtest",  # 1-row forecast scorecard: zero eval days, null MAE
 }
 
 

@@ -1,0 +1,93 @@
+"""Behavioral checks for basket rules, top paths, and changepoint:
+hand-computable lift on planted baskets, path share arithmetic, and a
+planted level shift."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("planted_views")
+
+
+def test_basket_rules_lift_and_threshold(spark):
+    """Parts 1,2 co-occur in 3 of 6 baskets (lift = 6·3/(3·3) = 2);
+    parts 1,3 co-occur only twice → below the min-basket threshold."""
+    from pyanamo_spark.operators.market import q_basket_rules
+
+    baskets = {
+        1: [1, 2],
+        2: [1, 2],
+        3: [1, 2],
+        4: [1, 3],
+        5: [1, 3],
+        6: [2, 3],
+    }
+    rows = [(o, p) for o, parts in baskets.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).createOrReplaceTempView("lineitem")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_baskets"],
+            r["support"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in q_basket_rules.__wrapped__(spark, "").collect()
+    }
+    # item supports: p1=5, p2=4, p3=3 baskets of 6
+    assert got[(1, 2)] == (3, 0.5, pytest.approx(3 / 5), pytest.approx(6 * 3 / (5 * 4)))
+    assert got[(2, 1)] == (3, 0.5, pytest.approx(3 / 4), pytest.approx(6 * 3 / (5 * 4)))
+    assert (1, 3) not in got  # only 2 shared baskets
+
+
+def test_top_paths_share(spark):
+    """Three identical view>purchase days and one lone click day:
+    shares 0.75 / 0.25, ordered by frequency."""
+    from pyanamo_spark.operators.market import q_top_paths
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for day, user in [(0, 1), (1, 1), (0, 2)]:
+        base = t0 + dt.timedelta(days=day)
+        for minute, typ in [(0, "view"), (5, "purchase")]:
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=minute), user, typ, 0.0)
+            )
+    eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=3), 3, "click", 0.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).createOrReplaceTempView("events")
+    out = q_top_paths.__wrapped__(spark, "").collect()
+    assert [(r["path"], r["n_sessions"], r["share"]) for r in out] == [
+        ("view>purchase", 3, 0.75),
+        ("click", 1, 0.25),
+    ]
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """A series at 100 for 20 days then 200 for 20 days peaks its
+    CUSUM at the boundary (last low day)."""
+    from pyanamo_spark.operators.timeseries import q_changepoint
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (i, 1, d0 + dt.timedelta(days=i), 100.0 if i < 20 else 200.0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    ).createOrReplaceTempView("orders")
+    r = q_changepoint.__wrapped__(spark, "").collect()[0]
+    assert r["change_date"] == d0 + dt.timedelta(days=19)
+    assert r["cusum_peak"] < 0  # low regime pulls the cumsum down
+    assert r["magnitude"] > 1.0

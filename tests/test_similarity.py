@@ -3,10 +3,14 @@ bucket determinism, and LSH recall against the exact baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import QUERIES, load_all
 from pyanamo_spark.similarity.knn import K, N_QUERIES
+
+pytestmark = pytest.mark.usefixtures("planted_views")
 
 load_all()
 

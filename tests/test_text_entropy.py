@@ -1,0 +1,56 @@
+"""Behavioral checks for vocab coverage and bigram conditional
+entropy: full-coverage and boundary-tie vocab semantics; templated
+corpora must score lower entropy than diverse ones."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("planted_views")
+
+
+def _docs(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int"
+    ).createOrReplaceTempView("documents")
+
+
+def test_vocab_coverage_full_and_partial(spark):
+    """A corpus whose whole vocabulary fits in the top-K is fully
+    covered; a language made of rare one-off tokens is not."""
+    from pyanamo_spark.functions.text import q_vocab_coverage
+
+    rows = [(i, "a b a b", "en", "s", 7) for i in range(5)]
+    # 300 distinct single-use tokens in 'xx': they lose every top-256
+    # seat to the frequent en tokens except the lexicographic winners
+    rows.append(
+        (99, " ".join(f"tok{i:03d}" for i in range(300)), "xx", "s", 0)
+    )
+    _docs(spark, rows)
+    got = {
+        r["lang"]: (r["n_tokens"], r["coverage"])
+        for r in q_vocab_coverage.__wrapped__(spark, "").collect()
+    }
+    assert got["en"] == (20, 1.0)  # 'a' and 'b' dominate the vocab
+    n_xx, cov_xx = got["xx"]
+    assert n_xx == 300
+    # 254 of the 256 vocab seats go to xx tokens (a, b take two)
+    assert cov_xx == pytest.approx(254 / 300, abs=1e-6)
+
+
+def test_bigram_entropy_templated_below_diverse(spark):
+    """A deterministic repeating template (every bigram predictable)
+    has conditional entropy 0; a corpus where each 'a' is followed by
+    a different word does not."""
+    from pyanamo_spark.functions.text import q_bigram_entropy
+
+    rows = [(i, "go stop go stop go", "tmpl", "s", 0) for i in range(3)]
+    rows += [(10 + i, f"a w{i} a v{i}", "div", "s", 0) for i in range(4)]
+    _docs(spark, rows)
+    got = {
+        r["lang"]: r["cond_entropy"]
+        for r in q_bigram_entropy.__wrapped__(spark, "").collect()
+    }
+    assert got["tmpl"] == pytest.approx(0.0, abs=1e-9)
+    assert got["div"] > 0.5

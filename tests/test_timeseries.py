@@ -3,9 +3,13 @@ oracle: LOCF semantics on a hand-built series with a known gap."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("planted_views")
 
 
 def test_locf_fills_interior_gap(spark):
