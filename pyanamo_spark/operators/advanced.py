@@ -172,3 +172,66 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p75", 4).alias("p75"),
         F.round("p_max", 2).alias("p_max"),
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o.o_totalprice < p.p05 THEN 1 END) AS n_capped_low,
+       COUNT(CASE WHEN o.o_totalprice > p.p95 THEN 1 END) AS n_capped_high,
+       ROUND(AVG(o.o_totalprice), 2) AS mean_raw,
+       ROUND(AVG(GREATEST(LEAST(o.o_totalprice, p.p95), p.p05)), 2)
+         AS mean_winsorized,
+       ROUND(CAST(MAX(p.p05) AS DOUBLE), 2) AS p05,
+       ROUND(CAST(MAX(p.p95) AS DOUBLE), 2) AS p95
+FROM orders o
+JOIN pct p USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per priority class: clamp order values
+    into the group's exact [p05, p95] band and report raw vs capped
+    means with cap counts — the outlier-resistant aggregate a metrics
+    pipeline publishes when a handful of whale orders would otherwise
+    move the average (complement of q_outliers, which REPORTS the
+    whales; this neutralizes them).
+
+    Scale shape: the cutoffs come from the bounded-memory exact
+    percentile machinery (functions/quantiles.py — sketch prefilter +
+    spillable interior, ≡ quantile_cont, never a per-group value
+    buffer); the GROUPS-sized cutoff table broadcast-joins back onto
+    the scan and the readout is ONE aggregation. Clamping is a pure
+    codegen'd greatest/least expression.
+    """
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+
+    orders = spark.table("orders")
+    pct = exact_group_percentiles(
+        orders, ["o_orderpriority"], "o_totalprice", {"p05": 0.05, "p95": 0.95}
+    )
+    j = orders.join(F.broadcast(pct), "o_orderpriority")
+    capped = F.greatest(
+        F.least(F.col("o_totalprice"), F.col("p95")), F.col("p05")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") < F.col("p05"), 1)).alias(
+            "n_capped_low"
+        ),
+        F.count(F.when(F.col("o_totalprice") > F.col("p95"), 1)).alias(
+            "n_capped_high"
+        ),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+        F.round(F.avg(capped), 2).alias("mean_winsorized"),
+        F.round(F.max("p05").cast("double"), 2).alias("p05"),
+        F.round(F.max("p95").cast("double"), 2).alias("p95"),
+    )

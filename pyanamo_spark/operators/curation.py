@@ -718,3 +718,60 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "q_time_split",
+    oracle="""
+WITH ds AS (
+  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS dn
+  FROM orders
+),
+cut AS (SELECT quantile_cont(dn, 0.8) AS c FROM ds)
+SELECT CASE WHEN dn <= (SELECT c FROM cut) THEN 'train' ELSE 'test' END
+         AS split,
+       COUNT(*) AS n_rows,
+       MIN(d) AS min_date,
+       MAX(d) AS max_date,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM ds
+GROUP BY split
+""",
+)
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split: everything at or before the 80th
+    percentile date trains, the future tests — the split that
+    evaluates forecasting/ranking models without time leakage (hash
+    and group splits — q_hash_split, q_group_split — cannot give
+    this guarantee; a temporally shuffled eval set leaks tomorrow
+    into training). The readout proves the guarantee by construction:
+    train.max_date ≤ test.min_date.
+
+    Scale shape: the cutoff is an exact interpolated percentile of
+    the day number via the bounded-memory quantile machinery —
+    a 1-row broadcast scalar, not a driver round-trip — and the
+    split labeling + readout is ONE aggregation over the scan.
+    """
+    from pyanamo_spark.functions.quantiles import exact_group_percentiles
+
+    ds = spark.table("orders").select(
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("dn"),
+    )
+    cut = exact_group_percentiles(ds, [], "dn", {"c": 0.8})
+    split = F.when(F.col("dn") <= F.col("c"), "train").otherwise("test")
+    return (
+        ds.join(F.broadcast(cut))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("d").alias("min_date"),
+            F.max("d").alias("max_date"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )

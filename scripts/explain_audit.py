@@ -84,6 +84,14 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_winsorize": 12,  # the exact-percentile machinery's sketch
+    # prefilter + spillable-interior passes re-scan the fact per
+    # cutoff (same accounting as q_percentiles/q_outliers); the
+    # GROUPS-sized cutoff table broadcasts back and the readout is
+    # one aggregation
+    "q_time_split": 12,  # identical percentile accounting for the
+    # 1-row date cutoff; the labeled readout is one aggregation over
+    # the scan
     "q_basket_rules": 18,  # the distinct-items subtree is PRINTED
     # four times (both self-join sides + both support legs) — copies
     # canonicalize so ReuseExchange dedups at runtime. Live profile:

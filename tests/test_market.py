@@ -91,3 +91,45 @@ def test_changepoint_finds_planted_shift(spark):
     assert r["change_date"] == d0 + dt.timedelta(days=19)
     assert r["cusum_peak"] < 0  # low regime pulls the cumsum down
     assert r["magnitude"] > 1.0
+
+
+def test_winsorize_caps_planted_whale(spark):
+    """19 orders at 100 plus one 10000 whale: the capped mean moves
+    back toward 100 and exactly one high cap fires."""
+    from pyanamo_spark.operators.advanced import q_winsorize
+
+    d0 = dt.date(2024, 5, 1)
+    rows = [(i, 1, d0, 100.0, "P1") for i in range(19)]
+    rows.append((99, 1, d0, 10_000.0, "P1"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double, o_orderpriority string",
+    ).createOrReplaceTempView("orders")
+    r = q_winsorize.__wrapped__(spark, "").collect()[0]
+    assert r["n_rows"] == 20 and r["n_capped_high"] == 1
+    assert r["mean_raw"] == pytest.approx(595.0)
+    assert r["mean_winsorized"] < r["mean_raw"]
+    assert r["p05"] == 100.0
+
+
+def test_time_split_has_no_leakage(spark):
+    """train.max_date must not exceed test.min_date and roughly 80%
+    of rows land in train."""
+    from pyanamo_spark.operators.curation import q_time_split
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (i, 1, d0 + dt.timedelta(days=i), 10.0, "P1") for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double, o_orderpriority string",
+    ).createOrReplaceTempView("orders")
+    got = {
+        r["split"]: r for r in q_time_split.__wrapped__(spark, "").collect()
+    }
+    assert set(got) == {"train", "test"}
+    assert got["train"]["max_date"] < got["test"]["min_date"]
+    assert 75 <= got["train"]["n_rows"] <= 85
