@@ -775,3 +775,104 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS ws_tokens,
+         md5(text) AS fp
+  FROM documents
+),
+lang_top AS (
+  SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+  ORDER BY c DESC, lang LIMIT 1
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 6)
+         AS exact_dup_ratio,
+       ROUND(AVG(n_chars), 4) AS mean_doc_chars,
+       ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4)
+         AS median_doc_chars,
+       (SELECT lang FROM lang_top) AS top_lang,
+       ROUND((SELECT c FROM lang_top) * 1.0 / COUNT(*), 6)
+         AS top_lang_share
+FROM base
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row summarizing the corpus the way a
+    published datasheet would — volume (docs/chars/whitespace
+    tokens), provenance breadth (sources, languages, dominant
+    language share), exact-duplicate ratio, and document-length
+    centre (mean + exact median). The single-scan executive summary
+    every release ships with; the deep dives are the dedicated
+    operators (q_dedup_stats, q_lang_mix, q_table_stats).
+
+    Scale shape: ONE aggregation over the scan carries everything
+    except the median and the dominant language. Exact distincts
+    (source/lang/fingerprint) are Expand-rewritten two-phase
+    aggregates (documented to swap for HLL sketches at the 100 TB
+    tier — q_approx_distinct shows the path); the median takes the
+    value-histogram percentile path (n_chars is integral, shuffle
+    carries distinct values, not rows); the 1-row dominant-language
+    and median frames broadcast-join onto the summary row.
+    """
+    from pyanamo_spark.functions.quantiles import (
+        exact_group_percentiles_lowcard,
+    )
+
+    base = spark.table("documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    lang_top = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    med = exact_group_percentiles_lowcard(
+        base, [], "n_chars", {"med": 0.5}
+    ).select(F.col("med"))
+    summary = base.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.round(1.0 - F.count_distinct("fp") / F.count("*"), 6).alias(
+            "exact_dup_ratio"
+        ),
+        F.round(F.avg("n_chars"), 4).alias("mean_doc_chars"),
+    )
+    return (
+        summary.join(F.broadcast(med))
+        .join(F.broadcast(lang_top))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            "total_ws_tokens",
+            "exact_dup_ratio",
+            "mean_doc_chars",
+            F.round(F.col("med").cast("double"), 4).alias(
+                "median_doc_chars"
+            ),
+            "top_lang",
+            F.round(F.col("top_c") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )

@@ -137,3 +137,38 @@ def file_column_ranges(path: str, col: str) -> list[tuple]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table:
+    rows are hash-distributed into ``n_buckets`` files per partition
+    by ``key``, with the bucket spec recorded in the catalog.
+
+    This is the THIRD layout lever next to partitioning and range
+    clustering, and the one aimed at JOINS rather than scans: two
+    tables bucketed on the same key with the same bucket count join
+    with NO shuffle exchange on either side — at 100 TB the single
+    biggest cost in a fact-to-fact join is exactly that pair of
+    exchanges, paid once at write time here and amortized over every
+    subsequent join (the plain-parquet analogue of a co-located /
+    bucketed join in a warehouse). ``sort`` additionally orders each
+    bucket file by the key so the join degenerates to a streaming
+    merge of pre-sorted buckets. tests/test_layout.py pins the
+    no-Exchange plan against an unbucketed control.
+    """
+    writer = (
+        df.repartition(n_buckets, key)  # one file per bucket, not
+        # one per (input partition × bucket): bucketed writers emit a
+        # file per in-partition bucket they see
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

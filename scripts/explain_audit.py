@@ -84,6 +84,11 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_dataset_card": 10,  # three exact count(distinct)s Expand-
+    # rewrite into two-phase aggregates (documented HLL swap at the
+    # 100 TB tier), plus the value-histogram median and the 1-row
+    # dominant-language frame, both broadcast onto the single summary
+    # row
     "q_winsorize": 12,  # the exact-percentile machinery's sketch
     # prefilter + spillable-interior passes re-scan the fact per
     # cutoff (same accounting as q_percentiles/q_outliers); the

@@ -3,6 +3,8 @@ content preservation, and the skip arithmetic the layout buys."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyanamo_spark.sources.layout import cluster_write, file_column_ranges
 
 
@@ -95,3 +97,61 @@ def test_zorder_write_narrows_both_columns(spark, sf_dir, tmp_path):
         back.selectExpr("sum(l_orderkey * 37 + l_partkey)").first()[0]
         == li.selectExpr("sum(l_orderkey * 37 + l_partkey)").first()[0]
     )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain
+    NO Exchange (the write-time layout paid the shuffles); the
+    unbucketed control join of the same data must contain one. Values
+    must match the control exactly."""
+    from pyanamo_spark.sources.layout import bucketed_write
+
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    bucketed_write(orders, "b_orders", "o_custkey", 4)
+    bucketed_write(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        4,
+    )
+    try:
+        j = (
+            spark.table("b_orders")
+            # hint forces the merge join so the test pins the
+            # co-located path even where AQE would broadcast the
+            # small fixture side
+            .join(spark.table("b_customer").hint("merge"), "o_custkey")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        )
+        got = {r["c_mktsegment"]: (r["n"], r["rev"]) for r in j.collect()}
+        # final AQE plan, read after execution: in tree print the
+        # join's children (the bucketed scans) follow the join node;
+        # any Exchange there means the layout didn't pay the shuffle
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # AQE prints "== Initial Plan ==" (pre-adaptive, with the
+        # would-be exchanges) after the final plan — judge only the
+        # final plan
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        join_section = plan.split("SortMergeJoin", 1)[1]
+        assert "Bucketed: true" in join_section
+        assert "Exchange" not in join_section, join_section[:2000]
+
+        control = (
+            orders.join(
+                customer.withColumnRenamed("c_custkey", "o_custkey"),
+                "o_custkey",
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        )
+        want = {r["c_mktsegment"]: (r["n"], r["rev"]) for r in control.collect()}
+        assert got == want
+    finally:
+        for name in ("b_orders", "b_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -54,3 +54,25 @@ def test_bigram_entropy_templated_below_diverse(spark):
     }
     assert got["tmpl"] == pytest.approx(0.0, abs=1e-9)
     assert got["div"] > 0.5
+
+
+def test_dataset_card_planted_corpus(spark):
+    """Hand-checkable card: 4 docs (one exact dup), two langs, one
+    source; dup ratio 0.25, top lang 'en' at 0.75."""
+    from pyanamo_spark.operators.curation import q_dataset_card
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),  # exact duplicate of 1
+        (3, "d e", "en", "s1", 3),
+        (4, "f", "xx", "s1", 1),
+    ]
+    _docs(spark, rows)
+    r = q_dataset_card.__wrapped__(spark, "").collect()[0]
+    assert (r["n_docs"], r["n_sources"], r["n_langs"]) == (4, 1, 2)
+    assert r["total_chars"] == 14 and r["total_ws_tokens"] == 9
+    assert r["exact_dup_ratio"] == pytest.approx(0.25, abs=1e-6)
+    assert r["mean_doc_chars"] == pytest.approx(3.5, abs=1e-6)
+    assert r["median_doc_chars"] == pytest.approx(4.0, abs=1e-6)
+    assert r["top_lang"] == "en"
+    assert r["top_lang_share"] == pytest.approx(0.75, abs=1e-6)
