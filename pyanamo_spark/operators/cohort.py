@@ -491,3 +491,79 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum(factor).over(w_run)), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "q_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         SUM(e.value) AS period_rev
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 14
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+SELECT r.cohort_day, r.day_offset,
+       ROUND(r.period_rev, 2) AS period_revenue,
+       ROUND(SUM(r.period_rev) OVER w, 2) AS cum_revenue,
+       ROUND(SUM(r.period_rev) OVER w / s.cohort_size, 4) AS ltv_per_user
+FROM rev r JOIN sizes s ON s.cohort_day = r.cohort_day
+WINDOW w AS (PARTITION BY r.cohort_day ORDER BY r.day_offset)
+""",
+)
+def q_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: purchase revenue by cohort and
+    day offset (0..14), cumulated into the running LTV per cohort
+    user — the financial twin of q_retention's engagement matrix
+    (retention says who came back; this says what coming back was
+    worth).
+
+    Scale shape: mirrors q_retention — one user-keyed aggregate for
+    cohort assignment, a user-keyed join of already-filtered purchase
+    facts, a cohort×offset-sized revenue aggregate, a broadcast of
+    cohort sizes, and the cumulative window runs over the bounded
+    cohort grid (≤15 offsets per cohort), never the facts.
+    """
+    events = spark.table("events")
+    days = events.select("user_id", F.to_date("ts").alias("day"))
+    firsts = (
+        days.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint()
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"), "value")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "value",
+        )
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("value").alias("period_rev"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("period_rev").over(w)
+    return rev.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        F.round("period_rev", 2).alias("period_revenue"),
+        F.round(cum, 2).alias("cum_revenue"),
+        F.round(cum / F.col("cohort_size"), 4).alias("ltv_per_user"),
+    )

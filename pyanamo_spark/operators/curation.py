@@ -876,3 +876,72 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_score_calibrate",
+    oracle="""
+WITH sc AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS raw_score
+  FROM documents
+),
+n AS (SELECT source, COUNT(*) AS ns FROM sc GROUP BY source),
+h AS (
+  SELECT source, raw_score, COUNT(*) AS c
+  FROM sc GROUP BY source, raw_score
+),
+cum AS (
+  SELECT source, raw_score,
+         SUM(c) OVER (PARTITION BY source ORDER BY raw_score) AS le
+  FROM h
+)
+SELECT sc.doc_id, sc.source,
+       CAST(sc.raw_score AS BIGINT) AS raw_score,
+       ROUND(cum.le * 1.0 / n.ns, 6) AS calibrated
+FROM sc
+JOIN cum USING (source, raw_score)
+JOIN n USING (source)
+""",
+)
+def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: map each document's raw score
+    (whitespace token count here — any integral/bucketed score works)
+    to its within-source ECDF, so "keep the top 30%" means the same
+    thing in every source regardless of how its raw distribution
+    shifts — the quantile-normalization step a mixed-corpus quality
+    gate needs before one threshold can govern all sources.
+
+    Scale shape: the per-source ECDF is computed on the (source,
+    value) HISTOGRAM — one map-combined aggregation whose size is the
+    score grid, not the corpus — with a cumulative window over that
+    bounded grid, then joined back onto the scan by (source, value).
+    No per-document window: the naive percent_rank() per source puts
+    each source's entire corpus through one window task. Continuous
+    scores must be bucketed to a grid first (same trade as
+    q_percentiles' value-histogram path).
+    """
+    sc = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("raw_score"),
+    )
+    n = sc.groupBy("source").agg(F.count("*").alias("ns"))
+    h = sc.groupBy("source", "raw_score").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("raw_score")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "source", "raw_score", F.sum("c").over(wcum).alias("le")
+    )
+    return (
+        sc.join(cum, ["source", "raw_score"])
+        .join(n, "source")
+        .select(
+            "doc_id",
+            "source",
+            "raw_score",
+            F.round(F.col("le") / F.col("ns"), 6).alias("calibrated"),
+        )
+    )

@@ -84,6 +84,15 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_ltv": 6,  # q_retention's accounting: the user-keyed cohort
+    # aggregate (checkpointed, shared by both consumers), the
+    # user-keyed purchase join, the cohort-grid revenue aggregate,
+    # and the cumulative window + broadcast sizes over that bounded
+    # grid
+    "q_score_calibrate": 6,  # the (source, score) histogram
+    # aggregation (two-phase, grid-sized), the cumulative-ECDF window
+    # over that bounded grid, the per-source totals, and the join
+    # back onto the scan by (source, score) — no per-document window
     "q_dataset_card": 10,  # three exact count(distinct)s Expand-
     # rewrite into two-phase aggregates (documented HLL swap at the
     # 100 TB tier), plus the value-histogram median and the 1-row

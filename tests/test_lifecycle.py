@@ -117,3 +117,27 @@ def test_autocorr_weekly_cycle(spark):
     assert r["n_days"] == 70
     assert r["acf_7"] == pytest.approx(1.0, abs=1e-3)
     assert r["acf_1"] < 0.7
+
+
+def test_ltv_accumulates_per_cohort_user(spark):
+    """Two users in one cohort: purchases of 10 (day 0) and 30
+    (day 2) give period revenues 10/30, cumulative 10/40, LTV per
+    user 5/20. Non-purchase events never add revenue."""
+    from pyanamo_spark.operators.cohort import q_ltv
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "purchase", 10.0),
+        (2, t0 + dt.timedelta(days=2), 1, "purchase", 30.0),
+        (3, t0, 2, "view", 999.0),  # same cohort, never converts
+    ]
+    _events(spark, rows)
+    out = {
+        r["day_offset"]: (
+            r["period_revenue"],
+            r["cum_revenue"],
+            r["ltv_per_user"],
+        )
+        for r in q_ltv.__wrapped__(spark, "").collect()
+    }
+    assert out == {0: (10.0, 10.0, 5.0), 2: (30.0, 40.0, 20.0)}

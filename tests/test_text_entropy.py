@@ -76,3 +76,23 @@ def test_dataset_card_planted_corpus(spark):
     assert r["median_doc_chars"] == pytest.approx(4.0, abs=1e-6)
     assert r["top_lang"] == "en"
     assert r["top_lang_share"] == pytest.approx(0.75, abs=1e-6)
+
+
+def test_score_calibrate_aligns_shifted_sources(spark):
+    """Source A has lengths {1,2,3,4}, source B {11,12,13,14}: raw
+    thresholds are incomparable, but each source's calibrated scores
+    are the identical ladder 0.25/0.5/0.75/1.0."""
+    from pyanamo_spark.operators.curation import q_score_calibrate
+
+    rows = []
+    for i, n_tok in enumerate([1, 2, 3, 4]):
+        rows.append((i, " ".join(["w"] * n_tok), "en", "A", 0))
+    for i, n_tok in enumerate([11, 12, 13, 14]):
+        rows.append((10 + i, " ".join(["w"] * n_tok), "en", "B", 0))
+    _docs(spark, rows)
+    out = q_score_calibrate.__wrapped__(spark, "").collect()
+    by_source = {"A": {}, "B": {}}
+    for r in out:
+        by_source[r["source"]][r["raw_score"]] = r["calibrated"]
+    assert by_source["A"] == {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0}
+    assert by_source["B"] == {11: 0.25, 12: 0.5, 13: 0.75, 14: 1.0}
