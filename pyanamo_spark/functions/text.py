@@ -1046,3 +1046,53 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_entropy"
         ),
     )
+
+
+@register(
+    "q_langid_eval",
+    oracle=f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({_STOP_LIST_SQL})))
+                   >= 0.05 * len(string_split(text, ' '))
+              THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM documents
+)
+SELECT lang, predicted_lang,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang),
+             6) AS row_share
+FROM p
+GROUP BY lang, predicted_lang
+""",
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the declared label vs the
+    stopword-heuristic prediction (q_lang_id), with row-normalized
+    shares — the evaluation artifact that turns a classifier into a
+    decision ("trust 'en' predictions; route 'unknown' to the n-gram
+    profile model"). Recall for a label reads directly off its
+    diagonal cell.
+
+    Scale shape: the prediction is the same zero-shuffle
+    filter-lambda expression as q_lang_id, collapsing into a
+    LABELS²-bounded aggregate; the normalizing window runs over that
+    tiny matrix.
+    """
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    p = spark.table("documents").select(
+        "lang",
+        F.when(stop_hits >= 0.05 * F.size(toks), "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+    agg = p.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n"))
+    wl = W.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wl), 6).alias("row_share"),
+    )

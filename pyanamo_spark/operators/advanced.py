@@ -235,3 +235,83 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("p05").cast("double"), 2).alias("p05"),
         F.round(F.max("p95").cast("double"), 2).alias("p95"),
     )
+
+
+@register(
+    "q_session_stats",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS dur_sec,
+         CAST(MIN(ts) AS DATE) AS day
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT day,
+       COUNT(*) AS n_sessions,
+       COUNT(CASE WHEN n_events = 1 THEN 1 END) AS bounces,
+       ROUND(COUNT(CASE WHEN n_events = 1 THEN 1 END) * 1.0 / COUNT(*),
+             6) AS bounce_rate,
+       ROUND(AVG(n_events * 1.0), 4) AS avg_events,
+       ROUND(AVG(dur_sec), 4) AS avg_duration_sec
+FROM per
+GROUP BY day
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session-quality report over the 30-minute-gap sessions
+    of q_sessionize: session count, bounce count/rate (single-event
+    sessions), mean events and mean duration per session — the
+    engagement dashboard one step up from raw sessionization.
+
+    Scale shape: the same single user-partitioned sort powers the
+    gap flags and the running session ids; sessions collapse in a
+    (user, session)-keyed aggregate and the daily readout is
+    DAYS-sized. Durations subtract epoch-micros extrema inside the
+    session aggregate — no second window pass.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = F.when(
+        (us - F.lag(us).over(w) > SESSION_GAP_US)
+        | F.lag(us).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = (
+        spark.table("events")
+        .select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max(us) - F.min(us)) / 1_000_000.0).alias("dur_sec"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("bounces"),
+        F.round(bounce / F.count("*"), 6).alias("bounce_rate"),
+        F.round(F.avg(F.col("n_events") * 1.0), 4).alias("avg_events"),
+        F.round(F.avg("dur_sec"), 4).alias("avg_duration_sec"),
+    )

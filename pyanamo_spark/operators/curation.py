@@ -557,6 +557,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # splice the reusable stage expressions into the funnel oracle template
 from pyanamo_spark.functions.text import _STOP_LIST_SQL as _FUNNEL_STOPS  # noqa: E402
+from pyanamo_spark.functions.text import STOPWORDS as _FUNNEL_STOP_SET  # noqa: E402
 from pyanamo_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["q_curation_funnel"] = _ORACLES["q_curation_funnel"].format(
@@ -943,5 +944,79 @@ def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "raw_score",
             F.round(F.col("le") / F.col("ns"), 6).alias("calibrated"),
+        )
+    )
+
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+WITH d AS (
+  SELECT ROUND(len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_FUNNEL_STOPS})))
+               * 1.0 / len(string_split(text, ' ')), 2) AS s,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+),
+g AS (SELECT s, COUNT(*) AS c, SUM(toks) AS t FROM d GROUP BY s),
+tot AS (SELECT SUM(t) AS total_toks FROM g),
+cum AS (
+  SELECT s, c, t,
+         SUM(t) OVER (ORDER BY s DESC) AS ct
+  FROM g
+)
+SELECT ROUND(CAST(0.5 * (SELECT total_toks FROM tot) AS DOUBLE), 2)
+         AS budget_tokens,
+       ROUND(MIN(s), 2) AS threshold_score,
+       CAST(SUM(c) AS BIGINT) AS n_docs_selected,
+       CAST(SUM(t) AS BIGINT) AS tokens_selected,
+       ROUND(SUM(t) / (0.5 * (SELECT total_toks FROM tot)), 6)
+         AS utilization
+FROM cum
+WHERE ct <= 0.5 * (SELECT total_toks FROM tot)
+""",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted best-first selection: spend a token budget (half the
+    corpus here) on the highest-quality documents — greedy by
+    stopword-density score, whole score-buckets at a time — and
+    report the resulting quality threshold, docs/tokens selected, and
+    budget utilization. The planning query behind "give me the best
+    N tokens for this training run".
+
+    Scale shape: the naive form sorts every document globally and
+    runs a document-sized cumulative window (one task at 100 TB).
+    Here quality is bucketed to a 2-decimal grid, so selection
+    happens on the GRID: one map-combined (score → docs, tokens)
+    aggregate, a cumulative window over ≤101 buckets ordered
+    best-first, and a single-row readout. Per-document selection is
+    then a threshold broadcast (score ≥ threshold) — the same
+    grid-not-corpus trade as q_score_calibrate and q_percentiles.
+    """
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_FUNNEL_STOP_SET)))
+    d = spark.table("documents").select(
+        F.round(stop_hits / F.size(toks), 2).alias("s"),
+        F.size(toks).cast("long").alias("toks"),
+    )
+    g = d.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("toks").alias("t")
+    )
+    tot = g.agg(F.sum("t").alias("total_toks"))
+    wcum = (
+        W.orderBy(F.col("s").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = g.select("s", "c", "t", F.sum("t").over(wcum).alias("ct"))
+    budget = 0.5 * F.col("total_toks")
+    return (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("ct") <= budget)
+        .agg(
+            F.round(F.first(budget), 2).alias("budget_tokens"),
+            F.round(F.min("s"), 2).alias("threshold_score"),
+            F.sum("c").cast("long").alias("n_docs_selected"),
+            F.sum("t").cast("long").alias("tokens_selected"),
+            F.round(F.sum("t") / F.first(budget), 6).alias("utilization"),
         )
     )

@@ -84,6 +84,16 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_langid_eval": 4,  # zero-shuffle prediction expression →
+    # LABELS²-bounded confusion aggregate (two-phase) + the
+    # row-normalizing window over that tiny matrix
+    "q_session_stats": 4,  # ONE user-partitioned sort powers gap
+    # flags and running session ids; the session aggregate reuses the
+    # user exchange and the daily readout is DAYS-sized
+    "q_token_budget": 8,  # (score, tokens) grid aggregation
+    # (two-phase); the ≤101-bucket cumulative window, the 1-row
+    # total (its subtree printed per consumer), and the single-row
+    # readout
     "q_ltv": 6,  # q_retention's accounting: the user-keyed cohort
     # aggregate (checkpointed, shared by both consumers), the
     # user-keyed purchase join, the cohort-grid revenue aggregate,

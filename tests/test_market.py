@@ -133,3 +133,29 @@ def test_time_split_has_no_leakage(spark):
     assert set(got) == {"train", "test"}
     assert got["train"]["max_date"] < got["test"]["min_date"]
     assert 75 <= got["train"]["n_rows"] <= 85
+
+
+def test_session_stats_bounce_and_duration(spark):
+    """User 1: a 2-event 60s session; user 2: a single-event bounce,
+    same day → 2 sessions, 1 bounce, avg_events 1.5, avg duration
+    30s."""
+    from pyanamo_spark.operators.advanced import q_session_stats
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + dt.timedelta(seconds=60), 1, "click", 0.0),
+        (3, t0 + dt.timedelta(hours=2), 2, "view", 0.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).createOrReplaceTempView("events")
+    r = q_session_stats.__wrapped__(spark, "").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_sessions"], row["bounces"]) == (2, 1)
+    assert row["bounce_rate"] == 0.5
+    assert row["avg_events"] == 1.5
+    assert row["avg_duration_sec"] == 30.0

@@ -96,3 +96,49 @@ def test_score_calibrate_aligns_shifted_sources(spark):
         by_source[r["source"]][r["raw_score"]] = r["calibrated"]
     assert by_source["A"] == {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0}
     assert by_source["B"] == {11: 0.25, 12: 0.5, 13: 0.75, 14: 1.0}
+
+
+def test_langid_eval_confusion_cells(spark):
+    """3 stopword-heavy docs labeled en, 1 labeled xx; 1 stopword-free
+    doc labeled en → diagonal (en,en)=3 with row_share 0.75,
+    off-diagonals (en,unknown)=1 and (xx,en)=1."""
+    from pyanamo_spark.functions.text import q_langid_eval
+
+    rows = [
+        (1, "the cat of it", "en", "s", 0),
+        (2, "the dog and it", "en", "s", 0),
+        (3, "a fish is here", "en", "s", 0),
+        (4, "the bird in sky", "xx", "s", 0),
+        (5, "qqq www eee rrr", "en", "s", 0),
+    ]
+    _docs(spark, rows)
+    got = {
+        (r["lang"], r["predicted_lang"]): (r["n"], r["row_share"])
+        for r in q_langid_eval.__wrapped__(spark, "").collect()
+    }
+    assert got == {
+        ("en", "en"): (3, 0.75),
+        ("en", "unknown"): (1, 0.25),
+        ("xx", "en"): (1, 1.0),
+    }
+
+
+def test_token_budget_selects_best_buckets(spark):
+    """Quality 1.0 docs hold 40 of 100 tokens, quality 0.5 docs hold
+    60: a 50-token budget takes all of the best bucket (40) and
+    cannot afford the next whole bucket."""
+    from pyanamo_spark.operators.curation import q_token_budget
+
+    rows = []
+    # 4 docs of 10 tokens, all stopwords -> s = 1.0
+    for i in range(4):
+        rows.append((i, " ".join(["the"] * 10), "en", "s", 0))
+    # 6 docs of 10 tokens, half stopwords -> s = 0.5
+    for i in range(6):
+        rows.append((10 + i, " ".join(["the"] * 5 + ["zz"] * 5), "en", "s", 0))
+    _docs(spark, rows)
+    r = q_token_budget.__wrapped__(spark, "").collect()[0]
+    assert r["budget_tokens"] == 50.0
+    assert r["threshold_score"] == 1.0
+    assert (r["n_docs_selected"], r["tokens_selected"]) == (4, 40)
+    assert r["utilization"] == 0.8
