@@ -359,3 +359,66 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs("cusum"), 6).alias("magnitude"),
         )
     )
+
+
+@register(
+    "q_anomaly_seasonal",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         SUM(value) AS v
+  FROM events GROUP BY day, dow, hr
+),
+prof AS (
+  SELECT dow, hr, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+  FROM obs GROUP BY dow, hr
+)
+SELECT o.day, o.hr,
+       ROUND(o.v, 2) AS actual,
+       ROUND(p.mu, 4) AS expected,
+       ROUND((o.v - p.mu) / NULLIF(p.sd, 0), 4) AS z
+FROM obs o JOIN prof p ON p.dow = o.dow AND p.hr = o.hr
+WHERE ABS((o.v - p.mu) / NULLIF(p.sd, 0)) >= 1.2
+""",
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: each hourly total is
+    scored against the expectation for ITS (day-of-week × hour) cell,
+    so Monday 9am is judged against Monday-9am history — the alarm
+    q_anomaly (flat rolling bands) raises falsely every weekend is
+    silenced, and true off-cycle spikes stand out. Emits the
+    anomalous hours with actual, expected, and z. The threshold is
+    1.2 because the z here is SELF-INCLUSIVE (the point contributes
+    to its own cell's mean/σ), which caps |z| at (n−1)/√n — ~1.8 for
+    the fixture's 4-5 observations per cell; a production profile
+    built from held-out history would use the conventional 2-3.
+
+    Scale shape: the corpus collapses to the date×hour observation
+    grid in one map-combined aggregation; the 168-cell profile
+    aggregates from the grid; the join back is grid-keyed (AQE
+    broadcasts the profile); output is anomalies-sized. The divisor
+    is NULLIF-guarded on both engines, so constant cells drop out
+    instead of dividing by zero.
+    """
+    obs = spark.table("events").groupBy(
+        F.to_date("ts").alias("day"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.sum("value").alias("v"))
+    prof = obs.groupBy("dow", "hr").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = (F.col("v") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
+    return (
+        obs.join(prof, ["dow", "hr"])
+        .filter(F.abs(z) >= 1.2)
+        .select(
+            "day",
+            "hr",
+            F.round("v", 2).alias("actual"),
+            F.round("mu", 4).alias("expected"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -84,6 +84,10 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_anomaly_seasonal": 6,  # corpus → date×hour observation grid
+    # (map-combined two-phase); the 168-cell profile aggregates from
+    # the grid (its subtree printed per consumer) and joins back
+    # grid-keyed (AQE broadcasts); output is anomalies-sized
     "q_langid_eval": 4,  # zero-shuffle prediction expression →
     # LABELS²-bounded confusion aggregate (two-phase) + the
     # row-normalizing window over that tiny matrix

@@ -159,3 +159,39 @@ def test_session_stats_bounce_and_duration(spark):
     assert row["bounce_rate"] == 0.5
     assert row["avg_events"] == 1.5
     assert row["avg_duration_sec"] == 30.0
+
+
+def test_anomaly_seasonal_flags_offcycle_spike(spark):
+    """Five Mondays at 10:00 with value 100 except one at 500: only
+    the spiked Monday is flagged; a perfectly constant cell (sd=0)
+    never divides by zero and never alarms."""
+    from pyanamo_spark.operators.timeseries import q_anomaly_seasonal
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)  # a Monday
+    rows = []
+    for week in range(5):
+        val = 500.0 if week == 2 else 100.0
+        rows.append((week, t0 + dt.timedelta(weeks=week), 1, "view", val))
+    # constant cell: five Tuesdays at 11:00, always 50
+    for week in range(5):
+        rows.append(
+            (
+                10 + week,
+                t0 + dt.timedelta(weeks=week, days=1, hours=1),
+                1,
+                "view",
+                50.0,
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).createOrReplaceTempView("events")
+    out = q_anomaly_seasonal.__wrapped__(spark, "").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"] == (t0 + dt.timedelta(weeks=2)).date()
+    assert r["actual"] == 500.0
+    assert r["expected"] == 180.0
+    assert r["z"] > 1.2
