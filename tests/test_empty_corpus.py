@@ -41,6 +41,7 @@ NONEMPTY_ON_EMPTY = {
     "q_gini",  # 1-row concentration readout: null gini/share
     "q_autocorr",  # 1-row series readout: zero days, null acf
     "q_backtest",  # 1-row forecast scorecard: zero eval days, null MAE
+    "q_token_budget",  # 1-row budget plan: null threshold, zero docs
 }
 
 
