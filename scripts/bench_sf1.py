@@ -48,6 +48,9 @@ HOT_QUERIES = [
     "q_bm25", "q_hybrid_search",
     # iterative graph + incremental maintenance + global-rank folds
     "q_pagerank", "q_mv_refresh", "q_curriculum", "q_gini",
+    # within-basket self-join, token-stream window, grid calibration
+    "q_basket_rules", "q_bigram_entropy", "q_score_calibrate",
+    "q_token_budget",
 ]
 
 DATA_RATIO = 10.0  # sf1 / sf0.1
