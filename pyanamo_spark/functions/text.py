@@ -1096,3 +1096,75 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wl), 6).alias("row_share"),
     )
+
+
+_CURVE_KS = (64, 128, 256, 512, 1024)
+
+
+@register(
+    "q_coverage_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT SUM(n) AS t FROM tf),
+vocab AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r
+  FROM tf QUALIFY r <= {max(_CURVE_KS)}
+),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _CURVE_KS)})
+SELECT ks.k AS vocab_size,
+       CAST(SUM(v.n) AS BIGINT) AS covered_tokens,
+       ROUND(SUM(v.n) * 1.0 / (SELECT t FROM tot), 6) AS coverage
+FROM ks JOIN vocab v ON v.r <= ks.k
+GROUP BY ks.k
+""",
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sizing curve: corpus coverage of the top-k
+    pre-tokens for k in 64..1024 (_CURVE_KS) — the marginal-return
+    readout that decides how large a tokenizer vocabulary to train
+    (q_vocab_coverage answers for ONE k; this sweeps the knee of the
+    curve).
+
+    Scale shape: the token stream is scanned ONCE into term
+    frequencies (map-combined, VOCAB-sized); the corpus total is the
+    sum of that table, not a second scan; the top-1024 ranking is
+    TakeOrdered + a row_number over those 1024 rows (bounded, single
+    partition by construction); and the curve is a 5x1024 range join
+    over bounded frames.
+    """
+    toks = spark.table("documents").select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = tf.agg(F.sum("n").alias("t"))
+    top = tf.orderBy(F.col("n").desc(), "tok").limit(max(_CURVE_KS))
+    vocab = top.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "tok"))
+        .alias("r"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _CURVE_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .join(vocab, vocab["r"] <= ks["k"])
+        .groupBy(F.col("k").alias("vocab_size"))
+        .agg(F.sum("n").cast("long").alias("covered_tokens"))
+        .join(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("t"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

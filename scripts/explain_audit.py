@@ -84,6 +84,10 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_coverage_curve": 6,  # ONE token-stream scan → VOCAB-sized
+    # term frequencies (two-phase); total is the sum of that table
+    # (subtree printed per consumer), the top-1024 is TakeOrdered +
+    # a bounded row_number, and the curve is a 5×1024 range join
     "q_anomaly_seasonal": 6,  # corpus → date×hour observation grid
     # (map-combined two-phase); the 168-cell profile aggregates from
     # the grid (its subtree printed per consumer) and joins back

@@ -142,3 +142,21 @@ def test_token_budget_selects_best_buckets(spark):
     assert r["threshold_score"] == 1.0
     assert (r["n_docs_selected"], r["tokens_selected"]) == (4, 40)
     assert r["utilization"] == 0.8
+
+
+def test_coverage_curve_monotone_and_exact(spark):
+    """Coverage is non-decreasing in k and hits 1.0 once the vocab
+    holds every distinct token."""
+    from pyanamo_spark.functions.text import q_coverage_curve
+
+    rows = [(i, "a a b c d" + f" tok{i}", "en", "s", 0) for i in range(10)]
+    _docs(spark, rows)
+    out = sorted(
+        q_coverage_curve.__wrapped__(spark, "").collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in out] == [64, 128, 256, 512, 1024]
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs)
+    assert covs[-1] == 1.0  # 14 distinct tokens all fit at k=64 too
+    assert covs[0] == 1.0
