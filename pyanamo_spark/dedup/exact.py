@@ -98,3 +98,74 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wasted_chars"
         ),
     )
+
+
+@register(
+    "q_dup_by_source",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'recrawl', md5(text)
+  FROM documents WHERE doc_id % 100 = 0
+),
+per_fp AS (
+  SELECT fp, COUNT(*) AS n, COUNT(DISTINCT source) AS ns
+  FROM corpus GROUP BY fp
+)
+SELECT c.source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN p.n > 1 THEN 1 END) AS dup_docs,
+       ROUND(COUNT(CASE WHEN p.n > 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS dup_rate,
+       COUNT(CASE WHEN p.ns > 1 THEN 1 END) AS cross_source_docs,
+       ROUND(COUNT(CASE WHEN p.ns > 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS cross_source_rate
+FROM corpus c
+JOIN per_fp p ON p.fp = c.fp
+GROUP BY c.source
+""",
+)
+def q_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostics over the corpus plus a
+    planted 'recrawl' source (verbatim copies of every 100th doc —
+    the fixture has no natural duplicates): for each source, how many
+    of its documents have a copy ANYWHERE, and how many have a copy
+    in ANOTHER source. The triage table that decides which source to
+    dedup against which (q_source_overlap gives the pairwise detail;
+    q_dedup_stats the corpus total).
+
+    Scale shape: digest-only — one (fp) aggregation bounded by
+    distinct content, one digest-keyed join back (text never
+    shuffles; 16-byte digests do), and a SOURCES-sized rollup.
+    """
+    docs = spark.table("documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    recrawl = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("recrawl").alias("source"),
+            F.md5("text").alias("fp"),
+        )
+    )
+    corpus = docs.unionByName(recrawl)
+    per_fp = corpus.groupBy("fp").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("source").alias("ns"),
+    )
+    dup = F.count(F.when(F.col("n") > 1, 1))
+    cross = F.count(F.when(F.col("ns") > 1, 1))
+    return (
+        corpus.join(per_fp, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dup.alias("dup_docs"),
+            F.round(dup / F.count("*"), 6).alias("dup_rate"),
+            cross.alias("cross_source_docs"),
+            F.round(cross / F.count("*"), 6).alias("cross_source_rate"),
+        )
+    )

@@ -84,6 +84,11 @@ EXCHANGE_BUDGET = {
     # bounded series (documented global-window exception)
     "q_streaks": 4,  # distinct (user, day) exchange, the per-user
     # island window, and two entity-bounded aggregations
+    "q_dup_by_source": 6,  # digest-only: the corpus+recrawl union is
+    # PRINTED for both the per-digest aggregate and the join-back
+    # (copies canonicalize; ReuseExchange dedups) — live profile is
+    # one (fp) aggregation, a digest-keyed join, and a SOURCES-sized
+    # rollup; text never shuffles
     "q_coverage_curve": 6,  # ONE token-stream scan → VOCAB-sized
     # term frequencies (two-phase); total is the sum of that table
     # (subtree printed per consumer), the top-1024 is TakeOrdered +

@@ -160,3 +160,30 @@ def test_coverage_curve_monotone_and_exact(spark):
     assert covs == sorted(covs)
     assert covs[-1] == 1.0  # 14 distinct tokens all fit at k=64 too
     assert covs[0] == 1.0
+
+
+def test_dup_by_source_cross_source_attribution(spark):
+    """doc 100 is copied into the planted recrawl source: both its
+    original source and recrawl show one cross-source duplicate; the
+    untouched source shows zero."""
+    from pyanamo_spark.dedup.exact import q_dup_by_source
+
+    rows = [
+        (100, "shared text", "en", "A", 11),  # doc_id%100==0 -> copied
+        (3, "unique a", "en", "A", 8),
+        (7, "unique b", "en", "B", 8),
+    ]
+    _docs(spark, rows)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["dup_docs"],
+            r["cross_source_docs"],
+        )
+        for r in q_dup_by_source.__wrapped__(spark, "").collect()
+    }
+    assert got == {
+        "A": (2, 1, 1),
+        "B": (1, 0, 0),
+        "recrawl": (1, 1, 1),
+    }
