@@ -2,9 +2,18 @@
 
 Unlike the MinHash path (probabilistic, xxhash-based, rows-only), this
 variant is exact and fully SQL-expressible: block pairs on
-(lang, token-count bucket), compare word-trigram sets. Blocking keeps
-the pair count linear-ish; at 100 TB you'd use the MinHash bands as the
-blocking key instead — same join shape.
+(lang, token-count bucket), compare word-trigram sets. Candidate
+generation uses PREFIX FILTERING (the AllPairs/PPJoin family): each
+doc's shingles are ranked by global document frequency ascending, and
+only the first ``|A| - ceil(t*|A|) + 1`` participate in the posting
+self-join. Any pair with Jaccard >= t shares >= ceil(t*|A|) elements,
+which cannot all hide in the dropped suffix, so at least one shared
+shingle survives in BOTH prefixes — recall is guaranteed by the
+pigeonhole bound, not by a frequency-threshold assumption. High-df
+boilerplate shingles (the d^2 join blowup at scale: a shingle in d docs
+contributes d^2 candidate rows) rank last and fall outside almost every
+prefix. The exact blocked all-pairs oracle hash-checks completeness on
+every driver run.
 
 Note the fixture vocabulary is tiny (~30 words), so *token-set* Jaccard
 is degenerate (long docs contain every word); trigram shingles keep
@@ -13,7 +22,7 @@ cross-doc similarity low and mutant-pair similarity high.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyanamo_spark.dedup import CORPUS_SQL, shingles
@@ -58,29 +67,28 @@ WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {THRESHOLD}
 """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star n-gram Jaccard dedup: blocked self-join +
-    trigram-set Jaccard ≥ 0.6 over the mutant corpus.
+    """North-star n-gram Jaccard dedup: blocked candidate generation +
+    exact trigram-set Jaccard ≥ 0.6 over the mutant corpus.
 
-    Two scale optimizations (both result-preserving):
+    Scale shape (all result-preserving, completeness re-checked by the
+    exact all-pairs oracle):
+      - PREFIX FILTER: J(A,B) ≥ t ⟹ |A∩B| ≥ ceil(t·|A|), so the
+        dropped suffix of ceil(t·|A|)−1 highest-df shingles cannot
+        contain the whole intersection — posting lists shrink to
+        (1−t)·|A|+1 entries holding each doc's RAREST shingles, and a
+        shingle appearing in d docs no longer contributes d² candidate
+        rows unless it is rare enough to sit in prefixes (this was the
+        22x-at-10x-data superlinearity: near-dup density grows with
+        corpus size, boilerplate df grows linearly).
       - size-ratio prefilter: jaccard ≥ t implies
-        min(|A|,|B|) ≥ t·max(|A|,|B|), checked on precomputed set sizes
-        before any set intersection runs
-      - |A∪B| = |A|+|B|-|A∩B|, so only the intersection is computed —
-        array_union over every candidate pair was ~half the work
+        min(|A|,|B|) ≥ t·max(|A|,|B|), checked on precomputed sizes.
+      - candidates verify on the FULL shingle arrays (one array
+        intersect per candidate pair, candidates ≈ true near-dups);
+        |A∪B| = |A|+|B|−|A∩B| so only the intersection is computed.
     """
     from pyanamo_spark.dedup import corpus_with_mutants
 
     corpus = corpus_with_mutants(spark)
-    # Inverted-index set-similarity join (PPJoin-style, exact):
-    #   1. shingles hashed to 64-bit longs (|distinct hashes| =
-    #      |distinct shingles| absent a ~1e-15 collision, so jaccard is
-    #      unchanged and the string-set oracle still matches)
-    #   2. explode (doc, shingle) and self-join on the shingle within
-    #      the block — work is proportional to shingles actually
-    #      SHARED by pairs, not |A|·|B| per candidate pair
-    #   3. count shared shingles per pair → |A∩B|;
-    #      |A∪B| = |A|+|B|-|A∩B|
-    # Pairs sharing nothing never materialize (their jaccard is 0).
     prepped = corpus.select(
         "doc_id",
         "lang",
@@ -89,13 +97,28 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles("text"), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh")).persist()
-    # persisted: both sides of the posting self-join re-tokenize the
-    # corpus otherwise; the explode itself is cheap to redo
+    # persisted: posting build, df count, and the verify stage all read
+    # the tokenized corpus; re-tokenizing three times dominates at scale
     postings = prepped.select(
         "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )
-    a, b = postings.alias("a"), postings.alias("b")
-    pair_counts = (
+    # global document frequency — the total order for prefix ranking
+    # (df asc, h asc as tiebreak). Rarest-first puts boilerplate last.
+    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = postings.join(df_tab, "h").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")
+        ),
+    )
+    # prefix length |A| - ceil(t|A|) + 1; the per-doc window shuffle is
+    # doc-length-bounded (SortExec spills on pathological docs)
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_sh") - F.ceil(F.lit(THRESHOLD) * F.col("n_sh")) + 1
+    ).select("doc_id", "lang", "size_bucket", "n_sh", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -109,13 +132,27 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.greatest("a.n_sh", "b.n_sh")
             ),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
+    )
+    # exact verification on full shingle sets — prune-independent
+    full_a = prepped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    full_b = prepped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    verified = (
+        candidates.join(full_a, "doc_a")
+        .join(full_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jaccard = F.round(
         F.col("inter").cast("double")
@@ -123,7 +160,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        pair_counts.withColumn("jaccard", jaccard)
+        verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -134,11 +171,6 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: containment floor: |A∩B| / |A| for the CONTAINED side A
 CONTAIN_T = 0.8
-#: posting-list prune: shingles appearing in more than this many docs
-#: are dropped from candidate generation (boilerplate shingles pair
-#: everything with everything); exactness is preserved by verifying
-#: candidates on their FULL shingle sets
-CONTAIN_MAX_DF = 500
 
 _CONTAIN_ORACLE = f"""
 WITH corpus AS (
@@ -178,13 +210,19 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape mirrors q_dedup_ngram's inverted index with two
     containment-specific changes: no size-bucket blocking (containment
-    deliberately crosses sizes) and a max-df prune on posting lists —
-    near-universal shingles would pair everything with everything, and
-    dropping them from CANDIDATE GENERATION is safe because a doc with
-    ≥80%% of its shingles shared keeps plenty of sub-threshold-df ones
-    at any realistic vocabulary skew; the final filter recounts on the
-    real intersection. The oracle runs the exact all-pairs form, so
-    the prune's completeness is hash-checked, not assumed, at every
+    deliberately crosses sizes), and the candidate prune is a one-sided
+    PREFIX FILTER with GUARANTEED recall: containment ≥ T requires
+    |A∩B| ≥ ceil(T·|A|) shared shingles, so dropping only the
+    ceil(T·|A|)−1 highest-df shingles from the CONTAINED side's
+    postings cannot hide the whole intersection — at least one shared
+    shingle survives in A's prefix, and the container side keeps FULL
+    postings, so every qualifying pair is generated. (An earlier
+    absolute max-df cutoff silently missed contained docs whose shared
+    shingles were all boilerplate — exactly the content containment
+    targets; the pigeonhole prefix bound has no such assumption and
+    tightens, not loosens, as df distributions skew at scale.) The
+    final filter recounts on the real intersection; the oracle runs
+    the exact all-pairs form, so completeness is hash-checked at every
     driver run."""
     from pyanamo_spark.dedup import corpus_with_mutants, shingles
 
@@ -203,26 +241,34 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = prepped.select(
         "doc_id", "lang", "n_sh", F.explode("sh").alias("h")
     )
-    rare = (
-        postings.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= CONTAIN_MAX_DF)
-        .select("h")
+    # global df ascending = the prefix total order (rarest first);
+    # boilerplate shingles rank last and leave almost every prefix
+    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = postings.join(df_tab, "h").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")
+        ),
     )
-    pruned = postings.join(rare, "h", "semi")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    pair_counts = (
+    # contained-side prefix: |A| - ceil(T·|A|) + 1 lowest-df shingles
+    a_prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_sh") - F.ceil(F.lit(CONTAIN_T) * F.col("n_sh")) + 1
+    ).select("doc_id", "lang", "h")
+    b_full = postings.select("doc_id", "lang", "h")
+    a, b = a_prefix.alias("a"), b_full.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("contained_doc"),
             F.col("b.doc_id").alias("container_doc"),
         )
-        .agg(F.count("*").alias("shared_rare"))
+        .distinct()
     )
     # verify candidates on the FULL shingle sets (prune-independent)
     full = prepped.select(
@@ -234,7 +280,7 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("container_doc"), F.col("sh").alias("sh_b")
     )
     verified = (
-        pair_counts.join(full, "contained_doc")
+        candidates.join(full, "contained_doc")
         .join(fullb, "container_doc")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b"))

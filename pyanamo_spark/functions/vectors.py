@@ -111,29 +111,11 @@ _SCALE_EXPR = (
 )
 
 
-@register(
-    "q_quantize",
-    oracle=f"""
-WITH s AS (
-  SELECT vec_id, embedding,
-         greatest(list_max(list_transform(
-           embedding, x -> abs(CAST(x AS DOUBLE)))) / {_QMAX},
-           {_SCALE_FLOOR}) AS scale
-  FROM embeddings
-)
-SELECT vec_id,
-       ROUND(scale, 9) AS scale,
-       list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-         AS qvec
-FROM s
-""",
-)
-def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 embedding quantization: per-vector absmax scale,
-    q = round(x / scale) ∈ [-127, 127] — a 4x storage cut for the
-    similarity index with reconstruction error ≤ scale/2 per element
-    (pinned in tests/test_quantize.py).
+def quantize_embeddings(spark: SparkSession) -> DataFrame:
+    """(vec_id, scale, qvec array<bigint>) — the in-engine quantized
+    index. Internal consumers (q_knn_quantized's int8 scan stage) read
+    the ARRAY form; the registered ``q_quantize`` wraps it
+    comma-joined for the harness.
 
     All JVM-side higher-order expressions, no UDF. The scale is
     let-bound via the single-element ``transform(array(e), s -> …)[0]``
@@ -153,6 +135,37 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.expr(_SCALE_EXPR), 9).alias("scale"),
         qvec.alias("qvec"),
+    )
+
+
+@register(
+    "q_quantize",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(
+           embedding, x -> abs(CAST(x AS DOUBLE)))) / {_QMAX},
+           {_SCALE_FLOOR}) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)),
+         ',') AS qvec
+FROM s
+""",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector absmax scale,
+    q = round(x / scale) ∈ [-127, 127] — a 4x storage cut for the
+    similarity index with reconstruction error ≤ scale/2 per element
+    (pinned in tests/test_quantize.py). The quantized vector is emitted
+    comma-joined (scalar string) because the harness's pandas canon
+    cannot hash array cells; in-engine consumers use
+    ``quantize_embeddings`` (array form) directly."""
+    return quantize_embeddings(spark).withColumn(
+        "qvec", F.array_join("qvec", ",")
     )
 
 

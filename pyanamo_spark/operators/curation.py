@@ -671,7 +671,7 @@ SELECT CAST(1 + FLOOR((rnk - 1) * 4.0 / total) AS BIGINT) AS phase,
        ROUND(AVG(difficulty), 4) AS avg_difficulty,
        ROUND(MIN(difficulty), 6) AS min_difficulty,
        ROUND(MAX(difficulty), 6) AS max_difficulty,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM r
 GROUP BY phase
 """,

@@ -40,8 +40,8 @@ WITH g AS (
 )
 SELECT c_nationkey,
        COUNT(*) AS n_groups,
-       SUM(CASE WHEN n < {_K} THEN 1 ELSE 0 END) AS risky_groups,
-       SUM(CASE WHEN n < {_K} THEN n ELSE 0 END) AS risky_rows,
+       CAST(SUM(CASE WHEN n < {_K} THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(SUM(CASE WHEN n < {_K} THEN n ELSE 0 END) AS BIGINT) AS risky_rows,
        ROUND(SUM(CASE WHEN n < {_K} THEN n ELSE 0 END) * 1.0 / SUM(n),
              6) AS risk_rate,
        MIN(n) AS min_group_size

@@ -58,7 +58,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        CAST(ts AS DATE) AS day,
        COUNT(*) AS n_events,
-       list(event_type ORDER BY ts, event_id) AS event_seq
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
 FROM events
 GROUP BY 1, 2
 """,
@@ -67,7 +67,9 @@ def q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event assembly per (user, day): the behavior-sequence /
     conversation-assembly shape a training pipeline feeds to sequence
     models — each entity-period becomes one row carrying its ordered
-    event array.
+    event array (emitted '>'-joined so the result stays a scalar
+    string column — the harness's canonicalizer cannot hash array
+    cells, and downstream consumers split on the delimiter).
 
     Scale shape: ONE aggregation; ordering rides inside the group via
     sort_array over (ts, event_id, type) structs (deterministic
@@ -75,15 +77,18 @@ def q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass and no second shuffle. Group size is bounded by events per
     entity-day — the period key is the lever that keeps assembled
     arrays executor-sized at any corpus scale."""
-    assembled = F.transform(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("ts"), F.col("event_id"), F.col("event_type")
+    assembled = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
                 )
-            )
+            ),
+            lambda s: s["event_type"],
         ),
-        lambda s: s["event_type"],
+        ">",
     )
     return (
         spark.table("events")

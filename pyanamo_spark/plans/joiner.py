@@ -210,9 +210,9 @@ WITH a AS (
 b AS (
   SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1
 )
-SELECT SUM(na * nb) AS predicted_rows,
+SELECT CAST(SUM(na * nb) AS BIGINT) AS predicted_rows,
        COUNT(*) AS n_shared_keys,
-       MAX(na * nb) AS max_key_rows
+       CAST(MAX(na * nb) AS BIGINT) AS max_key_rows
 FROM a JOIN b USING (k)
 """,
 )

@@ -152,7 +152,8 @@ RESCORE_POOL = 20
 @register("q_knn_quantized", oracle=None)
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 two-stage retrieval over the int8-quantized index
-    (functions/vectors.py::q_quantize): stage 1 ranks ALL vectors by
+    (functions/vectors.py::quantize_embeddings): stage 1 ranks ALL
+    vectors by
     integer dot product on the 4x-smaller quantized representation and
     keeps RESCORE_POOL candidates per query; stage 2 rescores only
     those in full precision — the memory-bound scan runs on int8,
@@ -164,9 +165,9 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: candidate membership depends on quantized score ties at
     the pool boundary; recall against exact q_knn_topk is pinned in
     tests/test_similarity.py instead."""
-    from pyanamo_spark.functions.vectors import q_quantize
+    from pyanamo_spark.functions.vectors import quantize_embeddings
 
-    quant = q_quantize(spark, sf_dir)
+    quant = quantize_embeddings(spark)
     q_quant = quant.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("q_qvec"),

@@ -116,7 +116,7 @@ def main() -> int:
         )
     spark.stop()
 
-    rnd = rounds[-1] + 1 if False else rounds[-1]  # archive under current round
+    rnd = rounds[-1]  # archive under the current round
     out = {
         "metric": "hot_llm_path_sf1_wall_clock",
         "unit": "sec",

@@ -5,8 +5,28 @@ Replays the driver protocol: import the entry module, smoke-run
 ``queries()`` entry run the Spark DataFrame at the given sf dir and,
 when an ``oracle_sql()`` entry exists, run the oracle in DuckDB with the
 base parquet views pre-registered and compare row count + column names +
-an order-insensitive value hash (columns sorted by name, doubles rounded
-to 9 dp, rows sorted).
+an order-insensitive value hash.
+
+FIDELITY: the hash canonicalizes through the DRIVER'S pandas path, not a
+hand-rolled converter. The driver materializes the Spark result via
+``toPandas()`` and the DuckDB result via ``fetchdf()``, sorts columns by
+name, row-sorts with ``sort_values`` and stringifies columns with
+``astype(str)``. That pipeline inherits pandas' coercions on purpose:
+
+- DuckDB HUGEINT / DECIMAL become float64 (``"60158.0"``) while Spark
+  emits int64 (``"60158"``) -> hash mismatch unless the oracle CASTs.
+- list/map cells make ``sort_values`` raise ``TypeError: unhashable
+  type`` exactly as the driver's canon does (CORRECTNESS_r05
+  q_session_events).
+- all-midnight datetime64 columns stringify as bare dates, matching
+  Spark DateType's ``datetime.date`` strings (why date-valued green
+  queries stay green).
+
+Round-5 postmortem: the old converter used ``fetchall()`` + ``str()``,
+which keeps HUGEINT a Python int and tolerates lists — both red driver
+seats were green locally. Local green MUST imply official green, so the
+sim now fails exactly where the driver fails (pinned by
+tests/test_driver_sim.py).
 
 Usage: python scripts/driver_sim.py [sf_dir] [q1,q2,...]
 (default sf_dir /root/testdata/sf0.01; default all queries)
@@ -28,24 +48,22 @@ from pyanamo_spark.catalog import TABLES  # noqa: E402
 from pyanamo_spark.session import get_spark  # noqa: E402
 
 
-def value_hash(cols, rows) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_hash(pdf) -> str:
+    """Driver-faithful canonical hash of a pandas result frame.
 
-    def conv(v):
-        if v is None:
-            return "\0"
-        if isinstance(v, bool):
-            return str(int(v))
-        if isinstance(v, float):
-            r = round(v, 9)
-            if r == 0:  # normalize -0.0 so zero-sign diffs don't FAIL
-                r = 0.0
-            return f"{r:.9f}"
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(conv(x) for x in v) + "]"
-        return str(v)
-
-    canon = sorted("|".join(conv(r[i]) for i in order) for r in rows)
+    Sort columns by name, row-sort on every column (list cells raise
+    here, as in the driver), stringify column-wise with ``astype(str)``
+    (column-level datetime formatting, float64 repr), hash the sorted
+    row strings. Raises on unhashable cells rather than tolerating
+    them — a crash here is a crash in the official recording.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    cells = [pdf[c].astype(str) for c in pdf.columns]
+    canon = sorted(
+        "|".join(col.iloc[i] for col in cells) for i in range(len(pdf))
+    )
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
 
 
@@ -76,35 +94,38 @@ def main() -> int:
         try:
             sdf = queries[name](spark, sf_dir)
             s_cols = list(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: spark raised {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
             print(
-                f"[rows-only] {name}: {len(s_rows)} rows in "
+                f"[rows-only] {name}: {len(s_pdf)} rows in "
                 f"{time.perf_counter() - t0:.2f}s"
             )
             continue
         try:
-            res = duck.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = duck.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: oracle raised {type(exc).__name__}: {exc}")
             continue
-        ok_cols = sorted(s_cols) == sorted(d_cols)
-        ok_count = len(s_rows) == len(d_rows)
-        sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+        try:
+            ok_cols = sorted(s_cols) == sorted(d_pdf.columns)
+            ok_count = len(s_pdf) == len(d_pdf)
+            sh, dh = canon_hash(s_pdf), canon_hash(d_pdf)
+        except Exception as exc:  # noqa: BLE001 — the driver's canon would crash too
+            failures.append(name)
+            print(f"[FAIL] {name}: canon raised {type(exc).__name__}: {exc}")
+            continue
         ok_hash = sh == dh
         status = "OK" if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(
-            f"[{status}] {name}: rows {len(s_rows)}/{len(d_rows)} "
-            f"cols={'=' if ok_cols else sorted(s_cols) + sorted(d_cols)} "
+            f"[{status}] {name}: rows {len(s_pdf)}/{len(d_pdf)} "
+            f"cols={'=' if ok_cols else sorted(s_cols) + sorted(d_pdf.columns)} "
             f"hash {'=' if ok_hash else sh + '!=' + dh} "
             f"({time.perf_counter() - t0:.2f}s)"
         )

@@ -82,3 +82,41 @@ def test_simhash_deterministic_across_runs(spark, sf_dir):
         for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_contain_prefix_filter_finds_all_boilerplate_pairs(
+    spark, planted_views
+):
+    """ADVICE r05 regression: a contained doc whose shared shingles are
+    ALL high-df (boilerplate duplicated across the whole corpus —
+    exactly the content containment targets) must still pair with its
+    containers. The old absolute max-df posting prune silently dropped
+    such docs from candidate generation; the prefix filter's pigeonhole
+    bound (keep the |A|−⌈T·|A|⌉+1 lowest-df shingles) guarantees recall
+    at ANY df skew. 150 identical boilerplate docs make every shingle's
+    df ≈ 150; the excerpt doc is fully contained in each of them."""
+    from pyanamo_spark.dedup.ngram import CONTAIN_T, q_dedup_contain
+
+    boiler = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    excerpt = "gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, boiler, "en") for i in range(150)] + [(900, excerpt, "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).createOrReplaceTempView("documents")
+    spark.conf.set("pyanamo_spark.views.sf_dir", "planted")
+
+    out = q_dedup_contain.__wrapped__(spark, "planted").collect()
+    found = {
+        (r.contained_doc, r.container_doc)
+        for r in out
+        if r.contained_doc == 900
+    }
+    # the excerpt must be reported as contained in EVERY boilerplate doc
+    # (corpus_with_mutants adds mutated copies — also valid containers)
+    assert found >= {(900, i) for i in range(150)}
+    assert all(
+        r.containment >= CONTAIN_T for r in out if r.contained_doc == 900
+    )

@@ -162,3 +162,17 @@ def test_real_protobuf_wins_when_installed():
     assert [p for p in sys.path if p != VENDOR] == [
         p for p in before if p != VENDOR
     ]
+
+
+def test_nested_message_inplace_mutation_persists(sm):
+    """Real protobuf semantics: mutating an unset singular nested
+    message through attribute access (msg.inner.x = 1) materializes
+    the nested message and the mutation reaches the wire. The shim
+    once returned a throwaway default here, silently discarding the
+    write."""
+    r = sm.StateRequest()
+    r.stateVariableRequest.valueStateCall.stateName = "mutated"
+    assert r.stateVariableRequest.valueStateCall.stateName == "mutated"
+    back = sm.StateRequest()
+    back.ParseFromString(r.SerializeToString())
+    assert back.stateVariableRequest.valueStateCall.stateName == "mutated"

@@ -13,10 +13,13 @@ def test_quantize_range_and_error_bound(spark, sf_dir):
     }
     assert len(rows) == len(emb)
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        # qvec is comma-joined (scalar string, per the driver-canon
+        # contract on oracle-checked queries)
+        qvec = [int(q) for q in r.qvec.split(",")]
+        assert all(-127 <= q <= 127 for q in qvec)
         orig = emb[r.vec_id]
-        assert len(r.qvec) == len(orig)
+        assert len(qvec) == len(orig)
         # reconstruction error ≤ half a quantization step (scale was
         # rounded to 9dp for the oracle hash; allow that slack too)
-        for q, x in zip(r.qvec, orig):
+        for q, x in zip(qvec, orig):
             assert abs(q * r.scale - x) <= r.scale / 2 + 1e-6

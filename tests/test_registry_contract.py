@@ -173,3 +173,32 @@ def test_declared_have_oracles_unless_contractually_rows_only():
 def test_oracle_order_mirrors_query_order():
     qs = [n for n in ordered_queries() if n in ORACLES]
     assert qs == list(ordered_oracles())
+
+
+def test_oracle_checked_queries_return_scalar_columns_only(spark, sf_dir):
+    """Driver-canon contract: the driver canonicalizes results through
+    pandas (sort_values + astype(str)), which CRASHES on array/map cells
+    — CORRECTNESS_r05's q_session_events burned a recorded seat this
+    way. Every oracle-paired query must therefore project only scalar
+    columns; complex values are emitted delimiter-joined (array_join)
+    with a string_agg oracle. Rows-only ids are exempt (never hashed).
+
+    Schema-only: building the DataFrame is lazy for all but the few
+    checkpoint-using plans, so this sweeps all ~170 oracled queries in
+    seconds at sf0.001.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in ordered_queries().items():
+        if name not in ORACLES:
+            continue
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"complex-typed oracle results: {offenders}"
