@@ -167,32 +167,53 @@ def _balanced_blocks(distinct_sigs: DataFrame) -> list[list[int]]:
     return blocks
 
 
-def _pair_keys(sig_col: str, blocks: list[list[int]]):
-    """Array of C(9,2)=36 (pair_idx, key_val) structs: one per pair of
-    signature blocks, key_val = both blocks' bit-gathered values
-    packed. Pure shift/mask codegen — 64 bit extractions total."""
+def _block_value(sig_col: str, bits: list[int]):
+    """One block's bit-gathered value: Σ ((sig >> p) & 1) << k."""
     col = F.col(sig_col)
-    block_vals = []
-    for bits in blocks:
-        v = None
-        for k, p in enumerate(bits):
-            term = F.shiftrightunsigned(col, p).bitwiseAND(F.lit(1)) * F.lit(
-                1 << k
-            )
-            v = term if v is None else v + term
-        block_vals.append(v)
+    v = None
+    for k, p in enumerate(bits):
+        term = F.shiftrightunsigned(col, p).bitwiseAND(F.lit(1)) * F.lit(
+            1 << k
+        )
+        v = term if v is None else v + term
+    return v
+
+
+def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
+    """Explode each signature into its C(9,2)=36 (pair_idx, key_val)
+    rows: one per pair of signature blocks, key_val = both blocks'
+    values packed.
+
+    The 9 block values are projected ONCE before the explode — the
+    naive form embeds both blocks' full bit-gather expressions inside
+    every struct, which multiplies the 64 shift/mask extractions to
+    ~500 expression terms (each block value appears in 8 pairs) and
+    the whole-stage-codegen compile of that tree measured ~2 s cold
+    per plan. With the pre-projection the Generate node only combines
+    two input columns per key."""
+    bvals = sigs.select(
+        sig_col,
+        *[
+            _block_value(sig_col, bits).alias(f"bv{i}")
+            for i, bits in enumerate(blocks)
+        ],
+    )
     structs = []
     pid = 0
-    for i in range(len(block_vals)):
-        for j in range(i + 1, len(block_vals)):
+    for i in range(len(blocks)):
+        for j in range(i + 1, len(blocks)):
             structs.append(
                 F.struct(
                     F.lit(pid).alias("pair_idx"),
-                    (block_vals[i] * 256 + block_vals[j]).alias("key_val"),
+                    (F.col(f"bv{i}") * 256 + F.col(f"bv{j}")).alias(
+                        "key_val"
+                    ),
                 )
             )
             pid += 1
-    return F.array(*structs)
+    return bvals.select(
+        sig_col, F.explode(F.array(*structs)).alias("k")
+    ).select(sig_col, "k.pair_idx", "k.key_val")
 
 
 @register("q_dedup_simhash", oracle=None)
@@ -247,10 +268,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uniq = sigs.select("sig").distinct().persist()
     blocks = _balanced_blocks(uniq)
-    blocked = (
-        uniq.select("sig", F.explode(_pair_keys("sig", blocks)).alias("k"))
-        .select("sig", "k.pair_idx", "k.key_val")
-    )
+    blocked = _with_pair_keys(uniq, "sig", blocks)
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     sig_pairs = (
