@@ -29,12 +29,20 @@ ORACLES: dict[str, str] = {}
 #: follow (see ``ordered_queries``).
 DECLARED: tuple[str, ...] = (
     # Rotation rule (one rotation per round, at round START so every
-    # seat is actually recorded): ids hash-green in BOTH of the two
-    # previous recorded windows cede their seats to extensions that so
-    # far have only replay/pytest evidence; the entry() smoke query and
-    # a small §2-spanning canary set never rotate. r05 rotation: 36 of
-    # the 41 twice-green (r03+r04) ids ceded seats — cumulative
-    # driver-recorded coverage grows 66 → 102 of 145 ids.
+    # seat is actually recorded): driver-green ids cede their seats to
+    # ids never yet driver-recorded; the entry() smoke query and a
+    # small §2-spanning canary set never rotate, and any RED seat
+    # stays until its fix is driver-green. r06 note: the original rule
+    # required green in TWO consecutive windows before ceding, but the
+    # never-recorded backlog hit 86/188 in r05, so the r06 rotation
+    # relaxes to once-green-cede (every ceded id stays registered and
+    # fully replayed by driver_sim/test_parity each round — only the
+    # official recording rotates). r06 window: 5 canaries + the 2
+    # r05-red seats (q_join_cardinality, q_session_events — fixes must
+    # record green) + the 4 §2 rows-only ids (last recorded r03; the
+    # verdict asks for a modern record of every §2 id) + 39
+    # never-recorded ids, one family representative first. Cumulative
+    # recorded coverage 102 → ~141 of 188.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -44,62 +52,59 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # green only in the r04 window (r03 flake or rotated in at r04) —
-    # stay until twice-green per the rule
-    "q_embed_covariance",
-    "q_global_ids",
-    "q_join_asof",
-    "q_merge_upsert",
-    "q_setops_fused",
-    "q_dedup_stats",
-    "q_mixture_weights",
-    "q_bpe_pairs",
-    "q_equidepth",
-    # rotated IN at r05 — never driver-recorded before this round.
-    # Declared-inventory extensions and the LLM-pipeline surface:
-    "q_model_score",  # new this round (batch model inference)
-    # joins / plans
-    "q_join_auto",
+    # red in CORRECTNESS_r05 (harness-canon bugs, fixed in r06) —
+    # seated until driver-green
     "q_join_cardinality",
-    "q_bloom_join",
-    "q_salted_join",
-    "q_skew_profile",
-    # storage / change management
-    "q_snapshot_diff",
-    "q_scd2",
-    "q_validate",
-    "q_table_stats",
-    # temporal / product analytics
     "q_session_events",
-    "q_anomaly",
-    "q_retention",
-    "q_funnel_latency",
-    "q_resample",
-    "q_percentiles",
-    # grouped-aggregation surface
-    "q_cube",
-    "q_grouping_sets",
-    # dedup suite
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    "q_dup_passages",
-    "q_source_overlap",
-    "q_source_similarity",
-    # text analysis
-    "q_tfidf",
-    "q_lm_score",
-    # curation
-    "q_curation_funnel",
-    "q_hash_split",
-    "q_group_split",
-    "q_scrub",
-    "q_decontaminate",
-    "q_chunk_documents",
-    "q_stratified_sample",
-    "q_group_sample",
-    "q_weighted_sample",
+    # §2-declared rows-only ids (seeded randomness / sketches — no
+    # oracle by contract): re-recorded once in their modern form
+    "q_rand_order",
+    "q_sample_topk",
+    "q_dedup_near",
+    "q_approx_distinct",
+    # never-driver-recorded: family representatives first
+    "q_pagerank",
+    "q_survival",
+    "q_bm25",
+    "q_hybrid_search",
+    "q_crossval",
+    "q_drift",
+    "q_kanon",
+    "q_basket_rules",
+    "q_mv_refresh",
+    "q_shard_plan",
+    "q_token_budget",
+    "q_dataset_card",
+    # r02-era stragglers
+    "q_pivot",
+    "q_funnel",
+    "q_token_count",
+    "q_lang_id",
+    # TPC-H wave
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_custdist",
+    "q_excess_suppliers",
+    "q_idle_customers",
+    "q_important_stock",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_promo_share",
+    "q_returned_customers",
+    "q_shipmode_priority",
+    "q_small_qty_revenue",
+    "q_supplier_parts",
+    "q_waiting_suppliers",
+    # remaining family fill
+    "q_dedup_contain",
+    "q_transitions",
+    "q_ltv",
+    "q_gini",
+    "q_pmi",
+    "q_fingerprint",
+    "q_quality_score",
+    "q_heavy_hitters",
 )
 
 

@@ -16,8 +16,15 @@ load_all()
 
 #: declared ids that are rows-only BY CONTRACT: seeded randomness or a
 #: sketch algorithm DuckDB cannot replicate — engines cannot agree on
-#: a value hash. Every seat in the r05 window carries an oracle.
-DECLARED_ROWS_ONLY: set[str] = set()
+#: a value hash. The r06 window re-records the four §2-declared
+#: rows-only ids in their modern form (verdict r05 item 7; their last
+#: driver record was r03).
+DECLARED_ROWS_ONLY: set[str] = {
+    "q_rand_order",
+    "q_sample_topk",
+    "q_dedup_near",
+    "q_approx_distinct",
+}
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
 CANARIES = {
@@ -28,11 +35,63 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: ids whose recorded-window seat was ceded in the r05 rotation
-#: (hash-green in BOTH the r03 and r04 recorded windows); they must
-#: remain registered with their oracles so the full replay keeps
-#: verifying them
-ROTATED_OUT_R05 = {
+#: red in CORRECTNESS_r05 (harness-interface bugs, both fixed in r06):
+#: they hold their seats until the driver records them green
+RED_SEATS_HELD = {"q_join_cardinality", "q_session_events"}
+
+#: ids whose recorded-window seat was ceded in the r06 rotation
+#: (driver-green in the r05 window); they must remain registered with
+#: their oracles so the full replay keeps verifying them
+ROTATED_OUT_R06 = {
+    # green first recorded in r04 (and again in r05)
+    "q_embed_covariance",
+    "q_global_ids",
+    "q_join_asof",
+    "q_merge_upsert",
+    "q_setops_fused",
+    "q_dedup_stats",
+    "q_mixture_weights",
+    "q_bpe_pairs",
+    "q_equidepth",
+    # green first recorded in r05
+    "q_model_score",
+    "q_join_auto",
+    "q_bloom_join",
+    "q_salted_join",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_scd2",
+    "q_validate",
+    "q_table_stats",
+    "q_anomaly",
+    "q_retention",
+    "q_funnel_latency",
+    "q_resample",
+    "q_percentiles",
+    "q_cube",
+    "q_grouping_sets",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    "q_dup_passages",
+    "q_source_overlap",
+    "q_source_similarity",
+    "q_tfidf",
+    "q_lm_score",
+    "q_curation_funnel",
+    "q_hash_split",
+    "q_group_split",
+    "q_scrub",
+    "q_decontaminate",
+    "q_chunk_documents",
+    "q_stratified_sample",
+    "q_group_sample",
+    "q_weighted_sample",
+}
+
+#: ids rotated out in r05 or earlier — same staying-registered contract
+ROTATED_OUT_EARLIER = {
     "q_filter_project",
     "q_nest_filter",
     "q_log_route",
@@ -69,68 +128,62 @@ ROTATED_OUT_R05 = {
     "q_sessionize",
     "q_dup_spans",
     "q_lang_mix",
-}
-
-#: ids rotated out in earlier rounds (r04) — same staying-registered
-#: contract
-ROTATED_OUT_EARLIER = {
-    "q_rand_order",
-    "q_sample_topk",
-    "q_dedup_near",
-    "q_approx_distinct",
     "q_limit",
     "q_point_lookup",
     "q_date_format",
     "q_threshold_counts",
 }
 
-#: the 36 seats rotated IN at r05 — never driver-recorded before
-ROTATED_IN_R05 = {
-    "q_model_score",
-    "q_join_auto",
-    "q_join_cardinality",
-    "q_bloom_join",
-    "q_salted_join",
-    "q_skew_profile",
-    "q_snapshot_diff",
-    "q_scd2",
-    "q_validate",
-    "q_table_stats",
-    "q_session_events",
-    "q_anomaly",
-    "q_retention",
-    "q_funnel_latency",
-    "q_resample",
-    "q_percentiles",
-    "q_cube",
-    "q_grouping_sets",
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    "q_dup_passages",
-    "q_source_overlap",
-    "q_source_similarity",
-    "q_tfidf",
-    "q_lm_score",
-    "q_curation_funnel",
-    "q_hash_split",
-    "q_group_split",
-    "q_scrub",
-    "q_decontaminate",
-    "q_chunk_documents",
-    "q_stratified_sample",
-    "q_group_sample",
-    "q_weighted_sample",
+#: the 39 oracled seats rotated IN at r06 — never driver-recorded before
+ROTATED_IN_R06 = {
+    "q_pagerank",
+    "q_survival",
+    "q_bm25",
+    "q_hybrid_search",
+    "q_crossval",
+    "q_drift",
+    "q_kanon",
+    "q_basket_rules",
+    "q_mv_refresh",
+    "q_shard_plan",
+    "q_token_budget",
+    "q_dataset_card",
+    "q_pivot",
+    "q_funnel",
+    "q_token_count",
+    "q_lang_id",
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_custdist",
+    "q_excess_suppliers",
+    "q_idle_customers",
+    "q_important_stock",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_promo_share",
+    "q_returned_customers",
+    "q_shipmode_priority",
+    "q_small_qty_revenue",
+    "q_supplier_parts",
+    "q_waiting_suppliers",
+    "q_dedup_contain",
+    "q_transitions",
+    "q_ltv",
+    "q_gini",
+    "q_pmi",
+    "q_fingerprint",
+    "q_quality_score",
+    "q_heavy_hitters",
 }
 
 
 def test_rotated_out_ids_stay_registered():
-    gone = ROTATED_OUT_R05 | ROTATED_OUT_EARLIER
+    gone = ROTATED_OUT_R06 | ROTATED_OUT_EARLIER
     missing = [n for n in gone if n not in QUERIES]
     assert not missing, missing
-    # every r05-rotated-out id was oracle'd and keeps its oracle
-    missing_oracle = [n for n in ROTATED_OUT_R05 if n not in ORACLES]
+    # every r06-rotated-out id was oracle'd and keeps its oracle
+    missing_oracle = [n for n in ROTATED_OUT_R06 if n not in ORACLES]
     assert not missing_oracle, missing_oracle
     # none of them still occupies a seat
     still_in = [n for n in gone if n in DECLARED]
@@ -143,9 +196,16 @@ def test_canaries_hold_their_seats():
 
 
 def test_rotated_in_ids_sit_in_the_window():
-    for n in ROTATED_IN_R05:
+    for n in ROTATED_IN_R06:
         assert n in DECLARED, n
         assert n in ORACLES, n
+    for n in RED_SEATS_HELD | DECLARED_ROWS_ONLY:
+        assert n in DECLARED, n
+    # window composition is exactly canaries + held reds + §2
+    # rows-only + the r06 rotation
+    assert set(DECLARED) == (
+        CANARIES | RED_SEATS_HELD | DECLARED_ROWS_ONLY | ROTATED_IN_R06
+    )
 
 
 def test_declared_ids_all_registered():
