@@ -8,11 +8,15 @@ multimodal pipeline (``multimodal/pipeline.py`` registers it as
 ``image/jpeg``); a ``NotImplementedError`` stub now remains only for
 video, which has no pure-Python route.
 
-Supported: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
-sampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2 and 4:2:0 —
-virtually every real-world baseline file), restart markers.
-Progressive (SOF2), arithmetic coding and 12-bit raise with a clear
-message.
+Supported: baseline sequential (SOF0) AND progressive (SOF2) — the two
+formats that cover essentially every JPEG in a real crawl corpus —
+8-bit, grayscale or YCbCr with sampling factors 1 or 2 per axis
+(4:4:4, 4:2:2, 4:2:0), restart markers. Progressive handles the full
+scan-script state machine: interleaved DC first/refinement scans with
+point transform, per-component spectral-selection AC scans, AC
+successive-approximation refinement with EOB runs and correction bits
+(ITU-T T.81 §G). Arithmetic coding, 12-bit and hierarchical (SOF3+)
+raise with a clear message.
 
 The encoder exists for fixture generation and round-trip tests
 (mirroring ``png.py``/``wav.py``): standard Annex K quantization +
@@ -207,8 +211,8 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 ndarray: (H, W) grayscale or
-    (H, W, 3) RGB."""
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → uint8 ndarray:
+    (H, W) grayscale or (H, W, 3) RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -217,6 +221,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    store: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -225,11 +230,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0)"
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                "(SOF0) and progressive (SOF2)"
             )
-        if marker == 0xC0:  # SOF0
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
@@ -239,7 +245,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -269,7 +280,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -279,18 +290,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {**comp, "dc": tdta >> 4, "ac": tdta & 0xF}
                 )
             data_start = pos + 2 + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if store is None:
+                store = _alloc_store(frame)
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, store, huff_dc,
+                huff_ac, restart_interval, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         pos += 2 + seglen
+    if frame is not None and frame["progressive"] and store is not None:
+        return _reconstruct_progressive(frame, store, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(
-    payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval
-) -> np.ndarray:
-    # unstuff the entropy segment: 0xFF00 -> 0xFF; split on RSTn
+def _collect_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy segment from ``start``: 0xFF00 -> 0xFF,
+    split on RSTn markers. Returns (segments, position of the next
+    marker's 0xFF byte)."""
     segments: list[bytes] = []
     cur = bytearray()
     p = start
@@ -311,6 +333,13 @@ def _decode_scan(
         cur.append(b)
         p += 1
     segments.append(bytes(cur))
+    return segments, p
+
+
+def _decode_scan(
+    payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+) -> np.ndarray:
+    segments, _ = _collect_entropy(payload, start)
 
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -361,9 +390,14 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu += 1
-    # upsample subsampled planes to full resolution and crop
+    return _planes_to_image(scan, planes, hmax, vmax, h, w)
+
+
+def _planes_to_image(comps, planes, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample subsampled planes to full resolution, crop, and color
+    convert (shared by the baseline and progressive paths)."""
     full = []
-    for c in scan:
+    for c in comps:
         pl = planes[c["id"]]
         if c["h"] < hmax or c["v"] < vmax:
             pl = np.repeat(
@@ -378,6 +412,233 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2) decode: scans accumulate quantized coefficients
+# per component; dequantize + IDCT run once at EOI (ITU-T T.81 §G)
+
+
+def _mcu_grid(frame) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_store(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store at the interleave-padded block
+    grid (interleaved DC scans write dummy edge blocks; non-interleaved
+    AC scans cover only the component's ceil-dimension blocks)."""
+    _, _, mcus_x, mcus_y = _mcu_grid(frame)
+    return {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+        )
+        for c in frame["comps"]
+    }
+
+
+def _comp_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block dimensions: ceil(comp size / 8) on the
+    component's own sampling grid (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    payload, start, frame, scan, store, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al,
+) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the payload position of the marker following the entropy data."""
+    segments, endpos = _collect_entropy(payload, start)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        _prog_dc_scan(
+            segments, frame, scan, store, huff_dc, restart_interval, ah, al
+        )
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _prog_ac_scan(
+            segments, frame, scan[0], store, huff_ac, restart_interval,
+            ss, se, ah, al,
+        )
+    return endpos
+
+
+def _prog_dc_scan(
+    segments, frame, scan, store, huff_dc, restart_interval, ah, al
+):
+    """DC scans run in interleaved MCU order (all scan components).
+    First scan (Ah=0): DPCM of the point-transformed DC; refinement
+    (Ah>0): one correction bit per block at bit position Al."""
+    _, _, mcus_x, mcus_y = _mcu_grid(frame)
+    if len(scan) == 1:
+        # single-component scan: non-interleaved block raster
+        c = scan[0]
+        by, bx = _comp_blocks(frame, c)
+        blocks = [(c, y, x) for y in range(by) for x in range(bx)]
+    else:
+        blocks = [
+            (c, my * c["v"] + yy, mx * c["h"] + xx)
+            for my in range(mcus_y)
+            for mx in range(mcus_x)
+            for c in scan
+            for yy in range(c["v"])
+            for xx in range(c["h"])
+        ]
+    per_unit = (
+        sum(c["v"] * c["h"] for c in scan) if len(scan) > 1 else 1
+    )
+    dec = _Decoder(segments[0])
+    seg_idx = 0
+    pred = {c["id"]: 0 for c in scan}
+    unit = 0
+    for i, (c, y, x) in enumerate(blocks):
+        if (
+            restart_interval
+            and unit
+            and i % (per_unit * restart_interval) == 0
+        ):
+            seg_idx += 1
+            dec = _Decoder(segments[seg_idx])
+            pred = {c2["id"]: 0 for c2 in scan}
+        unit = 1
+        coefs = store[c["id"]][y, x]
+        if ah == 0:
+            t = dec.read_symbol(huff_dc[c["dc"]])
+            diff = _extend(dec.read_bits(t), t) if t else 0
+            pred[c["id"]] += diff
+            coefs[0] = pred[c["id"]] << al
+        else:
+            if dec.read_bit():
+                coefs[0] |= 1 << al
+
+
+def _prog_ac_scan(
+    segments, frame, c, store, huff_ac, restart_interval, ss, se, ah, al
+):
+    """AC scans are non-interleaved: block raster over the component's
+    own grid. First scans (Ah=0) use EOB-run coding of the
+    point-transformed band; refinement scans (Ah>0) add one magnitude
+    bit per already-nonzero coefficient and introduce new ±1<<Al
+    coefficients (T.81 G.1.2.3)."""
+    by, bx = _comp_blocks(frame, c)
+    table = huff_ac[c["ac"]]
+    dec = _Decoder(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    n = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and n and n % restart_interval == 0:
+                seg_idx += 1
+                dec = _Decoder(segments[seg_idx])
+                eobrun = 0
+            n += 1
+            coefs = store[c["id"]][y, x]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = dec.read_symbol(table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += dec.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    coefs[_ZIGZAG[k]] = _extend(dec.read_bits(s), s) << al
+                    k += 1
+            else:
+                eobrun = _prog_ac_refine_block(
+                    dec, table, coefs, ss, se, al, eobrun
+                )
+
+
+def _prog_ac_refine_block(dec, table, coefs, ss, se, al, eobrun) -> int:
+    """One block of an AC successive-approximation refinement scan.
+    Correction bits move already-nonzero coefficients one bit closer
+    to their true magnitude; (run, 1) symbols place newly-nonzero
+    ±1<<Al coefficients, with the run counting only zero-history
+    positions."""
+    one = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = dec.read_symbol(table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += dec.read_bits(r)
+                    break  # EOB: tail handled below
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement symbol with size != 1")
+                newval = one if dec.read_bit() else -one
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coefs[z] != 0:
+                    if dec.read_bit() and not (coefs[z] & one):
+                        coefs[z] += one if coefs[z] > 0 else -one
+                else:
+                    if r == 0:
+                        if newval:
+                            coefs[z] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coefs[z] != 0:
+                if dec.read_bit() and not (coefs[z] & one):
+                    coefs[z] += one if coefs[z] > 0 else -one
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
+    """Dequantize + IDCT every component's coefficient store (one
+    vectorized einsum per component), then shared upsample/color."""
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    planes = {}
+    for c in frame["comps"]:
+        # the store holds natural-order positions (written via _ZIGZAG
+        # at decode time), so blocks reshape directly
+        coefs = store[c["id"]].astype(np.float64)
+        by, bx, _ = coefs.shape
+        blocks = coefs.reshape(by, bx, 8, 8) * qt[c["tq"]]
+        pix = (
+            np.einsum("ij,yxjk,kl->yxil", _A.T, blocks, _A) + 128.0
+        )
+        planes[c["id"]] = (
+            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _planes_to_image(
+        frame["comps"], planes, hmax, vmax, frame["h"], frame["w"]
+    )
 
 
 # ---------------------------------------------------------------------
@@ -588,4 +849,341 @@ def encode_jpeg(
     out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# progressive encoder (fixture generation + round-trip tests): DC
+# first/refinement scans + per-component spectral-selection AC scans
+# with one successive-approximation level (Al=1 -> 0), exercising every
+# branch of the progressive decoder including EOB runs and correction
+# bits.
+
+#: AC Huffman table for progressive scans: the Annex K tables carry no
+#: EOBn symbols (only EOB0=0x00), so EOB runs could never exceed 1.
+#: This canonical table assigns every needed symbol — EOBn for
+#: n=0..14, ZRL, and all (run, size) pairs with size 1..10 — an 8-bit
+#: code (176 symbols < 255, so the forbidden all-ones code never
+#: occurs). Compression is worse than an optimized table; round-trip
+#: fixtures only care about validity.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [r << 4 for r in range(15)]          # EOB0..EOB14
+        + [0xF0]                              # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+class _ProgState:
+    """Cross-block state of one progressive AC scan: the pending EOB
+    run and the correction bits buffered for it (T.81 G.1.2.3)."""
+
+    def __init__(self, writer, ac_tab):
+        self.writer = writer
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def emit_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.writer.write(b, 1)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac_tab[n << 4]
+            self.writer.write(code, length)
+            if n:
+                self.writer.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        self.emit_bits(self.bits)
+        self.bits = []
+
+
+def _prog_ac_first_block(zz, ss, se, al, st: _ProgState) -> None:
+    """AC first scan, one block: EOB-run coding of the
+    point-transformed band (magnitude truncated toward zero)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        vals.append(t if v >= 0 else -t)
+    if not any(vals):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+        return
+    st.flush_eobrun()
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = st.ac_tab[0xF0]
+            st.writer.write(code, length)
+            r -= 16
+        s = _category(v)
+        code, length = st.ac_tab[(r << 4) | s]
+        st.writer.write(code, length)
+        st.writer.write(_value_bits(v, s), s)
+        r = 0
+    if last_nz < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _prog_ac_refine_encode_block(zz, ss, se, al, st: _ProgState) -> None:
+    """AC refinement scan, one block: newly-nonzero coefficients code
+    as (zero-history-run, 1) + sign; already-nonzero coefficients
+    contribute correction bits, buffered and flushed after the next
+    emitted symbol or EOB run (mirrors the decoder exactly)."""
+    absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    newly = [i for i, t in enumerate(absval) if t == 1]
+    if not newly:
+        st.eobrun += 1
+        st.bits.extend(t & 1 for t in absval if t > 1)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+        return
+    st.flush_eobrun()
+    last_new = newly[-1]
+    r = 0
+    pending: list[int] = []
+    for i in range(last_new + 1):
+        t = absval[i]
+        if t == 0:
+            r += 1
+            continue
+        # ZRL check runs at EVERY nonzero position (history or newly)
+        # so the buffered correction bits flushed with a ZRL all lie
+        # inside its 16-zero span — checking only at newly-nonzero
+        # positions desyncs the decoder's interleaved bit reads
+        while r > 15:
+            code, length = st.ac_tab[0xF0]
+            st.writer.write(code, length)
+            st.emit_bits(pending)
+            pending = []
+            r -= 16
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, length = st.ac_tab[(r << 4) | 1]
+        st.writer.write(code, length)
+        st.writer.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        st.emit_bits(pending)
+        pending = []
+        r = 0
+    # tail after the last newly-nonzero coefficient joins the EOB run
+    tail_bits = [t & 1 for t in absval[last_new + 1 :] if t > 1]
+    if r > 0 or pending or tail_bits or last_new < se - ss:
+        st.eobrun += 1
+        st.bits.extend(pending + tail_bits)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _quantized_store(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) zigzag-order quantized coefficients of one padded
+    plane (vectorized DCT via einsum)."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coefs = np.einsum("ij,yxjk,kl->yxil", _A, blocks, _A.T)
+    quant = np.rint(coefs / q).astype(np.int64)
+    return quant.reshape(by, bx, 64)[:, :, _ZIGZAG]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """uint8 ndarray (H,W) or (H,W,3) → progressive (SOF2) JPEG.
+
+    Scan script: interleaved DC first (Al=1) + DC refinement; per
+    component, AC first scans at Al=1 (luma split into two spectral
+    bands 1-5 / 6-63 to exercise band tiling) + an AC refinement scan
+    (Ah=1, Al=0). Decoding this stream yields bit-identical
+    coefficients to the baseline encoder at the same quality."""
+    a = np.ascontiguousarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError(f"unsupported array {a.dtype}/{a.ndim}d")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    ql = _scaled_q(_Q_LUMA, quality)
+    qc = _scaled_q(_Q_CHROMA, quality)
+    dc_enc = [_encode_table(*_HUFF_DC_LUMA), _encode_table(*_HUFF_DC_CHROMA)]
+    ac_enc = _encode_table(*_HUFF_AC_PROG)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    hv = (2, 2) if (subsample and not gray) else (1, 1)
+    comps = []
+    for i, pl in enumerate(planes):
+        ch, cv = (hv if i == 0 else (1, 1))
+        comps.append({"id": i + 1, "h": ch, "v": cv, "tq": 0 if i == 0 else 1})
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    stores = []
+    for i, pl in enumerate(planes):
+        c = comps[i]
+        if i > 0 and subsample:
+            pl = _pad_to(pl, 2, 2)
+            pl = (
+                pl.reshape(pl.shape[0] // 2, 2, pl.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            )
+        # pad to the interleave grid (dummy edge blocks are encoded in
+        # the interleaved DC scans, skipped by the AC scans)
+        pl = _pad_to(pl, mcus_y * c["v"] * 8 // 1, 8)[
+            : mcus_y * c["v"] * 8
+        ]
+        pl = np.pad(
+            pl,
+            (
+                (0, mcus_y * c["v"] * 8 - pl.shape[0]),
+                (0, mcus_x * c["h"] * 8 - pl.shape[1]),
+            ),
+            mode="edge",
+        )
+        q = ql if i == 0 else qc
+        stores.append(_quantized_store(pl, q))
+
+    def comp_blocks(c):
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        return -(-ch_ // 8), -(-cw // 8)
+
+    scans = []
+    # 1) DC first, interleaved, Al=1
+    wtr = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for i, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(
+                            stores[i][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        ) >> 1
+                        diff = dc - pred[i]
+                        pred[i] = dc
+                        n = _category(diff)
+                        code, length = dc_enc[0 if i == 0 else 1][n]
+                        wtr.write(code, length)
+                        if n:
+                            wtr.write(_value_bits(diff, n), n)
+    scans.append(((list(range(len(comps)))), 0, 0, 0, 1, wtr.flush()))
+    # 2) DC refinement, Ah=1 Al=0
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for i, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        wtr.write(
+                            int(
+                                stores[i][
+                                    my * c["v"] + by, mx * c["h"] + bx, 0
+                                ]
+                            )
+                            & 1,
+                            1,
+                        )
+    scans.append((list(range(len(comps))), 0, 0, 1, 0, wtr.flush()))
+    # 3) AC first scans at Al=1 (luma in two spectral bands)
+    for i, c in enumerate(comps):
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            wtr = _BitWriter()
+            st = _ProgState(wtr, ac_enc)
+            by, bx = comp_blocks(c)
+            for y in range(by):
+                for x in range(bx):
+                    _prog_ac_first_block(stores[i][y, x], ss, se, 1, st)
+            st.flush_eobrun()
+            scans.append(([i], ss, se, 0, 1, wtr.flush()))
+    # 4) AC refinement scans (Ah=1, Al=0)
+    for i, c in enumerate(comps):
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            wtr = _BitWriter()
+            st = _ProgState(wtr, ac_enc)
+            by, bx = comp_blocks(c)
+            for y in range(by):
+                for x in range(bx):
+                    _prog_ac_refine_encode_block(
+                        stores[i][y, x], ss, se, 0, st
+                    )
+            st.flush_eobrun()
+            scans.append(([i], ss, se, 1, 0, wtr.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.ravel()[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xDB, bytes([1]) + bytes(qc.ravel()[_ZIGZAG].astype(np.uint8))
+        )
+    sof_comps = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    out += seg(
+        0xC2, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps
+    )
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_HUFF_DC_LUMA[0]) + bytes(_HUFF_DC_LUMA[1])
+    )
+    if not gray:
+        out += seg(
+            0xC4,
+            bytes([0x01])
+            + bytes(_HUFF_DC_CHROMA[0])
+            + bytes(_HUFF_DC_CHROMA[1]),
+        )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_HUFF_AC_PROG[0]) + bytes(_HUFF_AC_PROG[1])
+    )
+    if not gray:
+        out += seg(
+            0xC4,
+            bytes([0x11]) + bytes(_HUFF_AC_PROG[0]) + bytes(_HUFF_AC_PROG[1]),
+        )
+    for scan_comps, ss, se, ah, al, body in scans:
+        comps_b = b"".join(
+            bytes(
+                [
+                    comps[i]["id"],
+                    ((0 if i == 0 else 1) << 4) | (0 if i == 0 else 1),
+                ]
+            )
+            for i in scan_comps
+        )
+        out += struct.pack(
+            ">BBH", 0xFF, 0xDA, 2 + 1 + 2 * len(scan_comps) + 3
+        )
+        out += bytes([len(scan_comps)]) + comps_b
+        out += bytes([ss, se, (ah << 4) | al])
+        out += body
+    out += b"\xff\xd9"
     return bytes(out)

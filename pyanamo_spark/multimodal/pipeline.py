@@ -318,11 +318,15 @@ def synthetic_image_assets(
 ) -> DataFrame:
     """Deterministic mixed-codec image assets: the same per-id gradient
     image as :func:`synthetic_png_assets`, but every 3rd asset is
-    encoded as baseline JPEG (alternating 4:4:4 / 4:2:0) instead of
-    PNG — so one frame exercises both real decoders and the mime
-    dispatch in ``_image_features``. Executor-side generation; the
-    driver never holds payloads."""
-    from pyanamo_spark.multimodal.jpeg import encode_jpeg
+    encoded as JPEG instead of PNG — alternating 4:4:4 / 4:2:0 and,
+    on every second JPEG, progressive (SOF2) instead of baseline — so
+    one frame exercises both real decoders, the progressive scan
+    machinery, and the mime dispatch in ``_image_features``.
+    Executor-side generation; the driver never holds payloads."""
+    from pyanamo_spark.multimodal.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from pyanamo_spark.multimodal.png import encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,9 +346,10 @@ def synthetic_image_assets(
                     axis=-1,
                 )
                 if i % 3 == 2:
-                    payload = encode_jpeg(
-                        img, quality=90, subsample=bool(i % 2)
+                    enc = (
+                        encode_jpeg_progressive if i % 6 == 5 else encode_jpeg
                     )
+                    payload = enc(img, quality=90, subsample=bool(i % 2))
                     mime = "image/jpeg"
                 else:
                     payload = encode_png(img, filter_type=i % 5)

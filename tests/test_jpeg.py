@@ -87,14 +87,63 @@ def test_not_a_jpeg_raises():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
-def test_progressive_raises_not_implemented():
-    """A SOF2 frame must fail loudly, not garble."""
+def test_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode must reproduce the SAME pixels as the
+    baseline encoding at equal quality: both transmit identical
+    quantized coefficients, progressive merely reorders them across
+    scans (DC first/refine, banded AC first at Al=1, AC refinement).
+    Exact equality pins every decoder branch — EOB runs, ZRL inside
+    refinement, correction bits, point transforms."""
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for shape, sub in [
+        ((24, 31, 3), False),   # color 4:4:4, non-multiple-of-8 dims
+        ((64, 48, 3), True),    # color 4:2:0 (interleave dummy blocks)
+        ((17, 9), False),       # grayscale, single-component DC scan
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (35, 85):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsample=sub)
+            )
+            assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_progressive_flat_image_long_eob_runs():
+    """A flat image makes every AC band empty, so the encoder folds
+    whole block rows into one EOBn run — the decoder must skip the
+    run without consuming bits."""
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    img = np.full((48, 64, 3), 137, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.array_equal(out, base)
+    assert np.all(np.abs(out.astype(int) - 137) <= 2)
+
+
+def test_progressive_gradient_roundtrip_quality():
+    """Progressive decode of a smooth gradient stays within the same
+    error envelope as the baseline path."""
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    img = _gradient(40, 56)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=92))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_hierarchical_sof_still_raises():
+    """Unsupported frame types (here SOF3 lossless) must fail loudly,
+    not garble."""
     img = _gradient(8, 8)
     enc = bytearray(encode_jpeg(img, quality=90))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
-    enc[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    enc[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(enc))
 
 
