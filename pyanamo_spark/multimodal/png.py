@@ -8,10 +8,11 @@ decode → resize → featurize runs end to end on actual pixels; the
 ``NotImplementedError`` stub remains only for formats with no
 pure-Python route (JPEG's DCT entropy coding, audio codecs).
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit and Adam7 interlace
-raise with a clear message — fixtures and the overwhelming majority
-of real-world PNGs are 8-bit non-interlaced.
+Supported: every legal IHDR combination — bit depths 1/2/4/8/16,
+color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+and both interlace methods (none / Adam7). Low-depth gray scales to
+8-bit; 16-bit images return uint16 arrays. Nothing in the PNG core
+spec raises ``NotImplementedError`` any more.
 
 The encoder exists for fixture generation and round-trip tests; it
 can force any filter type per row, which is what lets the tests
@@ -94,9 +95,51 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out.astype(np.uint8)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _decode_samples(
+    raw: np.ndarray, w: int, h: int, depth: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image's scanlines starting at
+    ``raw[0]``. Returns (samples (h, w*ch) uint8/uint16, bytes
+    consumed). Filtering always operates on BYTES with
+    bpp = max(1, ch*depth/8) per the spec."""
+    stride = -(-w * ch * depth // 8)
+    bpp = max(1, ch * depth // 8)
+    nbytes = h * (stride + 1)
+    if len(raw) < nbytes:
+        raise ValueError("PNG scanline data has wrong length")
+    rows = _unfilter(raw[:nbytes], h, stride, bpp)
+    if depth == 8:
+        return rows, nbytes
+    if depth == 16:
+        u = rows.reshape(h, stride // 2, 2).astype(np.uint16)
+        return (u[..., 0] << 8) | u[..., 1], nbytes
+    # depths 1/2/4: unpack bit-packed samples, MSB first
+    bits = np.unpackbits(rows, axis=1)
+    n = stride * 8 // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (
+        bits.reshape(h, n, depth).astype(np.uint8) @ weights
+    )
+    return samples[:, : w * ch], nbytes
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 ndarray: (H, W) for grayscale, (H, W, C)
-    otherwise. Palette images are expanded to RGB."""
+    """PNG bytes → ndarray: (H, W) for grayscale, (H, W, C) otherwise;
+    uint8 except 16-bit inputs, which return uint16. Palette images
+    are expanded to RGB; low-depth grayscale scales to 8-bit; Adam7
+    passes are reassembled into the full pixel grid."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     width = height = None
@@ -114,18 +157,44 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
     if width is None:
         raise ValueError("not a PNG: missing IHDR")
-    if bitdepth != 8:
-        raise NotImplementedError(f"PNG bit depth {bitdepth} (only 8)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if bitdepth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bitdepth}")
     if colortype not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {colortype}")
+    if bitdepth < 8 and colortype not in (0, 3):
+        raise ValueError(
+            f"PNG bit depth {bitdepth} invalid for color type {colortype}"
+        )
+    if bitdepth == 16 and colortype == 3:
+        raise ValueError("16-bit palette PNG is not legal")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     ch = _CHANNELS[colortype]
-    stride = width * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline data has wrong length")
-    img = _unfilter(raw, height, stride, ch)
+    dtype = np.uint16 if bitdepth == 16 else np.uint8
+    if interlace == 0:
+        img, used = _decode_samples(raw, width, height, bitdepth, ch)
+        if used != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+    else:  # Adam7: 7 independently-filtered sub-images, concatenated
+        img = np.zeros((height, width, ch), dtype=dtype)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(width - x0) // xs) if width > x0 else 0
+            ph = -(-(height - y0) // ys) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _decode_samples(
+                raw[off:], pw, ph, bitdepth, ch
+            )
+            off += used
+            img[y0::ys, x0::xs, :] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+        img = img.reshape(height, width * ch)
+    if bitdepth < 8:
+        if colortype == 0:  # scale low-depth gray to full 8-bit range
+            img = (img * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
     if colortype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -173,14 +242,24 @@ def _filter_row(
     raise ValueError(f"invalid PNG filter type {ftype}")
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 ndarray (H,W) / (H,W,3) / (H,W,4) → PNG bytes.
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """uint8/uint16 ndarray (H,W) / (H,W,3) / (H,W,4) → PNG bytes
+    (uint16 input writes bit depth 16; ``interlace=True`` writes
+    Adam7 passes).
 
     ``filter_type`` forces one predictor on every scanline (a real
     encoder would pick per-row); exposing it lets tests drive each
     unfilter branch of :func:`decode_png`.
     """
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    a = np.ascontiguousarray(arr)
+    if a.dtype == np.uint16:
+        depth = 16
+    elif a.dtype == np.uint8:
+        depth = 8
+    else:
+        raise ValueError(f"unsupported dtype {a.dtype}")
     if a.ndim == 2:
         colortype, ch = 0, 1
         h, w = a.shape
@@ -189,14 +268,36 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         colortype = 2 if ch == 3 else 6
     else:
         raise ValueError(f"unsupported array shape {a.shape}")
-    flat = a.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    grid = a.reshape(h, w, ch)
+    bpp = ch * (depth // 8)
     lines = bytearray()
-    for y in range(h):
-        lines.append(filter_type)
-        lines.extend(_filter_row(filter_type, flat[y], prev, ch).tobytes())
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+
+    def emit(sub: np.ndarray) -> None:
+        s = sub.reshape(sub.shape[0], -1)
+        if depth == 16:
+            b = np.empty((s.shape[0], s.shape[1] * 2), dtype=np.uint8)
+            b[:, 0::2] = (s >> 8).astype(np.uint8)
+            b[:, 1::2] = (s & 0xFF).astype(np.uint8)
+        else:
+            b = s
+        prev = np.zeros(b.shape[1], dtype=np.uint8)
+        for y in range(b.shape[0]):
+            lines.append(filter_type)
+            lines.extend(
+                _filter_row(filter_type, b[y], prev, bpp).tobytes()
+            )
+            prev = b[y]
+
+    if interlace:
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                emit(sub)
+    else:
+        emit(grid)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, colortype, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -96,11 +96,96 @@ def test_png_palette_and_errors():
 
     with pytest.raises(ValueError, match="bad signature"):
         decode_png(b"GIF89a")
-    sixteen = _SIGNATURE + _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad_depth = _SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(sixteen)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad_depth)
+
+
+def test_png_16bit_and_adam7_roundtrip():
+    """16-bit depth and Adam7 interlace decode exactly (every filter,
+    gray/RGB/RGBA, dims hitting empty interlace passes)."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    for shape in [(5, 7), (4, 6, 3), (3, 5, 4), (1, 1), (2, 1, 3), (9, 9)]:
+        for ft in range(5):
+            img8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            img16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+            assert np.array_equal(
+                decode_png(encode_png(img8, filter_type=ft, interlace=True)),
+                img8,
+            )
+            out16 = decode_png(encode_png(img16, filter_type=ft))
+            assert out16.dtype == np.uint16
+            assert np.array_equal(out16, img16)
+            assert np.array_equal(
+                decode_png(
+                    encode_png(img16, filter_type=ft, interlace=True)
+                ),
+                img16,
+            )
+
+
+def test_png_low_bit_depth_gray_and_palette():
+    """1/2/4-bit streams built by hand: low-depth gray scales to the
+    full 8-bit range; low-depth palette indices expand through PLTE."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.png import _chunk, _SIGNATURE, decode_png
+
+    import struct
+    import zlib
+
+    def pack_rows(samples, depth, w):
+        # bit-pack each row MSB-first, zero-padded to a byte boundary
+        lines = bytearray()
+        for row in samples:
+            bits = []
+            for v in row:
+                bits.extend((v >> (depth - 1 - i)) & 1 for i in range(depth))
+            while len(bits) % 8:
+                bits.append(0)
+            lines.append(0)  # filter type none
+            lines.extend(np.packbits(np.array(bits, dtype=np.uint8)))
+        return zlib.compress(bytes(lines))
+
+    # 1-bit gray checkerboard: 0 -> 0, 1 -> 255
+    g = np.indices((4, 10)).sum(axis=0) % 2
+    png = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 4, 1, 0, 0, 0, 0))
+        + _chunk(b"IDAT", pack_rows(g, 1, 10))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), g.astype(np.uint8) * 255)
+
+    # 2-bit gray ramp: 0..3 -> 0,85,170,255
+    g2 = np.arange(12).reshape(3, 4) % 4
+    png2 = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 2, 0, 0, 0, 0))
+        + _chunk(b"IDAT", pack_rows(g2, 2, 4))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png2), (g2 * 85).astype(np.uint8))
+
+    # 4-bit palette
+    pal = np.array(
+        [[i * 16, 255 - i * 16, i] for i in range(16)], dtype=np.uint8
+    )
+    idx = np.arange(15).reshape(3, 5) % 16
+    png4 = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 4, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", pack_rows(idx, 4, 5))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png4), pal[idx])
 
 
 def test_image_pipeline_end_to_end(spark):
