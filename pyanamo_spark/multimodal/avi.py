@@ -14,9 +14,12 @@ per second.
 
 The encoder exists for fixture generation and round-trip tests
 (mirroring png.py/wav.py/jpeg.py): minimal-but-standard AVI
-(avih + strl 'vids'/MJPG + movi '00dc' chunks + idx1).
+(avih + strl 'vids' + movi '00dc' chunks + idx1).
 
-Codecs beyond MJPEG remain a documented ``NotImplementedError``.
+Supported frame codecs: MJPEG (baseline or progressive per-frame
+JPEG) and uncompressed DIB (bottom-up BGR rows, 4-byte aligned — the
+BI_RGB form). Inter-frame codecs (H.264…) remain a documented
+``NotImplementedError``; YUV4MPEG2 streams live in ``y4m.py``.
 """
 
 from __future__ import annotations
@@ -86,17 +89,32 @@ def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) ->
     JPEG-decoded (their byte ranges come from the container index).
     """
     meta = probe_avi(payload)
-    if meta["codec"].upper() not in ("MJPG", "MJPA"):
-        raise NotImplementedError(
-            f"AVI codec {meta['codec']!r}: only MJPEG has a pure-Python "
-            f"route; register an external decoder in CODECS for others"
-        )
+    codec = meta["codec"].strip("\x00 ").upper()
     picks = meta["frames"][::every]
     if max_frames is not None:
         picks = picks[:max_frames]
-    frames = [
-        decode_jpeg(payload[off : off + size]) for off, size in picks
-    ]
+    if codec in ("MJPG", "MJPA"):
+        frames = [
+            decode_jpeg(payload[off : off + size]) for off, size in picks
+        ]
+    elif codec in ("DIB", "RGB", ""):
+        # uncompressed BI_RGB: bottom-up BGR rows, 4-byte-aligned
+        w, h = meta["width"], meta["height"]
+        stride = (w * 3 + 3) // 4 * 4
+        frames = []
+        for off, size in picks:
+            if size < stride * h:
+                raise ValueError("DIB frame chunk shorter than its grid")
+            rows = np.frombuffer(
+                payload[off : off + stride * h], dtype=np.uint8
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            frames.append(rows[::-1, :, ::-1])  # flip rows, BGR -> RGB
+    else:
+        raise NotImplementedError(
+            f"AVI codec {meta['codec']!r}: only MJPEG and uncompressed "
+            f"DIB have pure-Python routes; register an external decoder "
+            f"in CODECS for others"
+        )
     if not frames:
         raise ValueError("AVI contains no video frames")
     stack = np.stack(frames)
@@ -106,9 +124,12 @@ def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) ->
 
 
 def encode_avi(
-    frames: np.ndarray, fps: int = 10, quality: int = 90
+    frames: np.ndarray, fps: int = 10, quality: int = 90,
+    codec: str = "MJPG",
 ) -> bytes:
-    """uint8 ndarray (T,H,W,3) or (T,H,W) → MJPEG-AVI bytes."""
+    """uint8 ndarray (T,H,W,3) or (T,H,W) → AVI bytes
+    (``codec="MJPG"`` per-frame JPEG, ``codec="DIB"`` uncompressed
+    bottom-up BGR)."""
     a = np.ascontiguousarray(frames, dtype=np.uint8)
     if a.ndim == 3:
         t, h, w = a.shape
@@ -116,7 +137,19 @@ def encode_avi(
         t, h, w, _ = a.shape
     else:
         raise ValueError(f"unsupported frame array shape {a.shape}")
-    jpegs = [encode_jpeg(a[i], quality=quality) for i in range(t)]
+    if codec == "MJPG":
+        jpegs = [encode_jpeg(a[i], quality=quality) for i in range(t)]
+    elif codec == "DIB":
+        if a.ndim == 3:
+            a = np.repeat(a[..., None], 3, axis=-1)
+        stride = (w * 3 + 3) // 4 * 4
+        jpegs = []
+        for i in range(t):
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = a[i, ::-1, :, ::-1].reshape(h, w * 3)
+            jpegs.append(rows.tobytes())
+    else:
+        raise ValueError(f"unsupported encode codec {codec!r}")
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -132,15 +165,17 @@ def encode_avi(
         usec, max_bytes * fps, 0, 0x10, t, 0, 1, max_bytes, w, h,
         0, 0, 0, 0,
     )
+    fourcc = b"MJPG" if codec == "MJPG" else b"DIB "
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + fourcc
         + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, t,
                       max_bytes, 0xFFFFFFFF & (2**32 - 1), 0,
                       0, 0, w, h)
     )
-    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    # BITMAPINFOHEADER; biCompression = 'MJPG' or 0 (BI_RGB)
+    compression = b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00"
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, compression, w * h * 3, 0, 0, 0, 0
     )
     hdrl = lst(
         b"hdrl",

@@ -45,8 +45,9 @@ def register_default_codecs() -> list[str]:
 
     Tried: Pillow (image/png, image/jpeg → HxWxC uint8 ndarray) and
     soundfile (audio/wav → float ndarray); the pure-Python codecs
-    (multimodal/png.py, jpeg.py, wav.py, avi.py) backstop image/png,
-    image/jpeg, audio/wav and video/avi (MJPEG) so all four decode
+    (multimodal/png.py, jpeg.py, wav.py, avi.py, y4m.py) backstop
+    image/png, image/jpeg, audio/wav, video/avi (MJPEG + raw DIB) and
+    video/y4m (uncompressed YUV4MPEG2) so every fixture format decodes
     with no optional library at all. Returns the mime types
     registered; only inter-frame video codecs (H.264 et al) remain a
     documented ``decode_image`` stub (no pure-Python route).
@@ -84,6 +85,7 @@ def register_default_codecs() -> list[str]:
     from pyanamo_spark.multimodal.jpeg import decode_jpeg
     from pyanamo_spark.multimodal.png import decode_png
     from pyanamo_spark.multimodal.wav import decode_wav
+    from pyanamo_spark.multimodal.y4m import decode_y4m
 
     if "image/png" not in CODECS:
         CODECS["image/png"] = decode_png
@@ -97,6 +99,9 @@ def register_default_codecs() -> list[str]:
     if "video/avi" not in CODECS:
         CODECS["video/avi"] = decode_avi
         registered.append("video/avi")
+    if "video/y4m" not in CODECS:
+        CODECS["video/y4m"] = decode_y4m
+        registered.append("video/y4m")
     return registered
 
 

@@ -34,7 +34,7 @@ from pyanamo_spark.session import get_spark
 HOT_QUERIES = [
     # dedup suite
     "q_dedup_exact", "q_dedup_stats", "q_dedup_lines", "q_dedup_near",
-    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
+    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_contain", "q_dedup_embed",
     "q_dedup_incremental", "q_dedup_clusters", "q_dup_spans",
     "q_dup_passages", "q_source_overlap",
     # similarity / ANN

@@ -104,3 +104,20 @@ def test_codec_registered():
     from pyanamo_spark.multimodal.pipeline import CODECS
 
     assert "video/avi" in CODECS
+
+
+def test_dib_avi_roundtrip_exact():
+    """Uncompressed BI_RGB frames survive encode -> decode exactly
+    (bottom-up BGR rows, 4-byte stride alignment on odd widths)."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 256, size=(6, 10, 15, 3), dtype=np.uint8)
+    enc = encode_avi(v, codec="DIB")
+    assert np.array_equal(decode_avi(enc), v)
+    assert np.array_equal(decode_avi(enc, every=2), v[::2])
+    gray = rng.integers(0, 256, size=(3, 9, 7), dtype=np.uint8)
+    out = decode_avi(encode_avi(gray, codec="DIB"))
+    assert np.array_equal(out, np.repeat(gray[..., None], 3, -1))
