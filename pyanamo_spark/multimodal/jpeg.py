@@ -630,9 +630,16 @@ def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
         coefs = store[c["id"]].astype(np.float64)
         by, bx, _ = coefs.shape
         blocks = coefs.reshape(by, bx, 8, 8) * qt[c["tq"]]
-        pix = (
-            np.einsum("ij,yxjk,kl->yxil", _A.T, blocks, _A) + 128.0
-        )
+        # per-block 2-D matmul, NOT a batched einsum/matmul: only the
+        # exact kernel the baseline path uses (``_A.T @ block @ _A``)
+        # makes half-point rounding fall identically, and the tests pin
+        # progressive output bit-equal to baseline. Block count is
+        # image-sized/64 — the loop is noise next to entropy decode.
+        pix = np.empty((by, bx, 8, 8))
+        for yy in range(by):
+            for xx in range(bx):
+                pix[yy, xx] = _A.T @ blocks[yy, xx] @ _A
+        pix += 128.0
         planes[c["id"]] = (
             pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
@@ -990,26 +997,38 @@ def _prog_ac_refine_encode_block(zz, ss, se, al, st: _ProgState) -> None:
 
 def _quantized_store(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(by, bx, 64) zigzag-order quantized coefficients of one padded
-    plane (vectorized DCT via einsum)."""
+    plane.
+
+    Forward DCT runs the exact per-block kernel the baseline encoder
+    uses (``_A @ block @ _A.T``) — a batched einsum accumulates in a
+    different order and rounds knife-edge coefficients the other way,
+    which would break the progressive==baseline pixel-equality the
+    tests pin."""
     hh, ww = plane.shape
     by, bx = hh // 8, ww // 8
     blocks = (
         plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
     )
-    coefs = np.einsum("ij,yxjk,kl->yxil", _A, blocks, _A.T)
+    coefs = np.empty_like(blocks)
+    for yy in range(by):
+        for xx in range(bx):
+            coefs[yy, xx] = _A @ blocks[yy, xx] @ _A.T
     quant = np.rint(coefs / q).astype(np.int64)
     return quant.reshape(by, bx, 64)[:, :, _ZIGZAG]
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsample: bool = False
+    arr: np.ndarray, quality: int = 90, subsample: bool = False,
+    dc_al: int = 1, ac_al: int = 1,
 ) -> bytes:
     """uint8 ndarray (H,W) or (H,W,3) → progressive (SOF2) JPEG.
 
-    Scan script: interleaved DC first (Al=1) + DC refinement; per
-    component, AC first scans at Al=1 (luma split into two spectral
-    bands 1-5 / 6-63 to exercise band tiling) + an AC refinement scan
-    (Ah=1, Al=0). Decoding this stream yields bit-identical
+    Scan script: interleaved DC first at Al=``dc_al`` + one DC
+    refinement scan per remaining bit; per component, AC first scans
+    at Al=``ac_al`` (luma split into two spectral bands 1-5 / 6-63 to
+    exercise band tiling) + one AC refinement scan per remaining bit
+    (Ah=al+1, Al=al chains — real encoders emit exactly such
+    multi-level successive approximation). Decoding yields bit-identical
     coefficients to the baseline encoder at the same quality."""
     a = np.ascontiguousarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
@@ -1072,68 +1091,64 @@ def encode_jpeg_progressive(
         return -(-ch_ // 8), -(-cw // 8)
 
     scans = []
-    # 1) DC first, interleaved, Al=1
-    wtr = _BitWriter()
-    pred = [0] * len(comps)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for i, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        dc = int(
-                            stores[i][my * c["v"] + by, mx * c["h"] + bx, 0]
-                        ) >> 1
-                        diff = dc - pred[i]
-                        pred[i] = dc
-                        n = _category(diff)
-                        code, length = dc_enc[0 if i == 0 else 1][n]
-                        wtr.write(code, length)
-                        if n:
-                            wtr.write(_value_bits(diff, n), n)
-    scans.append(((list(range(len(comps)))), 0, 0, 0, 1, wtr.flush()))
-    # 2) DC refinement, Ah=1 Al=0
-    wtr = _BitWriter()
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for i, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        wtr.write(
-                            int(
+    def dc_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for i, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield i, int(
                                 stores[i][
                                     my * c["v"] + by, mx * c["h"] + bx, 0
                                 ]
                             )
-                            & 1,
-                            1,
+
+    # 1) DC first, interleaved, point transform Al=dc_al
+    wtr = _BitWriter()
+    pred = [0] * len(comps)
+    for i, dc in dc_blocks():
+        vt = dc >> dc_al
+        diff = vt - pred[i]
+        pred[i] = vt
+        n = _category(diff)
+        code, length = dc_enc[0 if i == 0 else 1][n]
+        wtr.write(code, length)
+        if n:
+            wtr.write(_value_bits(diff, n), n)
+    scans.append((list(range(len(comps))), 0, 0, 0, dc_al, wtr.flush()))
+    # 2) DC refinement: one scan per remaining bit, Ah=al+1 Al=al
+    for al in range(dc_al - 1, -1, -1):
+        wtr = _BitWriter()
+        for _i, dc in dc_blocks():
+            wtr.write((dc >> al) & 1, 1)
+        scans.append((list(range(len(comps))), 0, 0, al + 1, al, wtr.flush()))
+    # 3) AC first scans at Al=ac_al (luma in two spectral bands)
+    for i, c in enumerate(comps):
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            wtr = _BitWriter()
+            st = _ProgState(wtr, ac_enc)
+            by, bx = comp_blocks(c)
+            for y in range(by):
+                for x in range(bx):
+                    _prog_ac_first_block(stores[i][y, x], ss, se, ac_al, st)
+            st.flush_eobrun()
+            scans.append(([i], ss, se, 0, ac_al, wtr.flush()))
+    # 4) AC refinement: one scan per remaining bit, Ah=al+1 Al=al
+    for al in range(ac_al - 1, -1, -1):
+        for i, c in enumerate(comps):
+            bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+            for ss, se in bands:
+                wtr = _BitWriter()
+                st = _ProgState(wtr, ac_enc)
+                by, bx = comp_blocks(c)
+                for y in range(by):
+                    for x in range(bx):
+                        _prog_ac_refine_encode_block(
+                            stores[i][y, x], ss, se, al, st
                         )
-    scans.append((list(range(len(comps))), 0, 0, 1, 0, wtr.flush()))
-    # 3) AC first scans at Al=1 (luma in two spectral bands)
-    for i, c in enumerate(comps):
-        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
-        for ss, se in bands:
-            wtr = _BitWriter()
-            st = _ProgState(wtr, ac_enc)
-            by, bx = comp_blocks(c)
-            for y in range(by):
-                for x in range(bx):
-                    _prog_ac_first_block(stores[i][y, x], ss, se, 1, st)
-            st.flush_eobrun()
-            scans.append(([i], ss, se, 0, 1, wtr.flush()))
-    # 4) AC refinement scans (Ah=1, Al=0)
-    for i, c in enumerate(comps):
-        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
-        for ss, se in bands:
-            wtr = _BitWriter()
-            st = _ProgState(wtr, ac_enc)
-            by, bx = comp_blocks(c)
-            for y in range(by):
-                for x in range(bx):
-                    _prog_ac_refine_encode_block(
-                        stores[i][y, x], ss, se, 0, st
-                    )
-            st.flush_eobrun()
-            scans.append(([i], ss, se, 1, 0, wtr.flush()))
+                st.flush_eobrun()
+                scans.append(([i], ss, se, al + 1, al, wtr.flush()))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body

@@ -109,6 +109,15 @@ def test_progressive_matches_baseline_exactly():
                 encode_jpeg_progressive(img, quality=q, subsample=sub)
             )
             assert np.array_equal(base, prog), (shape, sub, q)
+    # deeper successive-approximation chains: multiple DC refinement
+    # bits and a 3-level AC Al=2 -> 1 -> 0 refinement cascade
+    img = rng.integers(0, 256, size=(23, 29, 3), dtype=np.uint8)
+    for dc_al, ac_al in [(2, 0), (0, 2), (2, 3)]:
+        base = decode_jpeg(encode_jpeg(img, quality=77))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=77, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert np.array_equal(base, prog), (dc_al, ac_al)
 
 
 def test_progressive_flat_image_long_eob_runs():
