@@ -45,13 +45,6 @@ def _normalize(rows, cols):
     return [c for _, c in sorted(zip(cols, cols))], out
 
 
-def _spark_result(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    cols = list(df.columns)
-    rows = [tuple(r) for r in df.collect()]
-    return cols, rows
-
-
 def _duck_result(duck, name):
     res = duck.execute(ORACLES[name])
     cols = [d[0] for d in res.description]
@@ -59,9 +52,32 @@ def _duck_result(duck, name):
     return cols, rows
 
 
+def _strict_canon_hash():
+    """The driver-faithful canonicalizer from scripts/driver_sim.py
+    (pandas sort_values + astype(str)): the r05 postmortem showed a
+    lenient local comparator masks official reds, so parity asserts
+    BOTH the readable row-wise comparison (good failure messages) and
+    the exact canon the driver hashes."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim_parity",
+        Path(__file__).resolve().parent.parent / "scripts" / "driver_sim.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.canon_hash
+
+
+_canon_hash = _strict_canon_hash()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query(name, spark, duck, sf_dir):
-    s_cols, s_rows = _spark_result(spark, sf_dir, name)
+    df = QUERIES[name](spark, sf_dir)
+    s_cols = list(df.columns)
+    s_rows = [tuple(r) for r in df.collect()]
     assert len(s_cols) == len(set(s_cols)), f"{name}: duplicate column names"
     if name not in ORACLES:
         # rows-only: executable, stable schema, row count sane
@@ -78,6 +94,14 @@ def test_query(name, spark, duck, sf_dir):
     )
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
         assert _row_eq(a, b), f"{name}: row {i} differs\n spark={a}\n duck ={b}"
+    # the driver's exact hash: pandas-path dtype coercions included
+    sh = _canon_hash(df.toPandas())
+    dh = _canon_hash(duck.execute(ORACLES[name]).fetchdf())
+    assert sh == dh, (
+        f"{name}: rows compare equal but the driver canon hashes differ "
+        f"({sh} != {dh}) — a pandas dtype coercion (HUGEINT/DECIMAL/date) "
+        f"diverges between engines; CAST in the oracle"
+    )
 
 
 def _row_eq(a, b) -> bool:
