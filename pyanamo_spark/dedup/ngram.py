@@ -104,8 +104,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global document frequency — the total order for prefix ranking
     # (df asc, h asc as tiebreak). Rarest-first puts boilerplate last.
+    # df = 1 shingles are dropped BEFORE ranking: they cannot generate
+    # a candidate (no second doc shares them), and excluding them from
+    # the prefix keeps the recall proof intact — every shared shingle
+    # has df >= 2, and the number of df>=2 shingles a doc leaves out of
+    # its prefix is still <= ceil(t|A|) - 1 < the required overlap. On
+    # a real corpus most shingles are unique, so this shrinks the
+    # ranked set (and the per-doc window) by the long df=1 tail.
     df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = postings.join(df_tab, "h").withColumn(
+    ranked = postings.join(
+        df_tab.filter(F.col("df") >= 2), "h"
+    ).withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "h")
@@ -242,9 +251,14 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_sh", F.explode("sh").alias("h")
     )
     # global df ascending = the prefix total order (rarest first);
-    # boilerplate shingles rank last and leave almost every prefix
+    # boilerplate shingles rank last and leave almost every prefix.
+    # df = 1 shingles drop before ranking: no second doc shares them,
+    # and every shared shingle has df >= 2, so the pigeonhole recall
+    # bound is unchanged (see q_dedup_ngram)
     df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = postings.join(df_tab, "h").withColumn(
+    ranked = postings.join(
+        df_tab.filter(F.col("df") >= 2), "h"
+    ).withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "h")
