@@ -9,10 +9,13 @@ transform is the same plan either way, SURVEY §7.4.5). Each declared
 query returns the post-state so the oracle can check the update logic
 itself.
 
-The reference's lock protocol (M6, modifier.py:71-125) is deliberately
-NOT rebuilt: Spark's driver assigns each partition to exactly one task,
+The reference's lock protocol (M6, modifier.py:71-125) is NOT in any
+hot path: Spark's driver assigns each partition to exactly one task,
 which supersedes the optimistic lock + verify + 1-4 s sleep dance
 (SURVEY §4 R5/R6) — that's a 2-8 s/item tax removed by construction.
+The protocol's semantics are still covered: ``operators/locking.py``
+implements the verify-lock dance (M6 + F12 lockID + F13 jitter) as a
+deterministic, oracle-checked batch simulation (``q_lock_protocol``).
 """
 
 from __future__ import annotations

@@ -172,6 +172,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.joins  # noqa: F401
     import pyanamo_spark.operators.windows  # noqa: F401
     import pyanamo_spark.operators.mutation  # noqa: F401
+    import pyanamo_spark.operators.locking  # noqa: F401
     import pyanamo_spark.operators.ingest  # noqa: F401
     import pyanamo_spark.operators.logs  # noqa: F401
     import pyanamo_spark.operators.setops  # noqa: F401

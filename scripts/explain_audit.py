@@ -38,6 +38,9 @@ EXCHANGE_BUDGET = {
     "q_text_stats": 4,  # exact count(distinct) alongside other aggs
     # plans as Expand + two-stage aggregation: 2 extra exchanges are
     # inherent to the distinct rewrite
+    "q_lock_protocol": 4,  # the 4-row worker-dim broadcast, ONE
+    # itemID-partitioned exchange resolving last-writer-wins, and the
+    # two-phase final aggregate whose exchanged rows are W=4 partials
     "q_dedup_near": 5,  # band self-join + dedup + verify
     "q_dedup_simhash": 7,  # sig-group collapse added two aggregates
     # (distinct sigs + the 64-bit-frequency balance model) on top of
