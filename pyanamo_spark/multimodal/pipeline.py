@@ -2,18 +2,20 @@
 ``binary`` columns with typed metadata, processed in Arrow-batched
 Pandas stages.
 
-PNG and WAV decode are REAL — ``multimodal/png.py`` is a pure-Python
-image codec (stdlib zlib + numpy de-filtering) and ``multimodal/wav.py``
-a stdlib-wave PCM codec; ``image_features`` runs decode → pixel resize
-→ featurize on actual pixels and ``audio_features`` decode →
-RMS/peak/zero-crossings on actual samples. The ``NotImplementedError``
-stub remains only for formats with no pure-Python route in this
-container (JPEG, video); for those, everything Spark-side is still
-real and tested:
+Decode is REAL for every fixture format — pure-Python codecs with no
+optional library: PNG (full spec incl. Adam7/16-bit, ``png.py``),
+JPEG (baseline + progressive SOF2, ``jpeg.py``), GIF (LZW, interlace,
+animation, ``gif.py``), BMP (``bmp.py``), WAV PCM (``wav.py``),
+MJPEG/DIB AVI (``avi.py``) and YUV4MPEG2 (``y4m.py``).
+``image_features`` runs decode → pixel resize → featurize on actual
+pixels and ``audio_features`` decode → RMS/peak/zero-crossings on
+actual samples. Only inter-frame video codecs (H.264 et al) remain a
+clearly-marked ``decode_image`` stub (no pure-Python route); for
+those, everything Spark-side is still real and tested:
   - the asset schema (payload binary + metadata struct)
   - deterministic byte-level feature extraction over mapInPandas
     (per-asset byte histogram + entropy — real math on the binary
-    payload, the same batch shape a JPEG decoder would slot into)
+    payload, the same batch shape any decoder slots into)
   - frame-sampling plumbing: offset computation for K evenly-spaced
     frames, returning (asset_id, frame_idx, byte_offset) rows
 
@@ -80,8 +82,10 @@ def register_default_codecs() -> list[str]:
     except ImportError:
         pass
     # dependency-free fallbacks: pure-Python PNG/JPEG (no-ops if PIL
-    # won), stdlib-wave WAV (no-op if soundfile won), MJPEG-AVI video
+    # won), GIF/BMP, stdlib-wave WAV (no-op if soundfile won), video
     from pyanamo_spark.multimodal.avi import decode_avi
+    from pyanamo_spark.multimodal.bmp import decode_bmp
+    from pyanamo_spark.multimodal.gif import decode_gif
     from pyanamo_spark.multimodal.jpeg import decode_jpeg
     from pyanamo_spark.multimodal.png import decode_png
     from pyanamo_spark.multimodal.wav import decode_wav
@@ -93,9 +97,20 @@ def register_default_codecs() -> list[str]:
     if "image/jpeg" not in CODECS:
         CODECS["image/jpeg"] = decode_jpeg
         registered.append("image/jpeg")
+    if "image/gif" not in CODECS:
+        CODECS["image/gif"] = decode_gif
+        registered.append("image/gif")
+    if "image/bmp" not in CODECS:
+        CODECS["image/bmp"] = decode_bmp
+        registered.append("image/bmp")
     if "audio/wav" not in CODECS:
         CODECS["audio/wav"] = decode_wav
         registered.append("audio/wav")
+    if "audio/aiff" not in CODECS:
+        from pyanamo_spark.multimodal.aiff import decode_aiff
+
+        CODECS["audio/aiff"] = decode_aiff
+        registered.append("audio/aiff")
     if "video/avi" not in CODECS:
         CODECS["video/avi"] = decode_avi
         registered.append("video/avi")
@@ -322,12 +337,15 @@ def synthetic_image_assets(
     spark: SparkSession, n: int = 64, ids: DataFrame | None = None
 ) -> DataFrame:
     """Deterministic mixed-codec image assets: the same per-id gradient
-    image as :func:`synthetic_png_assets`, but every 3rd asset is
-    encoded as JPEG instead of PNG — alternating 4:4:4 / 4:2:0 and,
-    on every second JPEG, progressive (SOF2) instead of baseline — so
-    one frame exercises both real decoders, the progressive scan
-    machinery, and the mime dispatch in ``_image_features``.
-    Executor-side generation; the driver never holds payloads."""
+    image as :func:`synthetic_png_assets`, rotated through all four
+    real image decoders — PNG (every filter type), JPEG (4:4:4 /
+    4:2:0; every second JPEG progressive SOF2), GIF (alternating
+    interlace) and BMP (24/32-bit, bottom-up/top-down) — so one frame
+    exercises every codec and the mime dispatch in
+    ``_image_features``. Executor-side generation; the driver never
+    holds payloads."""
+    from pyanamo_spark.multimodal.bmp import encode_bmp
+    from pyanamo_spark.multimodal.gif import encode_gif
     from pyanamo_spark.multimodal.jpeg import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -356,6 +374,14 @@ def synthetic_image_assets(
                     )
                     payload = enc(img, quality=90, subsample=bool(i % 2))
                     mime = "image/jpeg"
+                elif i % 6 == 3:
+                    payload = encode_gif(img, interlace=bool(i % 2))
+                    mime = "image/gif"
+                elif i % 6 == 4:
+                    payload = encode_bmp(
+                        img, bpp=24 if i % 2 else 32, top_down=bool(i % 4)
+                    )
+                    mime = "image/bmp"
                 else:
                     payload = encode_png(img, filter_type=i % 5)
                     mime = "image/png"
@@ -440,11 +466,15 @@ _WAV_RATE = 8000
 def synthetic_wav_assets(
     spark: SparkSession, n: int = 64, ids: DataFrame | None = None
 ) -> DataFrame:
-    """Deterministic real-WAV assets: per asset_id a sine tone whose
+    """Deterministic real audio assets: per asset_id a sine tone whose
     frequency, amplitude, duration, and channel count derive from the
-    id, encoded with the stdlib codec. Executor-side generation over a
-    range (or ``ids``) DataFrame — the driver never holds payloads.
-    Every 7th asset is silent (rms/zcr zero-path coverage)."""
+    id, rotated through the real encodings — PCM16 WAV, G.711 μ-law /
+    A-law, IEEE-float WAV, 24-bit PCM, and big-endian AIFF — so the
+    decode dispatch and every companding branch run in the pipeline,
+    not just in unit tests. Executor-side generation over a range (or
+    ``ids``) DataFrame — the driver never holds payloads. Every 7th
+    asset is silent (rms/zcr zero-path coverage)."""
+    from pyanamo_spark.multimodal.aiff import encode_aiff
     from pyanamo_spark.multimodal.wav import encode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -462,13 +492,25 @@ def synthetic_wav_assets(
                     samples = np.stack([left, right], axis=-1)
                 else:
                     samples = left
-                payload = encode_wav(samples, rate=_WAV_RATE)
+                if i % 6 == 4:
+                    payload = encode_aiff(
+                        samples, rate=_WAV_RATE, bits=24 if i % 2 else 16
+                    )
+                    mime = "audio/aiff"
+                else:
+                    enc = ("pcm16", "ulaw", "alaw", "pcm16", "", "float32")[
+                        i % 6
+                    ]
+                    if i % 12 == 0:
+                        enc = "pcm24"
+                    payload = encode_wav(samples, rate=_WAV_RATE, encoding=enc)
+                    mime = "audio/wav"
                 rows.append(
                     {
                         "asset_id": i,
                         "payload": payload,
                         "meta": {
-                            "mime": "audio/wav",
+                            "mime": mime,
                             "n_bytes": len(payload),
                             "n_frames": n_samp,
                         },
@@ -483,10 +525,13 @@ def synthetic_wav_assets(
 def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Real decode → featurize for audio: registered codec per mime,
     then whole-signal numpy reductions (RMS, peak, zero-crossing rate)
-    — never per-sample Python. Duration comes from the WAV header
-    (wav_info), keeping the rate out of the codec's array contract."""
+    — never per-sample Python. Duration comes from the container
+    header (wav_info / aiff_info), keeping the rate out of the codec's
+    array contract."""
+    from pyanamo_spark.multimodal.aiff import aiff_info
     from pyanamo_spark.multimodal.wav import wav_info
 
+    infos = {"audio/wav": wav_info, "audio/aiff": aiff_info}
     for pdf in batches:
         rows = []
         for asset_id, payload, meta in zip(
@@ -497,7 +542,7 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raw = bytes(payload)
             data = np.asarray(CODECS[meta["mime"]](raw), dtype=np.float64)
             mono = data.mean(axis=1) if data.ndim == 2 else data
-            _nch, rate, n_frames = wav_info(raw)
+            _nch, rate, n_frames = infos[meta["mime"]](raw)
             signs = np.sign(mono[np.abs(mono) > 1e-12])
             zc = int(np.count_nonzero(np.diff(signs))) if signs.size else 0
             rows.append(
@@ -535,11 +580,13 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
 @register("q_audio_features", oracle=None)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end audio path on REAL samples: one generated WAV tone
-    per document row → stdlib decode → RMS/peak/zero-crossing
+    """End-to-end audio path on REAL samples: one generated tone per
+    document row, rotated across PCM16/24, G.711 μ-law/A-law, IEEE
+    float and AIFF → pure-Python decode → RMS/peak/zero-crossing
     features. Rows-only (sample math is not SQL-expressible);
-    determinism, silent-asset zeros, and stereo handling are pinned in
-    tests/test_wav.py."""
+    determinism, silent-asset zeros, stereo handling, and the codec
+    round-trips are pinned in tests/test_codec_properties.py and
+    tests/test_audio_codecs.py."""
     ids = spark.table("documents").select("doc_id").limit(64)
     return audio_features(synthetic_wav_assets(spark, ids=ids))
 
