@@ -111,6 +111,11 @@ def register_default_codecs() -> list[str]:
 
         CODECS["audio/aiff"] = decode_aiff
         registered.append("audio/aiff")
+    if "audio/flac" not in CODECS:
+        from pyanamo_spark.multimodal.flac import decode_flac
+
+        CODECS["audio/flac"] = decode_flac
+        registered.append("audio/flac")
     if "video/avi" not in CODECS:
         CODECS["video/avi"] = decode_avi
         registered.append("video/avi")
@@ -475,6 +480,7 @@ def synthetic_wav_assets(
     ``ids``) DataFrame — the driver never holds payloads. Every 7th
     asset is silent (rms/zcr zero-path coverage)."""
     from pyanamo_spark.multimodal.aiff import encode_aiff
+    from pyanamo_spark.multimodal.flac import encode_flac
     from pyanamo_spark.multimodal.wav import encode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -492,18 +498,32 @@ def synthetic_wav_assets(
                     samples = np.stack([left, right], axis=-1)
                 else:
                     samples = left
-                if i % 6 == 4:
+                slot = (
+                    "pcm24", "ulaw", "alaw", "pcm16",
+                    "aiff16", "float32", "pcm16", "ulaw",
+                    "flac_ms", "pcm16", "aiff24", "flac_lpc",
+                )[i % 12]
+                if slot.startswith("aiff"):
                     payload = encode_aiff(
-                        samples, rate=_WAV_RATE, bits=24 if i % 2 else 16
+                        samples, rate=_WAV_RATE, bits=int(slot[4:])
                     )
                     mime = "audio/aiff"
+                elif slot == "flac_ms":  # i%12==8 -> stereo (i%4==0)
+                    payload = encode_flac(
+                        samples, rate=_WAV_RATE, mode="fixed2",
+                        blocksize=1024, channel_mode="mid_side",
+                    )
+                    mime = "audio/flac"
+                elif slot == "flac_lpc":  # i%12==11 -> mono
+                    payload = encode_flac(
+                        samples, rate=_WAV_RATE, mode="lpc",
+                        blocksize=1024, porder=2,
+                    )
+                    mime = "audio/flac"
                 else:
-                    enc = ("pcm16", "ulaw", "alaw", "pcm16", "", "float32")[
-                        i % 6
-                    ]
-                    if i % 12 == 0:
-                        enc = "pcm24"
-                    payload = encode_wav(samples, rate=_WAV_RATE, encoding=enc)
+                    payload = encode_wav(
+                        samples, rate=_WAV_RATE, encoding=slot
+                    )
                     mime = "audio/wav"
                 rows.append(
                     {
@@ -529,9 +549,18 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     header (wav_info / aiff_info), keeping the rate out of the codec's
     array contract."""
     from pyanamo_spark.multimodal.aiff import aiff_info
+    from pyanamo_spark.multimodal.flac import flac_info
     from pyanamo_spark.multimodal.wav import wav_info
 
-    infos = {"audio/wav": wav_info, "audio/aiff": aiff_info}
+    def _flac_info(b: bytes) -> tuple[int, int, int]:
+        d = flac_info(b)
+        return d["n_channels"], d["sample_rate"], d["n_frames"]
+
+    infos = {
+        "audio/wav": wav_info,
+        "audio/aiff": aiff_info,
+        "audio/flac": _flac_info,
+    }
     for pdf in batches:
         rows = []
         for asset_id, payload, meta in zip(
