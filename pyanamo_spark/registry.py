@@ -201,6 +201,7 @@ def load_all() -> None:
     import pyanamo_spark.functions.pca  # noqa: F401
     import pyanamo_spark.functions.model  # noqa: F401
     import pyanamo_spark.dedup.exact  # noqa: F401
+    import pyanamo_spark.dedup.urls  # noqa: F401
     import pyanamo_spark.dedup.lines  # noqa: F401
     import pyanamo_spark.dedup.spans  # noqa: F401
     import pyanamo_spark.dedup.minhash  # noqa: F401
