@@ -5,8 +5,10 @@ Pandas stages.
 Decode is REAL for every fixture format — pure-Python codecs with no
 optional library: PNG (full spec incl. Adam7/16-bit, ``png.py``),
 JPEG (baseline + progressive SOF2, ``jpeg.py``), GIF (LZW, interlace,
-animation, ``gif.py``), BMP (``bmp.py``), WAV PCM (``wav.py``),
-MJPEG/DIB AVI (``avi.py``) and YUV4MPEG2 (``y4m.py``).
+animation, ``gif.py``), BMP (``bmp.py``), TIFF (LZW/PackBits +
+predictor, ``tiff.py``), WAV (PCM/float/G.711, ``wav.py``), AIFF
+(``aiff.py``), FLAC (``flac.py``), MJPEG/DIB AVI (``avi.py``) and
+YUV4MPEG2 (``y4m.py``).
 ``image_features`` runs decode → pixel resize → featurize on actual
 pixels and ``audio_features`` decode → RMS/peak/zero-crossings on
 actual samples. Only inter-frame video codecs (H.264 et al) remain a
@@ -103,6 +105,11 @@ def register_default_codecs() -> list[str]:
     if "image/bmp" not in CODECS:
         CODECS["image/bmp"] = decode_bmp
         registered.append("image/bmp")
+    if "image/tiff" not in CODECS:
+        from pyanamo_spark.multimodal.tiff import decode_tiff
+
+        CODECS["image/tiff"] = decode_tiff
+        registered.append("image/tiff")
     if "audio/wav" not in CODECS:
         CODECS["audio/wav"] = decode_wav
         registered.append("audio/wav")
@@ -342,13 +349,13 @@ def synthetic_image_assets(
     spark: SparkSession, n: int = 64, ids: DataFrame | None = None
 ) -> DataFrame:
     """Deterministic mixed-codec image assets: the same per-id gradient
-    image as :func:`synthetic_png_assets`, rotated through all four
+    image as :func:`synthetic_png_assets`, rotated through all five
     real image decoders — PNG (every filter type), JPEG (4:4:4 /
     4:2:0; every second JPEG progressive SOF2), GIF (alternating
-    interlace) and BMP (24/32-bit, bottom-up/top-down) — so one frame
-    exercises every codec and the mime dispatch in
-    ``_image_features``. Executor-side generation; the driver never
-    holds payloads."""
+    interlace), BMP (24/32-bit, bottom-up/top-down) and TIFF
+    (LZW+predictor / PackBits) — so one frame exercises every codec
+    and the mime dispatch in ``_image_features``. Executor-side
+    generation; the driver never holds payloads."""
     from pyanamo_spark.multimodal.bmp import encode_bmp
     from pyanamo_spark.multimodal.gif import encode_gif
     from pyanamo_spark.multimodal.jpeg import (
@@ -356,6 +363,7 @@ def synthetic_image_assets(
         encode_jpeg_progressive,
     )
     from pyanamo_spark.multimodal.png import encode_png
+    from pyanamo_spark.multimodal.tiff import encode_tiff
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -387,6 +395,13 @@ def synthetic_image_assets(
                         img, bpp=24 if i % 2 else 32, top_down=bool(i % 4)
                     )
                     mime = "image/bmp"
+                elif i % 12 == 6:
+                    payload = encode_tiff(
+                        img,
+                        compression="lzw" if i % 24 == 6 else "packbits",
+                        predictor=bool(i % 24 == 6),
+                    )
+                    mime = "image/tiff"
                 else:
                     payload = encode_png(img, filter_type=i % 5)
                     mime = "image/png"

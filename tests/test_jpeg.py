@@ -166,8 +166,9 @@ def test_pipeline_registers_jpeg_codec():
 
 
 def test_mixed_asset_frame_decodes_both_codecs(spark):
-    """synthetic_image_assets mixes PNG and JPEG; every asset must
-    survive decode → featurize with its true dimensions."""
+    """synthetic_image_assets rotates through all four image codecs;
+    every asset must survive decode → featurize with its true
+    dimensions."""
     from pyanamo_spark.multimodal.pipeline import (
         image_features,
         synthetic_image_assets,
@@ -178,7 +179,13 @@ def test_mixed_asset_frame_decodes_both_codecs(spark):
         r["meta"]["mime"]
         for r in assets.select("meta").collect()
     }
-    assert mimes == {"image/png", "image/jpeg"}
+    assert mimes == {
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        "image/bmp",
+        "image/tiff",
+    }
     feats = image_features(assets).collect()
     assert len(feats) == 12
     for r in feats:
