@@ -195,6 +195,7 @@ def load_all() -> None:
     import pyanamo_spark.operators.governance  # noqa: F401
     import pyanamo_spark.operators.market  # noqa: F401
     import pyanamo_spark.functions.text  # noqa: F401
+    import pyanamo_spark.functions.html  # noqa: F401
     import pyanamo_spark.functions.bpe  # noqa: F401
     import pyanamo_spark.functions.vectors  # noqa: F401
     import pyanamo_spark.functions.sketches  # noqa: F401
