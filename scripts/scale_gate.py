@@ -36,6 +36,7 @@ BUDGETS: dict[str, float] = {
     "q_knn_quantized": 5.0,  # int8 scan + rescore
     "q_multimodal_features": 5.0,  # bincount featurizer
     "q_pipe_exec": 8.0,  # subprocess stage (mapInPandas)
+    "q_warc_ingest": 3.0,  # gzip pack + parse stages (mapInPandas)
 }
 
 
