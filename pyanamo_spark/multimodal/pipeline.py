@@ -474,6 +474,90 @@ def image_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_image_features, schema=IMAGE_FEATURE_SCHEMA)
 
 
+QUARANTINE_SCHEMA = "asset_id bigint, mime string, status string"
+
+
+def safe_decode(payload: bytes, mime: str):
+    """Decode with failure classification instead of propagation.
+
+    At 100 TB corrupt payloads are a certainty, and one bad asset must
+    not kill a whole Arrow batch (losing the other ~10k rows of the
+    task with it). Returns (array | None, status) where status is
+    'ok', 'no_codec', or 'error'."""
+    if mime not in CODECS:
+        return None, "no_codec"
+    try:
+        return CODECS[mime](bytes(payload)), "ok"
+    except Exception:  # codec-internal errors vary (struct/zlib/value)
+        return None, "error"
+
+
+def _quarantine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for asset_id, payload, meta in zip(
+            pdf["asset_id"], pdf["payload"], pdf["meta"]
+        ):
+            if payload is None:
+                rows.append(
+                    {"asset_id": asset_id, "mime": meta["mime"],
+                     "status": "error"}
+                )
+                continue
+            _, status = safe_decode(bytes(payload), meta["mime"])
+            rows.append(
+                {"asset_id": asset_id, "mime": meta["mime"],
+                 "status": status}
+            )
+        yield pd.DataFrame(rows, columns=["asset_id", "mime", "status"])
+
+
+def quarantine_assets(assets: DataFrame) -> DataFrame:
+    """Per-asset decode triage: route every asset to 'ok' or a
+    quarantine class without letting any single corrupt payload abort
+    the batch. The survivors feed ``image_features``; the quarantine
+    rows are the audit trail a curation run reports."""
+    return assets.mapInPandas(_quarantine, schema=QUARANTINE_SCHEMA)
+
+
+@register(
+    "q_decode_quarantine",
+    oracle="""
+SELECT
+  doc_id AS asset_id,
+  CASE WHEN doc_id % 3 = 2 THEN 'image/jpeg'
+       WHEN doc_id % 6 = 3 THEN 'image/gif'
+       WHEN doc_id % 6 = 4 THEN 'image/bmp'
+       WHEN doc_id % 12 = 6 THEN 'image/tiff'
+       ELSE 'image/png' END AS mime,
+  CASE WHEN doc_id % 5 = 3 THEN 'error' ELSE 'ok' END AS status
+FROM documents
+WHERE doc_id < 64
+""",
+)
+def q_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-asset triage, oracle-checked: generate the mixed-codec
+    assets, truncate every 5th-mod-3 payload to 50 bytes (signature
+    intact, body gone — a deep corruption every codec must reject),
+    and classify each through :func:`safe_decode`. The oracle
+    recomputes the planted mime rotation and corruption pattern
+    directly, so a hash match proves (a) every intact asset still
+    decodes and (b) every planted corruption is caught rather than
+    crashing the stage."""
+    ids = spark.table("documents").where(F.col("doc_id") < 64).select(
+        F.col("doc_id")
+    )
+    assets = synthetic_image_assets(spark, ids=ids)
+    corrupted = assets.withColumn(
+        "payload",
+        F.when(
+            F.col("asset_id") % 5 == 3,
+            F.expr("substring(payload, 1, 50)"),
+        ).otherwise(F.col("payload")),
+    )
+    return quarantine_assets(corrupted)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "asset_id bigint, channels int, n_samples bigint, duration double, "
     "rms double, peak double, zcr double"

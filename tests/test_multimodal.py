@@ -311,3 +311,32 @@ def test_registered_codec_path_roundtrip():
         assert arr.sum() == sum(range(8))
     finally:
         del CODECS[fake_mime]
+
+
+def test_safe_decode_classifies_corruption():
+    """Every codec rejects a 50-byte truncation (signature intact,
+    body gone) via classification, never an uncaught exception."""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.bmp import encode_bmp
+    from pyanamo_spark.multimodal.gif import encode_gif
+    from pyanamo_spark.multimodal.jpeg import encode_jpeg
+    from pyanamo_spark.multimodal.png import encode_png
+    from pyanamo_spark.multimodal.pipeline import safe_decode
+    from pyanamo_spark.multimodal.tiff import encode_tiff
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 200, size=(12, 14, 3)).astype(np.uint8)
+    blobs = {
+        "image/png": encode_png(img),
+        "image/jpeg": encode_jpeg(img, quality=90),
+        "image/gif": encode_gif(img % 32 * 8),
+        "image/bmp": encode_bmp(img),
+        "image/tiff": encode_tiff(img, compression="lzw"),
+    }
+    for mime, blob in blobs.items():
+        arr, status = safe_decode(blob, mime)
+        assert status == "ok" and arr is not None, mime
+        bad, status = safe_decode(blob[:50], mime)
+        assert status == "error" and bad is None, mime
+    assert safe_decode(b"xx", "video/x-h264")[1] == "no_codec"
