@@ -214,6 +214,13 @@ def decode_gif(payload: bytes, every: int = 1, max_frames: int | None = None):
     width, height, packed, bg_idx, _aspect = struct.unpack(
         "<HHBBB", payload[6:13]
     )
+    # bounded-allocation guard: a corrupt header must not trigger a
+    # multi-GB canvas allocation before the (inevitably failing)
+    # parse; 2^26 px (~200 MB RGB) is this codec's supported ceiling
+    if width * height > (1 << 26):
+        raise ValueError(
+            f"GIF: {width}x{height} exceeds the decoder's pixel bound"
+        )
     pos = 13
     global_pal: np.ndarray | None = None
     if packed & 0x80:

@@ -184,6 +184,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
     width = tags[256][0]
     height = tags[257][0]
+    # bounded-allocation guard (see gif.py): corrupt IFDs carry
+    # garbage u32 dimensions; refuse before allocating
+    if width * height > (1 << 26):
+        raise ValueError(
+            f"TIFF: {width}x{height} exceeds the decoder's pixel bound"
+        )
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):

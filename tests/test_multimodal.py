@@ -340,3 +340,31 @@ def test_safe_decode_classifies_corruption():
         bad, status = safe_decode(blob[:50], mime)
         assert status == "error" and bad is None, mime
     assert safe_decode(b"xx", "video/x-h264")[1] == "no_codec"
+
+
+def test_safe_decode_never_escapes_on_fuzzed_bytes():
+    """Arbitrary bytes under every registered mime always classify —
+    no uncaught exception, no hang. (Random payloads occasionally
+    carry a valid magic; decode errors must still be contained.)"""
+    import numpy as np
+
+    from pyanamo_spark.multimodal.pipeline import CODECS, safe_decode
+
+    rng = np.random.default_rng(123)
+    magics = {
+        "image/png": b"\x89PNG\r\n\x1a\n",
+        "image/gif": b"GIF89a",
+        "image/bmp": b"BM",
+        "image/tiff": b"II*\x00",
+        "image/jpeg": b"\xff\xd8\xff\xe0",
+        "audio/wav": b"RIFF\x20\x00\x00\x00WAVE",
+        "audio/aiff": b"FORM\x00\x00\x00\x20AIFF",
+        "audio/flac": b"fLaC",
+    }
+    for mime in CODECS:
+        for trial in range(8):
+            blob = rng.integers(0, 256, size=200).astype("u1").tobytes()
+            if trial % 2 == 0 and mime in magics:
+                blob = magics[mime] + blob  # valid magic, garbage body
+            _, status = safe_decode(blob, mime)
+            assert status in ("ok", "error"), (mime, status)
