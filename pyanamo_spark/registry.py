@@ -217,4 +217,5 @@ def load_all() -> None:
     import pyanamo_spark.similarity.hybrid  # noqa: F401
     import pyanamo_spark.multimodal.pipeline  # noqa: F401
     import pyanamo_spark.sources.warc  # noqa: F401
+    import pyanamo_spark.sources.pdf  # noqa: F401
     import pyanamo_spark.executor.pipe  # noqa: F401

@@ -37,6 +37,7 @@ BUDGETS: dict[str, float] = {
     "q_multimodal_features": 5.0,  # bincount featurizer
     "q_pipe_exec": 8.0,  # subprocess stage (mapInPandas)
     "q_warc_ingest": 3.0,  # gzip pack + parse stages (mapInPandas)
+    "q_pdf_extract": 4.0,  # flate build + object/operator walk
 }
 
 
