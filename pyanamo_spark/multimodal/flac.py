@@ -233,11 +233,18 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         order = stype - 8
         warm = [r.read_signed(bps) for _ in range(order)]
         resid = _read_residual(r, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        samples = list(warm)
-        for e in resid:
-            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
-            samples.append(pred + e)
+        # the order-n FIXED predictor is polynomial differencing, so
+        # reconstruction is its inverse: n successive integrations
+        # (cumsums), the k-th seeded by the k-th forward difference of
+        # the warmup at its own position (np.diff(warm, k)[0]) —
+        # vectorized instead of a per-sample Python loop; the final
+        # integration reproduces the warmup samples themselves
+        seq = np.asarray(resid, dtype=np.int64)
+        warm_arr = np.asarray(warm, dtype=np.int64)
+        for k in range(order - 1, -1, -1):
+            init = np.diff(warm_arr, k)[0]
+            seq = np.cumsum(np.concatenate(([init], seq)))
+        samples = seq
     elif stype >= 32:  # LPC
         order = stype - 31
         warm = [r.read_signed(bps) for _ in range(order)]
