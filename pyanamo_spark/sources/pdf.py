@@ -237,8 +237,20 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with the real parser, and return (doc_id, text). The oracle
     is the documents table itself — a hash match proves object/stream
     parsing, inflate, unescaping, and operator walking reproduced
-    every planted byte."""
-    docs = spark.table("documents").select("doc_id", "text")
+    every planted byte.
+
+    The explicit repartition exists because the parse is CPU-heavy
+    per row while the input is few large splits: without it the
+    mapInPandas stage inherits the scan's parallelism (2 partitions at
+    sf1) and strands the other cores. One narrow (doc_id, text)
+    shuffle costs far less than serializing the parse — the same call
+    a production job makes before any compute-bound stage."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(par)
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -51,6 +51,9 @@ HOT_QUERIES = [
     # within-basket self-join, token-stream window, grid calibration
     "q_basket_rules", "q_bigram_entropy", "q_score_calibrate",
     "q_token_budget",
+    # web-ingest chain (r06): expression dedup/extraction + the two
+    # bytes-local mapInPandas parser stacks
+    "q_dedup_url", "q_html_extract", "q_warc_ingest", "q_pdf_extract",
 ]
 
 DATA_RATIO = 10.0  # sf1 / sf0.1
