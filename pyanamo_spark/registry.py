@@ -32,17 +32,20 @@ DECLARED: tuple[str, ...] = (
     # seat is actually recorded): driver-green ids cede their seats to
     # ids never yet driver-recorded; the entry() smoke query and a
     # small §2-spanning canary set never rotate, and any RED seat
-    # stays until its fix is driver-green. r06 note: the original rule
-    # required green in TWO consecutive windows before ceding, but the
-    # never-recorded backlog hit 86/188 in r05, so the r06 rotation
-    # relaxes to once-green-cede (every ceded id stays registered and
-    # fully replayed by driver_sim/test_parity each round — only the
-    # official recording rotates). r06 window: 5 canaries + the 2
-    # r05-red seats (q_join_cardinality, q_session_events — fixes must
-    # record green) + the 4 §2 rows-only ids (last recorded r03; the
-    # verdict asks for a modern record of every §2 id) + 39
-    # never-recorded ids, one family representative first. Cumulative
-    # recorded coverage 102 → ~141 of 188.
+    # stays until its fix is driver-green. Every ceded id stays
+    # registered and fully replayed by driver_sim/test_parity each
+    # round — only the official recording rotates.
+    #
+    # r07 window (VERDICT r06 item 1: recording round, ~zero new
+    # queries): 5 canaries + 45 of the 53 never-driver-recorded ids.
+    # All 35 never-recorded ORACLE-backed ids are seated (hash-checked
+    # proof), plus the 10 rows-only family representatives the verdict
+    # names (SimHash, IVF kNN, BPE train, PCA, multimodal decode/audio/
+    # video, packing, contrastive, HLL overlap). The 8 deferred
+    # rows-only ids (q_compress_filter, q_bpe_encode,
+    # q_percentiles_approx, q_logit_score, q_semantic_prune, q_knn_lsh,
+    # q_knn_quantized, q_multimodal_features) are the r08 mop-up;
+    # cumulative recorded coverage 141 → ~186 of 194.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -52,59 +55,62 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # red in CORRECTNESS_r05 (harness-canon bugs, fixed in r06) —
-    # seated until driver-green
-    "q_join_cardinality",
-    "q_session_events",
-    # §2-declared rows-only ids (seeded randomness / sketches — no
-    # oracle by contract): re-recorded once in their modern form
-    "q_rand_order",
-    "q_sample_topk",
-    "q_dedup_near",
-    "q_approx_distinct",
-    # never-driver-recorded: family representatives first
-    "q_pagerank",
-    "q_survival",
-    "q_bm25",
-    "q_hybrid_search",
-    "q_crossval",
-    "q_drift",
-    "q_kanon",
-    "q_basket_rules",
-    "q_mv_refresh",
-    "q_shard_plan",
-    "q_token_budget",
-    "q_dataset_card",
-    # r02-era stragglers
-    "q_pivot",
-    "q_funnel",
-    "q_token_count",
-    "q_lang_id",
-    # TPC-H wave
-    "q_big_orders",
-    "q_brand_revenue",
-    "q_custdist",
-    "q_excess_suppliers",
-    "q_idle_customers",
-    "q_important_stock",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_promo_share",
-    "q_returned_customers",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_supplier_parts",
-    "q_waiting_suppliers",
-    # remaining family fill
-    "q_dedup_contain",
-    "q_transitions",
-    "q_ltv",
-    "q_gini",
-    "q_pmi",
-    "q_fingerprint",
-    "q_quality_score",
-    "q_heavy_hitters",
+    # §2 M6/F12/F13 lock protocol — the one §2 row without an official
+    # driver record (VERDICT r06 priority seat #1)
+    "q_lock_protocol",
+    # the six r06-session queries (VERDICT priority seats #2)
+    "q_dedup_url",
+    "q_html_extract",
+    "q_warc_ingest",
+    "q_pdf_extract",
+    "q_decode_quarantine",
+    # rows-only family representatives (VERDICT priority seats #3) —
+    # seeded randomness / sketch / non-SQL-expressible, driver records
+    # the rows-only check; behavioral tests pin semantics
+    "q_dedup_simhash",
+    "q_knn_ivf",
+    "q_bpe_train",
+    "q_pca_project",
+    "q_multimodal_decode",
+    "q_audio_features",
+    "q_video_frames",
+    "q_pack_sequences",
+    "q_contrastive_pairs",
+    "q_overlap_estimate",
+    # oracle-backed, never recorded: text-analysis family
+    "q_repetition",
+    "q_quality_filter",
+    "q_zipf",
+    "q_vocab_coverage",
+    "q_bigram_entropy",
+    "q_langid_eval",
+    "q_fuzzy_match",
+    "q_error_context",
+    # timeseries / statistics family
+    "q_sliding_window",
+    "q_rolling_median",
+    "q_ks_drift",
+    "q_autocorr",
+    "q_backtest",
+    "q_seasonality",
+    "q_changepoint",
+    "q_anomaly_seasonal",
+    "q_ab_test",
+    "q_streaks",
+    "q_winsorize",
+    "q_session_stats",
+    # curation / eval family
+    "q_coverage_curve",
+    "q_curriculum",
+    "q_time_split",
+    "q_score_calibrate",
+    "q_quantize",
+    # graph / paths family
+    "q_degree_stats",
+    "q_attribution",
+    "q_top_paths",
+    # dedup stragglers
+    "q_dup_by_source",
 )
 
 

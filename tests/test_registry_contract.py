@@ -15,15 +15,20 @@ from pyanamo_spark.registry import (
 load_all()
 
 #: declared ids that are rows-only BY CONTRACT: seeded randomness or a
-#: sketch algorithm DuckDB cannot replicate — engines cannot agree on
-#: a value hash. The r06 window re-records the four §2-declared
-#: rows-only ids in their modern form (verdict r05 item 7; their last
-#: driver record was r03).
+#: sketch/codec algorithm DuckDB cannot replicate — engines cannot
+#: agree on a value hash. The r07 window seats the 10 never-recorded
+#: rows-only family representatives the verdict names.
 DECLARED_ROWS_ONLY: set[str] = {
-    "q_rand_order",
-    "q_sample_topk",
-    "q_dedup_near",
-    "q_approx_distinct",
+    "q_dedup_simhash",
+    "q_knn_ivf",
+    "q_bpe_train",
+    "q_pca_project",
+    "q_multimodal_decode",
+    "q_audio_features",
+    "q_video_frames",
+    "q_pack_sequences",
+    "q_contrastive_pairs",
+    "q_overlap_estimate",
 }
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
@@ -35,13 +40,73 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: red in CORRECTNESS_r05 (harness-interface bugs, both fixed in r06):
-#: they hold their seats until the driver records them green
-RED_SEATS_HELD = {"q_join_cardinality", "q_session_events"}
+#: both r05 reds recorded green in CORRECTNESS_r06 — no held red seats
+RED_SEATS_HELD: set[str] = set()
 
-#: ids whose recorded-window seat was ceded in the r06 rotation
-#: (driver-green in the r05 window); they must remain registered with
-#: their oracles so the full replay keeps verifying them
+#: ids whose recorded-window seat was ceded in the r07 rotation
+#: (recorded in the r06 window: 46 green oracle seats + 4 rows-only by
+#: contract); they must remain registered so the full replay keeps
+#: verifying them
+ROTATED_OUT_R07 = {
+    # r05 reds, re-recorded green in r06
+    "q_join_cardinality",
+    "q_session_events",
+    # §2 rows-only ids, re-recorded in modern form in r06 (no oracle)
+    "q_rand_order",
+    "q_sample_topk",
+    "q_dedup_near",
+    "q_approx_distinct",
+    # the 39 oracle seats rotated in at r06, all recorded green
+    "q_pagerank",
+    "q_survival",
+    "q_bm25",
+    "q_hybrid_search",
+    "q_crossval",
+    "q_drift",
+    "q_kanon",
+    "q_basket_rules",
+    "q_mv_refresh",
+    "q_shard_plan",
+    "q_token_budget",
+    "q_dataset_card",
+    "q_pivot",
+    "q_funnel",
+    "q_token_count",
+    "q_lang_id",
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_custdist",
+    "q_excess_suppliers",
+    "q_idle_customers",
+    "q_important_stock",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_promo_share",
+    "q_returned_customers",
+    "q_shipmode_priority",
+    "q_small_qty_revenue",
+    "q_supplier_parts",
+    "q_waiting_suppliers",
+    "q_dedup_contain",
+    "q_transitions",
+    "q_ltv",
+    "q_gini",
+    "q_pmi",
+    "q_fingerprint",
+    "q_quality_score",
+    "q_heavy_hitters",
+}
+
+#: rows-only ids among the r07-rotated-out set (never had oracles)
+ROTATED_OUT_ROWS_ONLY = {
+    "q_rand_order",
+    "q_sample_topk",
+    "q_dedup_near",
+    "q_approx_distinct",
+}
+
+#: r06-era rotation history, folded into the earlier set
 ROTATED_OUT_R06 = {
     # green first recorded in r04 (and again in r05)
     "q_embed_covariance",
@@ -134,56 +199,57 @@ ROTATED_OUT_EARLIER = {
     "q_threshold_counts",
 }
 
-#: the 39 oracled seats rotated IN at r06 — never driver-recorded before
-ROTATED_IN_R06 = {
-    "q_pagerank",
-    "q_survival",
-    "q_bm25",
-    "q_hybrid_search",
-    "q_crossval",
-    "q_drift",
-    "q_kanon",
-    "q_basket_rules",
-    "q_mv_refresh",
-    "q_shard_plan",
-    "q_token_budget",
-    "q_dataset_card",
-    "q_pivot",
-    "q_funnel",
-    "q_token_count",
-    "q_lang_id",
-    "q_big_orders",
-    "q_brand_revenue",
-    "q_custdist",
-    "q_excess_suppliers",
-    "q_idle_customers",
-    "q_important_stock",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_promo_share",
-    "q_returned_customers",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_supplier_parts",
-    "q_waiting_suppliers",
-    "q_dedup_contain",
-    "q_transitions",
-    "q_ltv",
-    "q_gini",
-    "q_pmi",
-    "q_fingerprint",
-    "q_quality_score",
-    "q_heavy_hitters",
+#: the 35 oracle-backed seats rotated IN at r07 — never driver-recorded
+#: before this window (the 10 rows-only reps live in DECLARED_ROWS_ONLY)
+ROTATED_IN_R07 = {
+    "q_lock_protocol",
+    "q_dedup_url",
+    "q_html_extract",
+    "q_warc_ingest",
+    "q_pdf_extract",
+    "q_decode_quarantine",
+    "q_repetition",
+    "q_quality_filter",
+    "q_zipf",
+    "q_vocab_coverage",
+    "q_bigram_entropy",
+    "q_langid_eval",
+    "q_fuzzy_match",
+    "q_error_context",
+    "q_sliding_window",
+    "q_rolling_median",
+    "q_ks_drift",
+    "q_autocorr",
+    "q_backtest",
+    "q_seasonality",
+    "q_changepoint",
+    "q_anomaly_seasonal",
+    "q_ab_test",
+    "q_streaks",
+    "q_winsorize",
+    "q_session_stats",
+    "q_coverage_curve",
+    "q_curriculum",
+    "q_time_split",
+    "q_score_calibrate",
+    "q_quantize",
+    "q_degree_stats",
+    "q_attribution",
+    "q_top_paths",
+    "q_dup_by_source",
 }
 
 
 def test_rotated_out_ids_stay_registered():
-    gone = ROTATED_OUT_R06 | ROTATED_OUT_EARLIER
+    gone = ROTATED_OUT_R07 | ROTATED_OUT_R06 | ROTATED_OUT_EARLIER
     missing = [n for n in gone if n not in QUERIES]
     assert not missing, missing
-    # every r06-rotated-out id was oracle'd and keeps its oracle
-    missing_oracle = [n for n in ROTATED_OUT_R06 if n not in ORACLES]
+    # every oracle'd rotated-out id keeps its oracle
+    missing_oracle = [
+        n
+        for n in (ROTATED_OUT_R07 | ROTATED_OUT_R06) - ROTATED_OUT_ROWS_ONLY
+        if n not in ORACLES
+    ]
     assert not missing_oracle, missing_oracle
     # none of them still occupies a seat
     still_in = [n for n in gone if n in DECLARED]
@@ -196,15 +262,15 @@ def test_canaries_hold_their_seats():
 
 
 def test_rotated_in_ids_sit_in_the_window():
-    for n in ROTATED_IN_R06:
+    for n in ROTATED_IN_R07:
         assert n in DECLARED, n
         assert n in ORACLES, n
     for n in RED_SEATS_HELD | DECLARED_ROWS_ONLY:
         assert n in DECLARED, n
-    # window composition is exactly canaries + held reds + §2
-    # rows-only + the r06 rotation
+    # window composition is exactly canaries + held reds + rows-only
+    # family reps + the r07 rotation
     assert set(DECLARED) == (
-        CANARIES | RED_SEATS_HELD | DECLARED_ROWS_ONLY | ROTATED_IN_R06
+        CANARIES | RED_SEATS_HELD | DECLARED_ROWS_ONLY | ROTATED_IN_R07
     )
 
 
