@@ -46,6 +46,26 @@ def fingerprint_batch(batch: DataFrame) -> DataFrame:
     )
 
 
+def batch_committed(store_dir: str, batch_id: int) -> bool:
+    """True iff ``batch=<id>`` was FULLY written: gate on the write
+    committer's ``_SUCCESS`` marker, not directory existence — a crash
+    mid-``accept_batch`` leaves a partial directory (e.g. only
+    ``_temporary/``), and skipping on ``isdir`` would silently drop the
+    replayed epoch's records."""
+    return os.path.isfile(
+        os.path.join(store_dir, f"batch={batch_id}", "_SUCCESS")
+    )
+
+
+def clear_partial_batch(store_dir: str, batch_id: int) -> None:
+    """Remove a crash-orphaned partial ``batch=<id>`` directory (one
+    without a ``_SUCCESS`` marker) so a replayed epoch can re-accept
+    cleanly — ``accept_batch`` writes with ``errorifexists``."""
+    out = os.path.join(store_dir, f"batch={batch_id}")
+    if os.path.isdir(out) and not batch_committed(store_dir, batch_id):
+        shutil.rmtree(out)
+
+
 def accept_batch(
     spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int
 ) -> DataFrame:

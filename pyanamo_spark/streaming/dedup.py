@@ -5,8 +5,10 @@ Documents arrive as files in a directory; each micro-batch dedups
 within itself, anti-joins the fingerprint store, and appends its
 survivors as its own ``batch=<epoch>`` partition. The store doubles as
 the exactly-once ledger: a replayed epoch (restart after a crash
-between write and commit) finds its partition already present and
-skips, so reprocessing cannot double-accept.
+between write and commit) finds its partition's ``_SUCCESS`` marker
+and skips, so reprocessing cannot double-accept; a partial partition
+(crash mid-write, no marker) is cleared and re-accepted, so a replay
+cannot drop records either.
 
 This is the production layout for continuous ingest at 100 TB: the
 native alternative, ``dropDuplicates`` on an unbounded stream, keeps
@@ -24,7 +26,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyanamo_spark.dedup.incremental import accept_batch
+from pyanamo_spark.dedup.incremental import (
+    accept_batch,
+    batch_committed,
+    clear_partial_batch,
+)
 from pyanamo_spark.streaming.monitor import normalize_event_time
 
 
@@ -33,8 +39,12 @@ def dedup_sink(store_dir: str):
     fingerprint store, idempotently per epoch."""
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(os.path.join(store_dir, f"batch={epoch_id}")):
+        # exactly-once gate: the committer's _SUCCESS marker, not bare
+        # isdir — a crash mid-accept leaves a partial directory that
+        # must be cleared and re-accepted, not skipped
+        if batch_committed(store_dir, epoch_id):
             return  # replayed epoch — already accepted
+        clear_partial_batch(store_dir, epoch_id)
         accept_batch(batch.sparkSession, batch, store_dir, epoch_id)
 
     return _sink

@@ -24,7 +24,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanamo_spark.dedup.incremental import accept_batch
+from pyanamo_spark.dedup.incremental import (
+    accept_batch,
+    batch_committed,
+    clear_partial_batch,
+)
 from pyanamo_spark.functions.html import html_to_text
 from pyanamo_spark.sources.warc import warc_records
 
@@ -49,8 +53,12 @@ def ingest_sink(store_dir: str):
     per epoch."""
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(os.path.join(store_dir, f"batch={epoch_id}")):
+        # exactly-once gate: the committer's _SUCCESS marker, not bare
+        # isdir — a crash mid-accept leaves a partial directory that
+        # must be cleared and re-accepted, not skipped
+        if batch_committed(store_dir, epoch_id):
             return  # replayed epoch — already accepted
+        clear_partial_batch(store_dir, epoch_id)
         accept_batch(
             batch.sparkSession, web_ingest_batch(batch), store_dir, epoch_id
         )

@@ -65,6 +65,23 @@ def test_epoch_replay_is_noop(spark, sf_dir, tmp_path):
     assert accepted_corpus(spark, store).count() == before
 
 
+def test_crashed_epoch_is_reaccepted_not_skipped(spark, sf_dir, tmp_path):
+    """A partial batch directory WITHOUT the committer's _SUCCESS
+    marker (crash mid-accept) must be cleared and re-accepted on
+    replay — gating on bare isdir would silently drop the epoch."""
+    semantics.ensure_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").limit(50)
+    store = str(tmp_path / "store")
+    # simulate the crash: the epoch's directory exists but holds only
+    # uncommitted scratch state
+    partial = os.path.join(store, "batch=3", "_temporary")
+    os.makedirs(partial)
+    sink = dedup_sink(store)
+    sink(docs, 3)  # replay after the crash
+    assert os.path.isfile(os.path.join(store, "batch=3", "_SUCCESS"))
+    assert accepted_corpus(spark, store).count() == docs.distinct().count()
+
+
 def test_windowed_dedup_drops_close_duplicates(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: planted duplicates (same user/
     type/ts, new event_id) are removed; drained survivors == the batch
