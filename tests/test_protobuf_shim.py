@@ -176,3 +176,23 @@ def test_nested_message_inplace_mutation_persists(sm):
     back = sm.StateRequest()
     back.ParseFromString(r.SerializeToString())
     assert back.stateVariableRequest.valueStateCall.stateName == "mutated"
+
+
+def test_pure_read_does_not_mark_presence(sm):
+    """Real protobuf marks presence only on mutation: a pure read of a
+    singular nested message (e.g. ``if msg.inner.x:``) must not make
+    the field present — the shim once cached the default into _values
+    on __getattr__, emitting an empty submessage on the wire and
+    breaking __eq__/repr between otherwise-identical messages."""
+    a = sm.StateRequest(version=2)
+    b = sm.StateRequest(version=2)
+    # pure reads, no mutation
+    assert a.stateVariableRequest.valueStateCall.stateName == ""
+    _ = a.statefulProcessorCall
+    assert a == b
+    assert a.SerializeToString() == b.SerializeToString()
+    assert repr(a) == repr(b)
+    # the lazily-vivified child keeps identity for later mutation
+    a.stateVariableRequest.valueStateCall.stateName = "now set"
+    assert a != b
+    assert b"now set" in a.SerializeToString()
