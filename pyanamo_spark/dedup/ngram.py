@@ -22,10 +22,10 @@ cross-doc similarity low and mutant-pair similarity high.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanamo_spark.dedup import CORPUS_SQL, shingles
+from pyanamo_spark.dedup import CORPUS_SQL
 from pyanamo_spark.registry import register
 
 THRESHOLD = 0.6
@@ -63,7 +63,7 @@ scored AS (
 SELECT doc_a, doc_b,
        ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
 FROM scored
-WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {THRESHOLD}
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {THRESHOLD}
 """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,23 +85,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       - candidates verify on the FULL shingle arrays (one array
         intersect per candidate pair, candidates ≈ true near-dups);
         |A∪B| = |A|+|B|−|A∩B| so only the intersection is computed.
+      - the tokenized corpus, global-df table, and rarest-first rank
+        come from the SHARED ``ngram_index`` (persisted once per
+        corpus): q_dedup_contain reuses them and q_dedup_clusters
+        consumes this query's pairs, so the posting pass is paid once
+        per suite run instead of three times.
     """
-    from pyanamo_spark.dedup import corpus_with_mutants
+    from pyanamo_spark.dedup import ngram_index
 
-    corpus = corpus_with_mutants(spark)
-    prepped = corpus.select(
-        "doc_id",
-        "lang",
-        (F.size(F.split("text", " ")) / 20).cast("int").alias("size_bucket"),
-        F.array_distinct(
-            F.transform(shingles("text"), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).persist()
-    # persisted: posting build, df count, and the verify stage all read
-    # the tokenized corpus; re-tokenizing three times dominates at scale
-    postings = prepped.select(
-        "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
-    )
+    idx = ngram_index(spark, sf_dir)
+    prepped = idx.prepped
     # global document frequency — the total order for prefix ranking
     # (df asc, h asc as tiebreak). Rarest-first puts boilerplate last.
     # df = 1 shingles are dropped BEFORE ranking: they cannot generate
@@ -111,21 +104,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its prefix is still <= ceil(t|A|) - 1 < the required overlap. On
     # a real corpus most shingles are unique, so this shrinks the
     # ranked set (and the per-doc window) by the long df=1 tail.
-    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = postings.join(
-        df_tab.filter(F.col("df") >= 2), "h"
-    ).withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "h")
-        ),
-    )
+    #
     # prefix length |A| - ceil(t|A|) + 1; the per-doc window shuffle is
     # doc-length-bounded (SortExec spills on pathological docs)
-    prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n_sh") - F.ceil(F.lit(THRESHOLD) * F.col("n_sh")) + 1
-    ).select("doc_id", "lang", "size_bucket", "n_sh", "h")
+    prefix = idx.prefix(THRESHOLD)
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
         a.join(
@@ -163,14 +145,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(full_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
-    jaccard = F.round(
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter")),
-        6,
+    # filter on the UNROUNDED jaccard (matching the prefix filter's
+    # recall bound); ROUND(...,6) only on the emitted display column —
+    # rounding before the filter admits pairs in [T-5e-7, T) that
+    # candidate generation legitimately never produces
+    raw_jaccard = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        verified.withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= THRESHOLD)
+        verified.filter(raw_jaccard >= THRESHOLD)
+        .withColumn("jaccard", F.round(raw_jaccard, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -232,44 +216,23 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tightens, not loosens, as df distributions skew at scale.) The
     final filter recounts on the real intersection; the oracle runs
     the exact all-pairs form, so completeness is hash-checked at every
-    driver run."""
-    from pyanamo_spark.dedup import corpus_with_mutants, shingles
+    driver run.
 
-    corpus = corpus_with_mutants(spark)
-    prepped = (
-        corpus.select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.transform(shingles("text"), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
-        .withColumn("n_sh", F.size("sh"))
-        .persist()
-    )
-    postings = prepped.select(
-        "doc_id", "lang", "n_sh", F.explode("sh").alias("h")
-    )
-    # global df ascending = the prefix total order (rarest first);
-    # boilerplate shingles rank last and leave almost every prefix.
-    # df = 1 shingles drop before ranking: no second doc shares them,
-    # and every shared shingle has df >= 2, so the pigeonhole recall
-    # bound is unchanged (see q_dedup_ngram)
-    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = postings.join(
-        df_tab.filter(F.col("df") >= 2), "h"
-    ).withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "h")
-        ),
-    )
+    The tokenized corpus, global-df table, and rarest-first rank come
+    from the SHARED ``ngram_index`` (persisted once per corpus, see
+    q_dedup_ngram): df ascending is the prefix total order, and df=1
+    shingles drop before ranking — no second doc shares them, every
+    shared shingle has df >= 2, so the pigeonhole recall bound is
+    unchanged. The CONTAINER side uses the FULL unfiltered postings
+    (one-sided prefix)."""
+    from pyanamo_spark.dedup import ngram_index
+
+    idx = ngram_index(spark, sf_dir)
+    prepped = idx.prepped
     # contained-side prefix: |A| - ceil(T·|A|) + 1 lowest-df shingles
-    a_prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n_sh") - F.ceil(F.lit(CONTAIN_T) * F.col("n_sh")) + 1
-    ).select("doc_id", "lang", "h")
-    b_full = postings.select("doc_id", "lang", "h")
+    # (a subset of the cached FAMILY_MIN_T pool — same per-doc order)
+    a_prefix = idx.prefix(CONTAIN_T).select("doc_id", "lang", "h")
+    b_full = idx.postings.select("doc_id", "lang", "h")
     a, b = a_prefix.alias("a"), b_full.alias("b")
     candidates = (
         a.join(
