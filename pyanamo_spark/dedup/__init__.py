@@ -57,3 +57,125 @@ def shingles(col, k: int = 3):
         f" w -> transform(sequence(1, greatest(size(w) - {k - 1}, 1)),"
         f"   i -> array_join(slice(w, i, {k}), ' ')))[0]"
     )
+
+
+# ---------------------------------------------------------------------
+# shared prefix-filter index for the ngram dedup family
+
+#: loosest threshold any family member cuts a prefix at — the CACHED
+#: prefix pool is sized for this bound, and tighter thresholds (e.g.
+#: containment's 0.8) select a SUBSET of it: both rank by the same
+#: (df, h) per-doc order, so a (1-t')-prefix is a prefix of the
+#: (1-t)-prefix whenever t' >= t
+FAMILY_MIN_T = 0.6
+
+
+class NgramIndex:
+    """The frames q_dedup_ngram / q_dedup_contain / q_dedup_clusters
+    all derive from the corpus:
+
+    - ``prepped``: (doc_id, lang, size_bucket, sh, n_sh) — xxhash64'd
+      distinct trigram sets per doc
+    - ``postings``: prepped exploded to one row per (doc, shingle)
+    - ``prefix_pool``: the df-ranked postings (df >= 2 only — df=1
+      shingles cannot pair; rarest-first per doc) already cut to the
+      FAMILY_MIN_T prefix bound — the largest prefix any member needs.
+      Caching the pool instead of the full ranked set keeps only
+      ~(1-t)·|doc| rows per doc in executor storage; ``prefix(t)``
+      re-filters it for tighter thresholds.
+
+    Before r07 each query rebuilt everything per call — clusters even
+    re-ran ngram end-to-end — so the tokenize + df-count + rank-window
+    cost was paid up to three times per suite run. At 100 TB the df
+    table alone is a full corpus shuffle; sharing it is the difference
+    between one posting pass and three.
+    """
+
+    def __init__(self, prepped, postings, prefix_pool):
+        self.prepped = prepped
+        self.postings = postings
+        self.prefix_pool = prefix_pool
+
+    def prefix(self, t: float):
+        """(doc_id, lang, size_bucket, n_sh, h) rows of each doc's
+        ``|A| - ceil(t·|A|) + 1`` rarest df>=2 shingles."""
+        assert t >= FAMILY_MIN_T, "prefix pool is cut at FAMILY_MIN_T"
+        return self.prefix_pool.filter(
+            F.col("rnk")
+            <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        ).select("doc_id", "lang", "size_bucket", "n_sh", "h")
+
+
+#: one live index per (application, corpus); stale corpora unpersist
+_NGRAM_INDEX: dict[tuple[str, str], NgramIndex] = {}
+
+
+def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
+    """Build (or reuse) the shared prefix-filter index.
+
+    Cached only when ``sf_dir`` names a real fixture directory: tests
+    plant ad-hoc ``documents`` temp views under sentinel sf_dirs, and
+    a cache hit there would serve a previous test's corpus. Evicting
+    other keys on insert keeps at most one corpus pinned per app —
+    back-to-back sf0.01/sf0.1 runs don't stack executor storage.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cacheable = bool(sf_dir) and os.path.isdir(sf_dir)
+    if cacheable and key in _NGRAM_INDEX:
+        return _NGRAM_INDEX[key]
+    corpus = corpus_with_mutants(spark)
+    prepped = (
+        corpus.select(
+            "doc_id",
+            "lang",
+            (F.size(F.split("text", " ")) / 20)
+            .cast("int")
+            .alias("size_bucket"),
+            F.array_distinct(
+                F.transform(shingles("text"), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+    if cacheable:
+        # persisted (spillable), not localCheckpoint: the shingle
+        # arrays are corpus-sized and must be allowed to overflow to
+        # disk on big fixtures
+        prepped = prepped.persist()
+    postings = prepped.select(
+        "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
+    )
+    # df as a count-over-window instead of aggregate + join-back: one
+    # exchange of the postings by h (the window) instead of two (the
+    # agg's partial/final pair PLUS re-shuffling the postings to meet
+    # it) — the df>=2 filter then runs before the per-doc rank shuffle
+    ranked = (
+        postings.withColumn(
+            "df", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("df") >= 2)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+    )
+    prefix_pool = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_sh") - F.ceil(F.lit(FAMILY_MIN_T) * F.col("n_sh")) + 1
+    )
+    if cacheable:
+        prefix_pool = prefix_pool.persist()
+    idx = NgramIndex(prepped, postings, prefix_pool)
+    if cacheable:
+        for k in [k for k in _NGRAM_INDEX if k != key]:
+            old = _NGRAM_INDEX.pop(k)
+            old.prepped.unpersist()
+            old.prefix_pool.unpersist()
+        _NGRAM_INDEX[key] = idx
+    return idx
