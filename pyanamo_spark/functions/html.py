@@ -133,9 +133,20 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-ingest text extraction: wrap each document in deterministic
     messy HTML (script/style payloads, comments, nested tags,
     entities), then recover the visible text with
-    :func:`html_to_text`. One scan, zero shuffles, codegen'd
-    expressions end to end."""
-    docs = spark.table("documents").select("doc_id", "text")
+    :func:`html_to_text`. Codegen'd expressions end to end.
+
+    The repartition exists for the same reason as q_pdf_extract's
+    (sources/pdf.py): the regex cascade is CPU-heavy per row while the
+    fixture corpus is a few large parquet splits, so the expression
+    stage otherwise inherits the scan's 2-split parallelism and
+    strands the other cores (sf1 ratio 6.6× before, scan-bound). One
+    narrow (doc_id, text) shuffle beats serializing the regex work."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(par)
+    )
     return docs.select(
         "doc_id", html_to_text(_messy_html()).alias("clean_text")
     )
