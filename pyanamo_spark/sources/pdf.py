@@ -9,18 +9,26 @@ Scope (documented, like every codec here): uncompressed and
 FlateDecode content streams, literal strings with the full escape set
 (``\\``, ``\\(``, ``\\)``, ``\\n``, ``\\r``, ``\\t``, ``\\b``,
 ``\\f``, octal, line continuations), hex strings, nested parentheses,
-and the text-positioning operators (``Td``/``TD``/``T*``/``Tm``)
-mapped to line breaks. Font/CMap-indirected encodings (subset fonts
-that remap byte values) extract as-is — resolving them needs the font
-program, which is exactly where a production pipeline swaps in a
-native extractor behind the same column contract.
+the text-positioning operators (``Td``/``TD``/``T*``/``Tm``) mapped
+to line breaks, and — the most common real-corpus shape — fonts that
+remap character codes, resolved through their **/ToUnicode CMap**
+(``bfchar``/``bfrange`` blocks, 1- and 2-byte code widths, Type0/
+Identity-H composite fonts included). The object graph is walked for
+page → contents → resources → font structure, so indirect ``/Length``
+references resolve and non-content streams (font programs, the CMap
+itself, images) never leak into the text. Fonts carrying no ToUnicode
+table extract their bytes as-is — recovering those needs the font
+program's glyph names, which is exactly where a production pipeline
+swaps in a native extractor behind the same column contract.
 
 The extraction runs in Arrow-batched bytes-local ``mapInPandas``
 stages; the registered query plants each document's text in a
-Flate-compressed one-page PDF and the oracle reads the expectation
-straight from the documents table — a hash match proves object
-parsing, inflate, string unescaping, and operator walking reproduced
-every planted byte (same oracle pattern as sources/warc.py).
+one-page PDF — every 4th doc through a Type0/Identity-H font whose
+codes only a CMap walk can map back — and the oracle reads the
+expectation straight from the documents table: a hash match proves
+object parsing, inflate, string unescaping, operator walking, AND
+CMap decoding reproduced every planted byte (same oracle pattern as
+sources/warc.py).
 """
 
 from __future__ import annotations
@@ -38,6 +46,8 @@ from pyanamo_spark.registry import register
 _STREAM_RE = re.compile(
     rb"<<(?P<dict>.*?)>>\s*stream\r?\n(?P<body>.*?)endstream", re.S
 )
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -76,7 +86,8 @@ def _unescape(raw: bytes) -> bytes:
 
 def _iter_strings(content: bytes) -> Iterator[tuple[str, bytes]]:
     """Walk a content stream, yielding ('str', payload) for each
-    literal/hex string and ('op', name) for each operator token."""
+    literal/hex string, ('name', ident) for each /Name token, and
+    ('op', name) for each operator token."""
     i = 0
     n = len(content)
     while i < n:
@@ -110,6 +121,10 @@ def _iter_strings(content: bytes) -> Iterator[tuple[str, bytes]]:
             i = j + 1
         elif c == b"<":  # dictionary << — skip both
             i += 2
+        elif c == b"/":
+            m = re.match(rb"/([^\s/<>\[\]()%]*)", content[i:])
+            yield "name", m.group(1)
+            i += m.end()
         elif c == b"%":  # comment to EOL
             j = content.find(b"\n", i)
             i = n if j < 0 else j + 1
@@ -122,58 +137,299 @@ def _iter_strings(content: bytes) -> Iterator[tuple[str, bytes]]:
                 i += 1
 
 
+# --------------------------------------------------------- object graph
+
+
+def _parse_objects(payload: bytes) -> dict[int, bytes]:
+    """``N G obj ... endobj`` bodies keyed by object number."""
+    return {
+        int(m.group(1)): m.group(2)
+        for m in _OBJ_RE.finditer(payload)
+    }
+
+
+def _read_dict(data: bytes) -> bytes:
+    """The first balanced ``<< ... >>`` in ``data`` (nested dicts
+    counted, literal strings skipped); empty if none."""
+    start = data.find(b"<<")
+    if start < 0:
+        return b""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+            continue
+        if data[i : i + 1] == b"(":
+            j = i + 1
+            d = 1
+            while j < n and d:
+                cj = data[j : j + 1]
+                if cj == b"\\":
+                    j += 2
+                    continue
+                if cj == b"(":
+                    d += 1
+                elif cj == b")":
+                    d -= 1
+                j += 1
+            i = j
+            continue
+        i += 1
+    return data[start:]
+
+
+def _frame_stream(d: bytes, raw: bytes, objs: dict[int, bytes]) -> bytes:
+    """Cut a stream body to its /Length — resolving INDIRECT length
+    references through the object graph (``/Length 6 0 R`` where
+    object 6 is a bare integer) — falling back to the end-of-stream
+    newline heuristic only when neither form resolves. (?!\\d) forbids
+    prefix matches: without it, "/Length 92 0 R" backtracks to accept
+    "9" and truncates the body to 9 bytes."""
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)", d)
+    if lm:
+        return raw[: int(lm.group(1))]
+    im = re.search(rb"/Length\s+(\d+)\s+0\s+R", d)
+    if im:
+        ref = objs.get(int(im.group(1)))
+        if ref is not None and ref.strip().isdigit():
+            return raw[: int(ref.strip())]
+    if raw.endswith(b"\r\n"):
+        return raw[:-2]
+    if raw.endswith(b"\n"):
+        return raw[:-1]
+    return raw
+
+
+def _object_stream(objs: dict[int, bytes], num: int) -> bytes | None:
+    """Decoded stream bytes of object ``num`` (None: no stream, or an
+    unsupported filter)."""
+    body = objs.get(num)
+    if body is None:
+        return None
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return None
+    d = _read_dict(body[: sm.start()])
+    raw = body[sm.end() :]
+    em = raw.rfind(b"endstream")
+    if em >= 0:
+        raw = raw[:em]
+    raw = _frame_stream(d, raw, objs)
+    if b"/FlateDecode" in d:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"PDF: bad Flate stream: {e}") from e
+    if b"/Filter" in d:
+        return None  # unsupported filter: image/font programs etc.
+    return raw
+
+
+# --------------------------------------------------------- ToUnicode
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """(code width in bytes, code → text) from a ToUnicode CMap's
+    bfchar/bfrange blocks. Range destinations increment the final
+    UTF-16 code unit per the CMap spec; the array destination form
+    ``<lo> <hi> [<d0> <d1> ...]`` is supported."""
+    mapping: dict[int, str] = {}
+    width = 1
+
+    def dst_text(h: bytes) -> str:
+        return bytes.fromhex(h.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            src, dst = sm.groups()
+            width = max(width, len(src) // 2)
+            mapping[int(src, 16)] = dst_text(dst)
+    # one alternation, scanned left-to-right: the array form consumes
+    # its brackets BEFORE the simple form can see the <dN> tokens
+    # inside them (two independent passes once mis-parsed
+    # "<lo> <hi> [<d0> <d1> ...]" as a simple entry over d0/d1)
+    entry_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+        rb"(?:\[(.*?)\]|<([0-9A-Fa-f]+)>)",
+        re.S,
+    )
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for sm in entry_re.finditer(m.group(1)):
+            lo, hi, arr, dst = sm.groups()
+            width = max(width, len(lo) // 2)
+            span = int(hi, 16) - int(lo, 16) + 1
+            if arr is not None:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+                for off in range(min(span, len(dsts))):
+                    mapping[int(lo, 16) + off] = dst_text(dsts[off])
+            else:
+                base = int(dst, 16)
+                for off in range(span):
+                    h = f"{base + off:0{len(dst)}X}".encode("ascii")
+                    mapping[int(lo, 16) + off] = dst_text(h)
+    return width, mapping
+
+
+def _font_cmap(
+    objs: dict[int, bytes], fnum: int
+) -> tuple[int, dict[int, str]] | None:
+    body = objs.get(fnum)
+    if body is None:
+        return None
+    d = _read_dict(body)
+    tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", d)
+    if tm is None:
+        return None
+    stream = _object_stream(objs, int(tm.group(1)))
+    if stream is None:
+        return None
+    return _parse_tounicode(stream)
+
+
+def _page_contents(
+    objs: dict[int, bytes],
+) -> list[tuple[bytes, dict[bytes, tuple[int, dict[int, str]]]]]:
+    """(content stream, font-name → CMap) per page, page-object order.
+    Resources may be inline or an indirect reference."""
+    out = []
+    for num in sorted(objs):
+        d = _read_dict(objs[num])
+        if not re.search(rb"/Type\s*/Page(?![A-Za-z])", d):
+            continue
+        am = re.search(rb"/Contents\s*\[(.*?)\]", d, re.S)
+        if am:
+            c_nums = [
+                int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+            ]
+        else:
+            cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", d)
+            c_nums = [int(cm.group(1))] if cm else []
+        res = d
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", d)
+        if rm:
+            res = _read_dict(objs.get(int(rm.group(1)), b""))
+        fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
+        fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+        if fm:
+            for name, fnum in re.findall(
+                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", fm.group(1)
+            ):
+                cmap = _font_cmap(objs, int(fnum))
+                if cmap is not None:
+                    fonts[name] = cmap
+        for cn in c_nums:
+            stream = _object_stream(objs, cn)
+            if stream is not None:
+                out.append((stream, fonts))
+    return out
+
+
+# --------------------------------------------------------- text walk
+
+
+def _decode_codes(
+    raw: bytes, cmap: tuple[int, dict[int, str]] | None
+) -> bytes:
+    """Map a drawn string's bytes through the active font's CMap
+    (fixed code width, unmapped codes → U+FFFD); identity when the
+    font carries no ToUnicode table."""
+    if cmap is None:
+        return raw
+    width, mapping = cmap
+    chars = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        chars.append(mapping.get(code, "�"))
+    return "".join(chars).encode("utf-8")
+
+
+def _walk_content(
+    content: bytes,
+    fonts: dict[bytes, tuple[int, dict[int, str]]],
+) -> list[bytes]:
+    """Text pieces (one per drawn line) of one content stream.
+    ``Tf`` switches the active font — and with it the CMap applied to
+    every subsequently drawn string."""
+    pieces: list[bytes] = []
+    pending: list[bytes] = []
+    line: list[bytes] = []
+    cur: tuple[int, dict[int, str]] | None = None
+    last_name: bytes | None = None
+    for kind, tok in _iter_strings(content):
+        if kind == "name":
+            last_name = tok
+        elif kind == "str":
+            pending.append(tok)
+        elif tok == b"Tf":
+            cur = fonts.get(last_name) if last_name else None
+            pending = []
+        elif tok == b"Tj":
+            if pending:
+                line.append(_decode_codes(pending[-1], cur))
+            pending = []
+        elif tok in (b"'", b'"'):  # draw on the NEXT line
+            if line:
+                pieces.append(b" ".join(line))
+            line = [_decode_codes(pending[-1], cur)] if pending else []
+            pending = []
+        elif tok == b"TJ":
+            line.append(
+                b"".join(_decode_codes(p, cur) for p in pending)
+            )
+            pending = []
+        elif tok in (b"Td", b"TD", b"T*", b"Tm"):
+            if line:
+                pieces.append(b" ".join(line))
+                line = []
+            pending = []
+        else:
+            pending = []
+    if line:
+        pieces.append(b" ".join(line))
+    return pieces
+
+
 def extract_pdf_text(payload: bytes) -> str:
-    """Visible text of a PDF, page-content operators walked in order;
-    Td/TD/T*/Tm position changes become newlines, Tj/'/TJ append."""
+    """Visible text of a PDF: page-content operators walked in page
+    order, Td/TD/T*/Tm position changes become newlines, Tj/'/TJ
+    append, and strings drawn with a ToUnicode-carrying font decode
+    through its CMap. When no page structure parses (stream
+    fragments), every stream is walked CMap-less — the pre-r07
+    baseline behavior."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF: bad header")
+    objs = _parse_objects(payload)
+    pages = _page_contents(objs)
     pieces: list[bytes] = []
-    for m in _STREAM_RE.finditer(payload):
-        d, body = m.group("dict"), m.group("body")
-        # authoritative framing: the dict's /Length — a Flate stream's
-        # own bytes can end in 0x0A, so newline-stripping heuristics
-        # corrupt 1 stream in 256; heuristics only when /Length is an
-        # indirect reference this baseline parser doesn't resolve
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", d)
-        if lm:
-            body = body[: int(lm.group(1))]
-        elif body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n"):
-            body = body[:-1]
-        if b"/FlateDecode" in d:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error as e:
-                raise ValueError(f"PDF: bad Flate stream: {e}") from e
-        elif b"/Filter" in d:
-            continue  # unsupported filter: image/font streams etc.
-        pending: list[bytes] = []
-        line: list[bytes] = []
-        for kind, tok in _iter_strings(body):
-            if kind == "str":
-                pending.append(tok)
-            elif tok == b"Tj":
-                if pending:
-                    line.append(pending[-1])
-                pending = []
-            elif tok in (b"'", b'"'):  # draw on the NEXT line
-                if line:
-                    pieces.append(b" ".join(line))
-                line = [pending[-1]] if pending else []
-                pending = []
-            elif tok == b"TJ":
-                line.append(b"".join(pending))
-                pending = []
-            elif tok in (b"Td", b"TD", b"T*", b"Tm"):
-                if line:
-                    pieces.append(b" ".join(line))
-                    line = []
-                pending = []
-            else:
-                pending = []
-        if line:
-            pieces.append(b" ".join(line))
+    if pages:
+        for body, fonts in pages:
+            pieces += _walk_content(body, fonts)
+    else:
+        for m in _STREAM_RE.finditer(payload):
+            d, body = m.group("dict"), m.group("body")
+            body = _frame_stream(d, body, objs)
+            if b"/FlateDecode" in d:
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error as e:
+                    raise ValueError(f"PDF: bad Flate stream: {e}") from e
+            elif b"/Filter" in d:
+                continue
+            pieces += _walk_content(body, {})
     return b"\n".join(pieces).decode("utf-8", errors="replace")
 
 
@@ -204,6 +460,102 @@ def build_pdf(text: str, compress: bool = True) -> bytes:
         + b" >>\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
+    return _assemble(objs)
+
+
+def build_pdf_cmap(text: str, compress: bool = True) -> bytes:
+    """One-page PDF drawing ``text`` through a Type0/Identity-H font:
+    every character becomes a PRIVATE 2-byte glyph code (assigned in
+    first-appearance order — the bytes in the content stream share no
+    relationship with Unicode), recoverable only via the font's
+    /ToUnicode CMap. Runs of codepoint-consecutive characters emit as
+    ``bfrange`` entries, the rest as ``bfchar`` (≤100 per block per
+    the CMap spec) — both decode paths are exercised by any
+    real-world-shaped text."""
+    chars: list[str] = []
+    index: dict[str, int] = {}
+    for ch in text:
+        if ch != "\n" and ch not in index:
+            index[ch] = len(chars) + 1
+            chars.append(ch)
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for ln in text.split("\n"):
+        hexs = "".join(f"{index[ch]:04X}" for ch in ln)
+        ops.append(b"<" + hexs.encode("ascii") + b"> Tj 0 -14 Td")
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    # greedy bfranges over (code-consecutive, codepoint-consecutive)
+    # runs of BMP chars; singletons and astral chars go to bfchar
+    bfranges: list[tuple[int, int, str]] = []
+    bfchars: list[tuple[int, str]] = []
+    i = 0
+    while i < len(chars):
+        j = i
+        while (
+            j + 1 < len(chars)
+            and ord(chars[i]) <= 0xFFF0
+            and ord(chars[j + 1]) == ord(chars[i]) + (j + 1 - i)
+        ):
+            j += 1
+        if j > i:
+            bfranges.append((i + 1, j + 1, chars[i]))
+        else:
+            bfchars.append((i + 1, chars[i]))
+        i = j + 1
+    cm = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for k in range(0, len(bfranges), 100):
+        blk = bfranges[k : k + 100]
+        cm.append(f"{len(blk)} beginbfrange".encode("ascii"))
+        for lo, hi, ch in blk:
+            cm.append(f"<{lo:04X}> <{hi:04X}> <{ord(ch):04X}>".encode())
+        cm.append(b"endbfrange")
+    for k in range(0, len(bfchars), 100):
+        blk = bfchars[k : k + 100]
+        cm.append(f"{len(blk)} beginbfchar".encode("ascii"))
+        for code, ch in blk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            cm.append(f"<{code:04X}> <{dst}>".encode("ascii"))
+        cm.append(b"endbfchar")
+    cm += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    cmap_body = b"\n".join(cm)
+    filt = b""
+    cfilt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+        cmap_body = zlib.compress(cmap_body)
+        cfilt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FAKEAA+Synth "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap_body)).encode() + cfilt
+        + b" >>\nstream\n" + cmap_body + b"\nendstream",
+    ]
+    return _assemble(objs)
+
+
+def _assemble(objs: list[bytes]) -> bytes:
+    """Number the objects 1..n, append xref + trailer."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -233,11 +585,14 @@ FROM documents
 )
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-source ingest through the PDF stack: plant each
-    document's text in a Flate-compressed one-page PDF, extract it
-    back with the real parser, and return (doc_id, text). The oracle
-    is the documents table itself — a hash match proves object/stream
-    parsing, inflate, unescaping, and operator walking reproduced
-    every planted byte.
+    document's text in a one-page PDF — every 4th doc via a
+    Type0/Identity-H font whose private glyph codes only the
+    /ToUnicode CMap walk can map back, the rest as plain
+    (un)compressed literal-string PDFs — extract it back with the
+    real parser, and return (doc_id, text). The oracle is the
+    documents table itself — a hash match proves object/stream
+    parsing, inflate, unescaping, operator walking, and CMap decoding
+    reproduced every planted byte.
 
     The explicit repartition exists because the parse is CPU-heavy
     per row while the input is few large splits: without it the
@@ -256,7 +611,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                blob = build_pdf(str(text), compress=int(doc_id) % 4 != 3)
+                if int(doc_id) % 4 == 1:
+                    blob = build_pdf_cmap(str(text))
+                else:
+                    blob = build_pdf(
+                        str(text), compress=int(doc_id) % 4 != 3
+                    )
                 rows.append(
                     {"doc_id": doc_id,
                      "pdf_text": extract_pdf_text(blob)}

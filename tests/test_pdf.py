@@ -99,6 +99,16 @@ def test_unsupported_filter_streams_skipped():
     assert extract_pdf_text(patched) == "kept text"
 
 
+def test_indirect_length_multidigit_falls_back_to_heuristic():
+    """``/Length 92 0 R`` must not backtrack to a prefix match ("9"):
+    the indirect reference is unresolvable here, so framing falls back
+    to the end-of-stream newline heuristic and the text survives."""
+    text = "indirect length document body"
+    raw = build_pdf(text, compress=False)
+    patched = re.sub(rb"/Length \d+", b"/Length 92 0 R", raw)
+    assert extract_pdf_text(patched) == text
+
+
 def test_bad_header_raises():
     with pytest.raises(ValueError, match="header"):
         extract_pdf_text(b"NOPE")
@@ -119,3 +129,97 @@ def test_unescape_inverts_builder_escape(raw):
         .replace(b")", rb"\)")
     )
     assert _unescape(esc) == raw
+
+
+# ------------------------------------------------------- CMap decoding
+
+
+def test_cmap_roundtrip_basic():
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    for text in [
+        "hello cmap world",
+        "line one\nline two",
+        "unicode é café naïve",
+        "abcdefg runs xyz 0123456789",
+    ]:
+        for compress in (True, False):
+            assert (
+                extract_pdf_text(build_pdf_cmap(text, compress=compress))
+                == text
+            )
+
+
+def test_cmap_codes_are_not_the_text():
+    """The content stream of a CMap PDF must not contain the plaintext
+    — proving extraction really went through the ToUnicode walk."""
+    import zlib
+
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    text = "secret plaintext sentence"
+    blob = build_pdf_cmap(text, compress=False)
+    assert text.encode() not in blob
+    assert extract_pdf_text(blob) == text
+    # compressed variant: inflate every stream, still no plaintext
+    blob_z = build_pdf_cmap(text, compress=True)
+    assert text.encode() not in zlib.decompressobj().decompress(
+        blob_z.split(b"stream\n", 1)[1]
+    )
+
+
+def test_cmap_bfrange_array_form_and_one_byte_codes():
+    """A hand-built simple font with a 1-byte ToUnicode CMap using the
+    array destination form ``<lo> <hi> [<d0> <d1> ...]``."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange <41> <43> [<0058> <0059> <005A>] endbfrange\n"
+        b"1 beginbfchar <20> <0020> endbfchar\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (ABC CBA) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /FAKEBB+Map "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+    ]
+    # A=0x41→X, B→Y, C→Z via the array range; space via bfchar
+    assert extract_pdf_text(_assemble(objs)) == "XYZ ZYX"
+
+
+def test_indirect_stream_length_resolves_via_object_graph():
+    """``/Length 6 0 R`` pointing at a bare-integer object resolves
+    exactly (the pre-r07 parser could only fall back to heuristics)."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    content = b"BT /F1 12 Tf 72 720 Td (exact framing) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream",
+        str(len(content)).encode(),
+    ]
+    assert extract_pdf_text(_assemble(objs)) == "exact framing"
+
+
+def test_font_without_tounicode_passes_bytes_through():
+    """A font carrying no /ToUnicode keeps the baseline behavior:
+    string bytes extract as-is."""
+    assert extract_pdf_text(build_pdf("plain bytes")) == "plain bytes"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(st.characters(codec="utf-8", min_codepoint=32), max_size=60))
+def test_property_cmap_roundtrip(text):
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    assert extract_pdf_text(build_pdf_cmap(text)) == text
