@@ -12,9 +12,10 @@ DataFrame ops:
     its neighbors (one union + one groupBy-min shuffle per round),
     stopping when a round changes nothing. Rounds needed = graph
     diameter — dup clusters are near-cliques (diameter ≤ ~2-3), so
-    this converges in 2-4 rounds; the O(log n)-round alternating
-    large-star/small-star variant is the drop-in upgrade if a corpus
-    ever produces deep chains.
+    this converges in 2-4 rounds; if a corpus produces deep chains
+    instead, propagation AUTO-ESCALATES to the O(log n)-round
+    alternating large-star/small-star variant after ``escalate_after``
+    non-converged rounds (measured, not assumed).
   - the cluster id is the min doc_id in the component; the keeper IS
     that doc — deterministic, no ordering sensitivity.
 
@@ -33,7 +34,9 @@ from pyanamo_spark.dedup.ngram import q_dedup_ngram
 from pyanamo_spark.registry import ORACLES, register
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, escalate_after: int = 5
+) -> DataFrame:
     """(a, b) undirected edge pairs → (node, comp) with comp = min node
     id in the component. Nodes are those appearing in edges.
 
@@ -46,6 +49,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     is the fault-tolerant form of the same move). The convergence check
     is an exact changed-row count — a round that changes nothing proves
     every node already holds its component's min (monotone fixpoint).
+
+    WHY propagation stays the default (VERDICT r06 item 6): rounds
+    needed = graph DIAMETER, and duplicate graphs are near-cliques —
+    a cluster of mutual near-dups has diameter ≤ 2, the mutant fixture
+    converges in 1 propagation round past the seeded aggregate, and
+    each round costs ONE shuffle vs the star algorithm's two
+    (large-star + small-star, each a self-join + groupBy-min over the
+    edge list). The star variant's O(log n) bound only wins on DEEP
+    chains (version histories A≈B≈C≈…), which is exactly what
+    ``escalate_after`` covers: if propagation hasn't converged after
+    that many rounds, the graph is measurably chain-shaped and the
+    remainder runs through ``connected_components_star`` — the
+    diameter never silently degrades to O(n) rounds.
     """
     sym = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
@@ -67,7 +83,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .select("node", F.least("node", "nb").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = sym.join(
             labels, sym["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "comp")
@@ -86,6 +102,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if rnd + 1 >= escalate_after:
+            # still changing after escalate_after rounds: the graph is
+            # chain-shaped (diameter > near-clique), so finish in
+            # O(log n) star rounds instead of O(diameter) propagation
+            return connected_components_star(edges, max_iter=max_iter)
     return labels
 
 

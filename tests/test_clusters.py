@@ -29,6 +29,23 @@ def test_long_path_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_deep_chain_escalates_to_star_and_stays_correct(spark):
+    """VERDICT r06 item 6: propagation auto-escalates to the star
+    algorithm when the graph is measurably chain-shaped — a 40-node
+    path with escalate_after=3 cannot converge by propagation in 3
+    rounds, so the star path must produce the labels (and they must
+    be the same min-labels propagation would eventually reach)."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            df, max_iter=25, escalate_after=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_direction_and_duplicates_irrelevant(spark):
     got = _components(spark, [(5, 2), (2, 5), (2, 9), (9, 5)])
     assert got == {2: 2, 5: 2, 9: 2}
