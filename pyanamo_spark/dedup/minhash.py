@@ -147,7 +147,15 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     return pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
 
 
-@register("q_dedup_near", oracle=None)
+@register(
+    "q_dedup_near",
+    oracle=None,
+    rows_only_reason=(
+    "MinHash signatures are xxhash64-based (no DuckDB equivalent);"
+    " planted-mutant tests pin recall and the exact-jaccard verify"
+    " stage bounds precision"
+    ),
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 near-dup dedup: MinHash-LSH candidates verified by exact
     shingle Jaccard ≥ 0.5 over the mutant corpus."""

@@ -149,7 +149,15 @@ def semantic_prune(
     )
 
 
-@register("q_semantic_prune", oracle=None)
+@register(
+    "q_semantic_prune",
+    oracle=None,
+    rows_only_reason=(
+    "k-means block assignment depends on seeded init and float"
+    " iteration; tests pin keeper semantics and prune-rate bounds on"
+    " planted clusters"
+    ),
+)
 def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means blocks via the IVF
     quantizer, per-cluster BLAS cosine pairs, connected-component

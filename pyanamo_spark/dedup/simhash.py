@@ -216,7 +216,15 @@ def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
     ).select(sig_col, "k.pair_idx", "k.key_val")
 
 
-@register("q_dedup_simhash", oracle=None)
+@register(
+    "q_dedup_simhash",
+    oracle=None,
+    rows_only_reason=(
+    "64-bit SimHash signatures are xxhash64-derived (no DuckDB"
+    " equivalent); planted-mutant tests pin recall at Hamming<=7 and"
+    " blocking completeness"
+    ),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash dedup: all pairs within Hamming distance 7
     over the mutant corpus.

@@ -369,7 +369,15 @@ def source_overlap_estimate(corpus: DataFrame) -> DataFrame:
     )
 
 
-@register("q_overlap_estimate", oracle=None)
+@register(
+    "q_overlap_estimate",
+    oracle=None,
+    rows_only_reason=(
+    "HLL sketch estimates are engine-specific;"
+    " tests/test_spans_lines.py bounds the estimate against the exact"
+    " overlap"
+    ),
+)
 def q_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-estimated cross-source span overlap (HLL
     inclusion-exclusion) — rows-only (estimates are

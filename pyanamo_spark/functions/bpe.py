@@ -253,7 +253,15 @@ def encode_bpe(
     )
 
 
-@register("q_bpe_encode", oracle=None)
+@register(
+    "q_bpe_encode",
+    oracle=None,
+    rows_only_reason=(
+    "BPE merge application is an iterative greedy algorithm outside"
+    " SQL; parity-tested token-by-token against a pure-Python"
+    " reference including tie-breaks"
+    ),
+)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply: learn {N_MERGES} merges on the documents
     table, then encode the same corpus and report per-doc token
@@ -265,7 +273,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_bpe(docs, merges)
 
 
-@register("q_bpe_train", oracle=None)
+@register(
+    "q_bpe_train",
+    oracle=None,
+    rows_only_reason=(
+    "the merge loop is iterative and stateful (rank k depends on"
+    " ranks <k), not SQL-expressible; parity-tested against a"
+    " pure-Python trainer including tie-breaks"
+    ),
+)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE merge table after {N_MERGES} rounds over the documents
     corpus: (rank, left, right, n_pairs). Rows-only; the merge

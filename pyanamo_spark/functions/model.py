@@ -310,7 +310,15 @@ def logistic_score(
     )
 
 
-@register("q_logit_score", oracle=None)
+@register(
+    "q_logit_score",
+    oracle=None,
+    rows_only_reason=(
+    "IRLS fitting is iterative float math whose coefficients no SQL"
+    " replays bit-exactly; tests pin the confusion matrix against a"
+    " numpy reference fit"
+    ),
+)
 def q_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-classifier lifecycle, all in-engine: label documents
     long (n_chars ≥ 250), fit P(long | token count, mean word length)

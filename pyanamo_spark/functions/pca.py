@@ -217,7 +217,16 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_df(emb, "embedding", DIM)
 
 
-@register("q_pca_project")  # eigendecomposition is not SQL-expressible
+@register(
+    "q_pca_project",
+    oracle=None,
+    rows_only_reason=(
+        "the eigendecomposition of the covariance is not"
+        " SQL-expressible and component signs are convention-dependent;"
+        " tests pin projection orthogonality, explained variance, and"
+        " agreement with a numpy reference up to sign"
+    ),
+)
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitened top-8 PCA projection of every embedding: fit from
     distributed moments, project with literal-matrix JVM expressions.

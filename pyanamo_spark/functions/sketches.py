@@ -37,7 +37,15 @@ HH_SUPPORT = 0.0075
 PCT_ACCURACY = 10_000
 
 
-@register("q_percentiles_approx", oracle=None)
+@register(
+    "q_percentiles_approx",
+    oracle=None,
+    rows_only_reason=(
+    "Greenwald-Khanna sketch results depend on merge order across"
+    " partitions; tests bound every approx quantile inside the exact"
+    " neighboring order statistics"
+    ),
+)
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles of order value: the mergeable-
     summary path that replaces q_percentiles' exact sort at scale.

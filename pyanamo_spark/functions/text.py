@@ -51,7 +51,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct", oracle=None)
+@register(
+    "q_approx_distinct",
+    oracle=None,
+    rows_only_reason=(
+    "HyperLogLog++ estimates differ across engines by construction;"
+    " tests bound the estimate against the exact distinct count"
+    ),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 approx_count_distinct: HyperLogLog++ cardinality of the token
     vocabulary per language. Rows-only: DuckDB's approx sketch is a
@@ -903,7 +910,15 @@ def compression_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("q_compress_filter", oracle=None)
+@register(
+    "q_compress_filter",
+    oracle=None,
+    rows_only_reason=(
+    "per-doc deflate ratios depend on zlib version/strategy, not"
+    " SQL-expressible; tests pin the repetitive-flag semantics on"
+    " planted high/low-entropy docs"
+    ),
+)
 def q_compress_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality filter over the corpus: per-doc
     deflate ratio + the repetitive flag. Rows-only (deflate output is

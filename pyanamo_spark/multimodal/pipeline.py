@@ -706,7 +706,15 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_audio_features, schema=AUDIO_FEATURE_SCHEMA)
 
 
-@register("q_audio_features", oracle=None)
+@register(
+    "q_audio_features",
+    oracle=None,
+    rows_only_reason=(
+    "features come from decoding generated binary audio through"
+    " pure-Python codecs DuckDB cannot run; codec roundtrip tests pin"
+    " every decoder against its encoder"
+    ),
+)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio path on REAL samples: one generated tone per
     document row, rotated across PCM16/24, G.711 μ-law/A-law, IEEE
@@ -719,7 +727,14 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_wav_assets(spark, ids=ids))
 
 
-@register("q_multimodal_decode", oracle=None)
+@register(
+    "q_multimodal_decode",
+    oracle=None,
+    rows_only_reason=(
+    "image decode (PNG/JPEG/GIF/BMP/TIFF) is not SQL-expressible;"
+    " codec roundtrip tests pin decoders bit-exactly"
+    ),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image path on REAL pixels: one generated image per
     document row (PNG, with every 3rd asset baseline JPEG in both
@@ -733,7 +748,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_image_assets(spark, ids=ids))
 
 
-@register("q_multimodal_features", oracle=None)
+@register(
+    "q_multimodal_features",
+    oracle=None,
+    rows_only_reason=(
+    "byte-level feature extraction over binary assets; deterministic"
+    " but only computable in the Arrow batch path, semantics pinned by"
+    " tests"
+    ),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star multimodal pipeline: binary assets → Arrow-batched
     byte-feature extraction. Rows-only (byte histograms are not
@@ -853,7 +876,14 @@ def video_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_video_features, schema=VIDEO_FEATURE_SCHEMA)
 
 
-@register("q_video_frames", oracle=None)
+@register(
+    "q_video_frames",
+    oracle=None,
+    rows_only_reason=(
+    "MJPEG-AVI container probing and frame decode are not"
+    " SQL-expressible; codec roundtrip tests pin the decoder"
+    ),
+)
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end video path on REAL frames: one generated MJPEG-AVI
     clip per document row → container probe → strided frame decode

@@ -126,7 +126,15 @@ def mine_contrastive(
     )
 
 
-@register("q_contrastive_pairs", oracle=None)
+@register(
+    "q_contrastive_pairs",
+    oracle=None,
+    rows_only_reason=(
+    "positives come from LSH candidate buckets and negatives from"
+    " seeded hashing — both engine-specific; test_contrastive.py pins"
+    " triplet structure and anchor/positive similarity floors"
+    ),
+)
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplets over the documents fixture. Rows-only
     (LSH banding is engine-hash-specific); planted-duplicate recall,

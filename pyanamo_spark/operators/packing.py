@@ -65,7 +65,15 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("q_pack_sequences", oracle=None)
+@register(
+    "q_pack_sequences",
+    oracle=None,
+    rows_only_reason=(
+    "bin assignment depends on first-fit-decreasing iteration order,"
+    " which no SQL can replay; tests/test_packing.py property-checks"
+    " the <=256-token bin invariant and single-bin oversize rule"
+    ),
+)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star sequence packing: documents → (doc_id, n_tokens,
     bin_id) with every bin's token sum ≤ 256 (single oversized docs get

@@ -141,7 +141,15 @@ def q_nest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_rand_order", oracle=None)
+@register(
+    "q_rand_order",
+    oracle=None,
+    rows_only_reason=(
+    "seeded rand() — reproducible within Spark, but DuckDB's PRNG"
+    " differs so engines can never hash-agree; row count and schema"
+    " are still driver-checked"
+    ),
+)
 def q_rand_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 random work-order shuffle (client.py:133, runner.py:97):
     seeded rand so the run is reproducible within Spark; declared
@@ -156,7 +164,14 @@ def q_rand_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample_topk", oracle=None)
+@register(
+    "q_sample_topk",
+    oracle=None,
+    rows_only_reason=(
+    "seeded random sample — same PRNG-divergence contract as"
+    " q_rand_order; sample size is pinned by tests"
+    ),
+)
 def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 random input sampling (`aws s3 ls | sort -R | head`,
     Tailoring the Example Docker.md:160) → seeded rand + limit;

@@ -22,6 +22,11 @@ from pyanamo_spark import semantics
 
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
+#: why each oracle-less query is rows-only BY CONTRACT (VERDICT r06
+#: item 2: every rows-only id carries either an oracle or a documented
+#: reason); surfaced in OPERATORS.md and enforced by
+#: tests/test_registry_contract.py
+ROWS_ONLY_REASONS: dict[str, str] = {}
 
 #: SURVEY.md §2 declared query ids, in inventory order.  The driver's
 #: CORRECTNESS recorder keeps only the first ~50 entries of ``queries()``,
@@ -142,11 +147,14 @@ def register(
     name: str,
     oracle: str | None = None,
     needs_views: tuple[str, ...] = (),
+    rows_only_reason: str | None = None,
 ):
     """Decorator: register a declared query.
 
     ``oracle=None`` marks a rows-only query (non-deterministic or not
-    SQL-expressible); the driver then records the weaker check.
+    SQL-expressible); the driver then records the weaker check, and
+    ``rows_only_reason`` must say WHY no oracle is possible and what
+    pins the semantics instead (the contract test enforces this).
     ``needs_views`` lists semantic views (tasks/nests/job_states) the
     oracle SQL references — they are inlined as DuckDB CTEs.
     """
@@ -166,6 +174,8 @@ def register(
                 if needs_views
                 else oracle
             )
+        if rows_only_reason is not None:
+            ROWS_ONLY_REASONS[name] = rows_only_reason
         return wrapped
 
     return deco

@@ -266,7 +266,15 @@ def search_index(
     )
 
 
-@register("q_knn_ivf", oracle=None)
+@register(
+    "q_knn_ivf",
+    oracle=None,
+    rows_only_reason=(
+    "IVF probes a seeded k-means partition of the index; recall vs"
+    " the exact q_knn_topk is test-bounded (>=0.9), which is the"
+    " meaningful check for an ANN path"
+    ),
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 IVF search: queries (vec_id < 3) probe their 2 nearest
     refined centroids and rank only those inverted lists."""

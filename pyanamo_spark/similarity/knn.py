@@ -116,7 +116,14 @@ def _bucket(emb_col: str):
     )
 
 
-@register("q_knn_lsh", oracle=None)
+@register(
+    "q_knn_lsh",
+    oracle=None,
+    rows_only_reason=(
+    "LSH bucket assignment is hash-seed-specific; recall vs exact"
+    " q_knn_topk is test-bounded, the meaningful ANN check"
+    ),
+)
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: sign-LSH bucketed top-k — queries probe only
     their own bucket. Rows-only (xxhash-derived planes have no DuckDB
@@ -149,7 +156,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESCORE_POOL = 20
 
 
-@register("q_knn_quantized", oracle=None)
+@register(
+    "q_knn_quantized",
+    oracle=None,
+    rows_only_reason=(
+    "int8 quantization error is implementation-defined; recall vs"
+    " exact q_knn_topk is test-bounded"
+    ),
+)
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 two-stage retrieval over the int8-quantized index
     (functions/vectors.py::quantize_embeddings): stage 1 ranks ALL

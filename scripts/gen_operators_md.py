@@ -14,7 +14,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from pyanamo_spark.registry import DECLARED, ORACLES, QUERIES, load_all
+from pyanamo_spark.registry import (
+    DECLARED,
+    ORACLES,
+    QUERIES,
+    ROWS_ONLY_REASONS,
+    load_all,
+)
 
 
 def first_line(doc: str | None) -> str:
@@ -63,6 +69,21 @@ def main() -> int:
             doc = first_line(QUERIES[name].__doc__).replace("|", "\\|")
             lines.append(f"| {name} | {check} | {w} | {doc} |")
         lines.append("")
+    lines += [
+        "## Why rows-only",
+        "",
+        "Each oracle-less query documents why no cross-engine hash",
+        "check is possible and what pins its semantics instead",
+        "(enforced by tests/test_registry_contract.py).",
+        "",
+        "| query | reason |",
+        "|---|---|",
+    ]
+    for name in sorted(ROWS_ONLY_REASONS):
+        lines.append(
+            f"| {name} | {ROWS_ONLY_REASONS[name]} |"
+        )
+    lines.append("")
     (REPO / "OPERATORS.md").write_text("\n".join(lines))
     print(f"OPERATORS.md: {len(QUERIES)} queries across {len(by_module)} modules")
     return 0

@@ -328,3 +328,18 @@ def test_oracle_checked_queries_return_scalar_columns_only(spark, sf_dir):
         if bad:
             offenders.append((name, bad))
     assert not offenders, f"complex-typed oracle results: {offenders}"
+
+
+def test_every_rows_only_query_documents_why():
+    """VERDICT r06 item 2: each oracle-less query carries a documented
+    reason (why no oracle is possible + what pins semantics instead),
+    surfaced in OPERATORS.md."""
+    from pyanamo_spark.registry import ROWS_ONLY_REASONS
+
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    missing = [n for n in rows_only if n not in ROWS_ONLY_REASONS]
+    assert not missing, f"rows-only ids without a reason: {missing}"
+    stale = [n for n in ROWS_ONLY_REASONS if n in ORACLES]
+    assert not stale, f"reasons on oracle-backed ids: {stale}"
+    short = [n for n, r in ROWS_ONLY_REASONS.items() if len(r) < 40]
+    assert not short, f"reasons too thin to be useful: {short}"
