@@ -149,21 +149,18 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     postings = prepped.select(
         "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )
-    # df as a count-over-window instead of aggregate + join-back: one
-    # exchange of the postings by h (the window) instead of two (the
-    # agg's partial/final pair PLUS re-shuffling the postings to meet
-    # it) — the df>=2 filter then runs before the per-doc rank shuffle
-    ranked = (
-        postings.withColumn(
-            "df", F.count("*").over(Window.partitionBy("h"))
-        )
-        .filter(F.col("df") >= 2)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "h")
-            ),
-        )
+    # df via aggregate + join-back, NOT a count-over-window: the agg
+    # partial-combines map-side so its exchange carries only distinct
+    # shingles, while a window would sort-shuffle EVERY posting row by
+    # h (measured 1.6x worse on the sf1 gate)
+    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = postings.join(
+        df_tab.filter(F.col("df") >= 2), "h"
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")
+        ),
     )
     prefix_pool = ranked.filter(
         F.col("rnk")
