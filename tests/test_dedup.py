@@ -120,3 +120,41 @@ def test_contain_prefix_filter_finds_all_boilerplate_pairs(
     assert all(
         r.containment >= CONTAIN_T for r in out if r.contained_doc == 900
     )
+
+
+def test_ngram_index_cache_semantics(spark, sf_dir, tmp_path):
+    """The shared prefix-filter index caches per (app, sf_dir) for real
+    fixture directories, BYPASSES the cache for sentinel sf_dirs (tests
+    plant ad-hoc documents views there), and evicts+unpersists the old
+    corpus when a new one arrives."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup import _NGRAM_INDEX, ngram_index
+
+    semantics.ensure_views(spark, sf_dir)
+    idx1 = ngram_index(spark, sf_dir)
+    assert ngram_index(spark, sf_dir) is idx1  # cache hit
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _NGRAM_INDEX
+
+    # sentinel sf_dir: never cached, never evicts the real entry
+    spark.createDataFrame(
+        [(1, "a b c d e", "en")], "doc_id long, text string, lang string"
+    ).createOrReplaceTempView("documents")
+    adhoc = ngram_index(spark, "planted-sentinel")
+    assert adhoc is not ngram_index(spark, "planted-sentinel")
+    assert key in _NGRAM_INDEX and _NGRAM_INDEX[key] is idx1
+
+    # a second real corpus evicts (and unpersists) the first
+    other = str(tmp_path / "corpus2")
+    import os
+
+    os.makedirs(other)
+    semantics.ensure_views(spark, sf_dir)  # restore real views
+    idx2 = ngram_index(spark, other)
+    assert (spark.sparkContext.applicationId, other) in _NGRAM_INDEX
+    assert key not in _NGRAM_INDEX
+    assert idx2.prepped.storageLevel.useMemory
+    assert not idx1.prepped.storageLevel.useMemory  # unpersisted
+    # leave the real-corpus index in place for other tests
+    _NGRAM_INDEX.clear()
+    ngram_index(spark, sf_dir)
