@@ -127,6 +127,15 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     cacheable = bool(sf_dir) and os.path.isdir(sf_dir)
     if cacheable and key in _NGRAM_INDEX:
         return _NGRAM_INDEX[key]
+    if cacheable:
+        # evict stale corpora BEFORE persisting the new index: the
+        # cache manager keys on the analyzed plan, so if an old entry's
+        # plan happens to match the new one (same underlying view),
+        # unpersisting it afterwards would silently drop the new cache
+        for k in [k for k in _NGRAM_INDEX if k != key]:
+            old = _NGRAM_INDEX.pop(k)
+            old.prepped.unpersist()
+            old.prefix_pool.unpersist()
     corpus = corpus_with_mutants(spark)
     prepped = (
         corpus.select(
@@ -144,8 +153,13 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     if cacheable:
         # persisted (spillable), not localCheckpoint: the shingle
         # arrays are corpus-sized and must be allowed to overflow to
-        # disk on big fixtures
-        prepped = prepped.persist()
+        # disk on big fixtures. Cached PRE-PARTITIONED on doc_id: the
+        # verify joins key on doc ids, so the cache's output
+        # partitioning satisfies ENSURE_REQUIREMENTS and only the
+        # (tiny) candidate-pair side exchanges — the corpus-sized
+        # shingle-array rows are shuffled ONCE at build instead of
+        # twice per family query
+        prepped = prepped.repartition("doc_id").persist()
     postings = prepped.select(
         "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )
@@ -170,9 +184,5 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
         prefix_pool = prefix_pool.persist()
     idx = NgramIndex(prepped, postings, prefix_pool)
     if cacheable:
-        for k in [k for k in _NGRAM_INDEX if k != key]:
-            old = _NGRAM_INDEX.pop(k)
-            old.prepped.unpersist()
-            old.prefix_pool.unpersist()
         _NGRAM_INDEX[key] = idx
     return idx

@@ -48,17 +48,16 @@ EXCHANGE_BUDGET = {
     # expansion joins; every exchanged row is (sig) or (sig, key) —
     # 16 bytes — and the r05 sf1 gate shows the result: 3.6x cost at
     # 10x data where the 2-exchange form was 98x
-    "q_dedup_ngram": 12,  # prefix-filter rewrite (r06): global-df
-    # aggregate, per-doc rank window, prefix self-join, candidate
-    # distinct, and the two verify join-backs each exchange once; all
-    # but the verify joins carry (doc, hash) or (doc, count) rows.
-    # The price bought the sf1 ratio down from 22.3x to ~5x at 10x
-    # data — the d^2 posting blowup was the superlinear term.
-    # r07: 8→12 is STATIC double-print only — the df-ranked postings
-    # moved into the shared persisted ngram_index (built once, reused
-    # by q_dedup_contain/q_dedup_clusters), and the prefix self-join
-    # prints the InMemoryRelation's lineage (incl. its exchanges)
-    # under both join legs; LIVE exchanges per suite run went DOWN
+    "q_dedup_ngram": 8,  # prefix-filter form (r06): prefix self-join,
+    # candidate distinct, and the two verify join-backs; rows are
+    # (doc, hash) ids except the verify joins. The price bought the
+    # sf1 ratio down from 22.3x to ~5x at 10x data — the d^2 posting
+    # blowup was the superlinear term. r07: the df-ranked postings
+    # live in the shared persisted ngram_index (built once, reused by
+    # q_dedup_contain/q_dedup_clusters, prepped pre-partitioned on
+    # doc_id so verify joins exchange only candidate ids); the audit
+    # now excludes cached-lineage exchanges, so this budget is the
+    # live per-run topology
     "q_model_score": 4,  # train-split regr aggregation (two-phase)
     # + the final per-(flag, tree-class) report aggregation; the
     # GROUPS-sized model joins back as a broadcast with no exchange
@@ -223,13 +222,12 @@ EXCHANGE_BUDGET = {
     # consumers (grid join, per-value totals, distinct sources) and
     # each PRINTS it; all post-scan frames are (sources × distinct
     # values)-sized, cumulative windows partition by source
-    "q_dedup_contain": 8,  # posting df agg + prefix-rank window +
-    # shuffle + the two full-set verification joins; wide rows are
-    # (doc, shingle-hash) pairs or candidate ids, never text.
-    # r07: 6→8 is the shared-index static double-print (see
-    # q_dedup_ngram) — the persisted ranked postings' lineage prints
-    # under both the prefix leg and the container-side full postings;
-    # live cost is one index build per corpus, shared across the family
+    "q_dedup_contain": 6,  # one-sided prefix join vs full postings +
+    # candidate distinct + the two verification joins; wide rows are
+    # (doc, shingle-hash) pairs or candidate ids, never text. r07:
+    # the prefix pool and doc_id-partitioned corpus come from the
+    # shared ngram_index cache (its build exchanges are excluded from
+    # this count — they run once per corpus, not per query)
     "q_decontaminate": 6,  # bench-side distinct (1) + its broadcast
     # (1) + count-distinct's two-phase Expand aggregation; every
     # exchanged row is an id pair — document text stays map-side
@@ -423,9 +421,52 @@ PLAN_NOTES = {
 }
 
 
+def cached_node_ranges(plan: str) -> list[tuple[int, int]]:
+    """(lo, hi] node-id spans of cached subtrees in a formatted plan.
+
+    An ``InMemoryRelation (r)`` prints its cached lineage as the next
+    tree line's subtree — formatted node numbering is one global
+    sequence, so the cached subtree occupies exactly the ids in
+    ``(r, child_id]``. Indentation can't be used instead: nested AQE
+    plans inside a cached relation print their own "Final Plan" blocks
+    at SHALLOWER columns than the relation node."""
+    ranges: list[tuple[int, int]] = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"InMemoryRelation \((\d+)\)", ln)
+        if m and i + 1 < len(lines):
+            m2 = re.search(r"\((\d+)\)\s*$", lines[i + 1])
+            if m2:
+                ranges.append((int(m.group(1)), int(m2.group(1))))
+    return ranges
+
+
+def count_exchanges(plan: str) -> int:
+    """Exchange mentions OUTSIDE cached subtrees (tree + details lines,
+    matching the historical budget calibration).
+
+    A persisted frame's lineage executes at most ONCE — at cache
+    materialization — but the formatted explain prints it under every
+    consumer, so counting its exchanges charges the build N times per
+    query and double-charges every query reusing a shared cache."""
+    ranges = cached_node_ranges(plan)
+
+    def cached(k: int) -> bool:
+        return any(lo < k <= hi for lo, hi in ranges)
+
+    ids = [
+        int(m.group(1) or m.group(2))
+        for m in re.finditer(
+            r"(?<![A-Za-z])Exchange \((\d+)\)|\((\d+)\) Exchange\b",
+            plan,
+        )
+    ]
+    return sum(1 for k in ids if not cached(k))
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
-    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    n_exchange = count_exchanges(plan)
     budget = EXCHANGE_BUDGET.get(name, 2)
     if n_exchange > budget:
         flags.append(f"FLAG: {n_exchange} exchanges (budget {budget})")

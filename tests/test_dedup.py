@@ -136,10 +136,14 @@ def test_ngram_index_cache_semantics(spark, sf_dir, tmp_path):
     key = (spark.sparkContext.applicationId, sf_dir)
     assert key in _NGRAM_INDEX
 
-    # sentinel sf_dir: never cached, never evicts the real entry
+    # sentinel sf_dir: never cached, never evicts the real entry.
+    # The conf marker must move with the replaced view, or a later
+    # ensure_views(sf_dir) would skip re-registering and every
+    # subsequent test would silently run on this 1-row corpus.
     spark.createDataFrame(
         [(1, "a b c d e", "en")], "doc_id long, text string, lang string"
     ).createOrReplaceTempView("documents")
+    spark.conf.set("pyanamo_spark.views.sf_dir", "planted-sentinel")
     adhoc = ngram_index(spark, "planted-sentinel")
     assert adhoc is not ngram_index(spark, "planted-sentinel")
     assert key in _NGRAM_INDEX and _NGRAM_INDEX[key] is idx1
@@ -153,8 +157,12 @@ def test_ngram_index_cache_semantics(spark, sf_dir, tmp_path):
     idx2 = ngram_index(spark, other)
     assert (spark.sparkContext.applicationId, other) in _NGRAM_INDEX
     assert key not in _NGRAM_INDEX
+    # the NEW index is cached; eviction ran BEFORE persist, so even a
+    # plan-identical old entry (same underlying view, as here) cannot
+    # have cancelled it (idx1's storageLevel may still READ as cached
+    # for exactly that plan-identity reason — only idx2's matters)
     assert idx2.prepped.storageLevel.useMemory
-    assert not idx1.prepped.storageLevel.useMemory  # unpersisted
+    assert idx2.prefix_pool.storageLevel.useMemory
     # leave the real-corpus index in place for other tests
     _NGRAM_INDEX.clear()
     ngram_index(spark, sf_dir)
