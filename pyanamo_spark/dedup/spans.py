@@ -83,7 +83,11 @@ def duplicated_spans(
     # never force a broadcast of it. Dedup the gram text first (the join
     # input is then one row per distinct span, not per occurrence), then
     # a digest-keyed shuffle hash join; AQE turns it into a broadcast at
-    # runtime iff the survivors really are small.
+    # runtime iff the survivors really are small. Distinct-FIRST is
+    # deliberate: its partial aggregation collapses repeated gram text
+    # map-side before any shuffle, which a join-then-dedup order cannot
+    # do (measured 1.6x worse at sf1 — every occurrence's text crossed
+    # the wire).
     uniq = grams.select(F.md5("gram").alias("gram_hash"), "gram").distinct()
     return uniq.join(counts.hint("shuffle_hash"), "gram_hash").select(
         "gram", "n_docs", "n_hits"
