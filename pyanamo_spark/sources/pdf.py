@@ -169,7 +169,8 @@ def _read_dict(data: bytes) -> bytes:
             if depth == 0:
                 return data[start:i]
             continue
-        if data[i : i + 1] == b"(":
+        c = data[i : i + 1]
+        if c == b"(":
             j = i + 1
             d = 1
             while j < n and d:
@@ -183,6 +184,12 @@ def _read_dict(data: bytes) -> bytes:
                     d -= 1
                 j += 1
             i = j
+            continue
+        if c == b"<":  # single '<': a hex string — skip it whole, or
+            # "<41>>>" would pair the hex close with the dict's first
+            # '>' and truncate the dict one level early
+            j = data.find(b">", i + 1)
+            i = (j + 1) if j >= 0 else n
             continue
         i += 1
     return data[start:]

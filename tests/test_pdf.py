@@ -223,3 +223,14 @@ def test_property_cmap_roundtrip(text):
     from pyanamo_spark.sources.pdf import build_pdf_cmap
 
     assert extract_pdf_text(build_pdf_cmap(text)) == text
+
+
+def test_dict_scanner_survives_hex_strings_hugging_closers():
+    """``/ID <41>>>``: the hex string's '>' must not pair with the
+    dictionary's closing '>>' and truncate the balanced scan."""
+    from pyanamo_spark.sources.pdf import _read_dict
+
+    d = _read_dict(b"junk << /A << /ID <41> /B 2 >> /C 3 >> tail")
+    assert d.endswith(b"/C 3 >>")
+    d2 = _read_dict(b"<< /ID <4142>>>")
+    assert d2 == b"<< /ID <4142>>>"
