@@ -134,8 +134,15 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
         # unpersisting it afterwards would silently drop the new cache
         for k in [k for k in _NGRAM_INDEX if k != key]:
             old = _NGRAM_INDEX.pop(k)
-            old.prepped.unpersist()
-            old.prefix_pool.unpersist()
+            try:
+                old.prepped.unpersist()
+                old.prefix_pool.unpersist()
+            except Exception:
+                # the entry may belong to an already-stopped session
+                # (new SparkSession in the same process) — its cache
+                # died with the session; dropping the dict entry is
+                # all that's left to do
+                pass
     corpus = corpus_with_mutants(spark)
     prepped = (
         corpus.select(
