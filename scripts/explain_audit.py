@@ -464,12 +464,26 @@ def count_exchanges(plan: str) -> int:
     return sum(1 for k in ids if not cached(k))
 
 
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     n_exchange = count_exchanges(plan)
     budget = EXCHANGE_BUDGET.get(name, 2)
     if n_exchange > budget:
         flags.append(f"FLAG: {n_exchange} exchanges (budget {budget})")
+    # all-pairs smell: an unbroadcast cross product means NEITHER side
+    # was bounded — the genuine big-by-big disaster shape. (Broadcast
+    # nested-loop joins are not flagged: their build side is by
+    # construction under the broadcast threshold — the scalar-total
+    # cross pattern 31 queries legitimately use.)
+    if "CartesianProduct" in plan:
+        flags.append("FLAG: cartesian product (big-by-big all-pairs)")
+    # row-at-a-time Python UDFs are the forbidden slow path; Arrow
+    # batched forms (ArrowEvalPython, mapInPandas, FlatMapGroupsIn
+    # Pandas) are the sanctioned ones
+    if "BatchEvalPython" in plan:
+        flags.append("FLAG: row-at-a-time Python UDF (BatchEvalPython)")
     if "SortMergeJoin" in plan and "broadcast" in name:
         flags.append("FLAG: expected broadcast join, got sort-merge")
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
