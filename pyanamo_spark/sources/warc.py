@@ -52,13 +52,34 @@ def build_warc_record(
     status: int = 200,
     content_type: str = "text/plain",
     warc_type: str = "response",
+    chunked: bool = False,
 ) -> bytes:
-    """One WARC/1.0 record wrapping an HTTP response (fixture writer)."""
-    http = (
-        f"HTTP/1.1 {status} X\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode() + body
+    """One WARC/1.0 record wrapping an HTTP response (fixture writer).
+
+    ``chunked=True`` writes the body with ``Transfer-Encoding:
+    chunked`` (split into uneven chunks so multi-chunk reassembly is
+    actually exercised) — the wire form most real crawl responses
+    arrive in."""
+    if chunked:
+        wire = bytearray()
+        pos, step = 0, 7
+        while pos < len(body):
+            piece = body[pos : pos + step]
+            wire += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+            pos += len(piece)
+            step = step * 3 + 1  # uneven chunk sizes: 7, 22, 67, ...
+        wire += b"0\r\n\r\n"
+        http = (
+            f"HTTP/1.1 {status} X\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Transfer-Encoding: chunked\r\n\r\n"
+        ).encode() + bytes(wire)
+    else:
+        http = (
+            f"HTTP/1.1 {status} X\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
@@ -124,12 +145,34 @@ def parse_warc(payload: bytes) -> Iterator[dict]:
             http_end = block.index(_CRLF + _CRLF)
             status_line = block[: block.index(_CRLF)].split(b" ")
             rec["http_status"] = int(status_line[1])
+            chunked = False
             for line in block[:http_end].split(_CRLF)[1:]:
                 k, _, v = line.partition(b":")
-                if k.strip().lower() == b"content-type":
+                lk = k.strip().lower()
+                if lk == b"content-type":
                     rec["content_type"] = v.strip().decode()
-            rec["body"] = block[http_end + 4 :]
+                elif lk == b"transfer-encoding":
+                    chunked = b"chunked" in v.strip().lower()
+            raw_body = block[http_end + 4 :]
+            rec["body"] = _dechunk(raw_body) if chunked else raw_body
         yield rec
+
+
+def _dechunk(wire: bytes) -> bytes:
+    """Reassemble an HTTP/1.1 chunked body: ``<hex-size>[;ext]CRLF
+    <data>CRLF`` repeated until the 0-size terminator — most real
+    crawl responses arrive in this wire form. Trailers after the
+    terminator are discarded per RFC 9112 §7.1."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = wire.index(_CRLF, pos)
+        size = int(wire[pos:nl].split(b";")[0], 16)
+        if size == 0:
+            return bytes(out)
+        start = nl + 2
+        out += wire[start : start + size]
+        pos = start + size + 2  # skip the chunk's trailing CRLF
 
 
 def _split_plain(payload: bytes) -> Iterator[bytes]:
@@ -216,6 +259,10 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                             body,
                             status=status,
                             content_type=ctype,
+                            # every 5th doc ships chunked: the oracle
+                            # recomputes body_bytes from the text, so
+                            # the hash match proves dechunking too
+                            chunked=i % 5 == 1,
                         )
                     )
                 out.append(

@@ -111,3 +111,35 @@ def test_chain_with_html_extract(spark):
         .first()
     )
     assert out.t == "hello & goodbye"
+
+
+def test_chunked_transfer_encoding_roundtrip():
+    """Transfer-Encoding: chunked bodies (the wire form most real
+    crawl responses arrive in) reassemble exactly — multi-chunk, with
+    uneven sizes, empty body, and gzip-member packaging."""
+    from pyanamo_spark.sources.warc import (
+        build_warc_gz,
+        build_warc_record,
+        parse_warc,
+    )
+
+    bodies = [b"", b"x", b"hello chunked world " * 40]
+    recs = [
+        build_warc_record(f"https://fixture/{i}", b, chunked=True)
+        for i, b in enumerate(bodies)
+    ]
+    # plain concatenation AND the gzip-member layout
+    for payload in (b"".join(recs), build_warc_gz(recs)):
+        got = [r["body"] for r in parse_warc(payload)]
+        assert got == bodies
+    # the chunked wire form really is chunked (body not stored verbatim
+    # in one run when it spans chunks)
+    assert b"hello chunked world " * 40 not in recs[2]
+
+
+def test_chunk_extensions_are_ignored():
+    """RFC 9112: a chunk size may carry ;extensions — skip them."""
+    from pyanamo_spark.sources.warc import _dechunk
+
+    wire = b"5;ext=1\r\nhello\r\n1\r\n!\r\n0\r\n\r\ntrailer: x\r\n\r\n"
+    assert _dechunk(wire) == b"hello!"
