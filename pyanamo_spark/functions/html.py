@@ -28,13 +28,44 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
 
-#: (entity, char) in decode order — &amp; must come last
+#: (entity, char) in decode order — &amp; must come last so that
+#: double-encoded text ("&amp;lt;") decodes one level per pass, like
+#: every standards-following extractor. The set covers the named and
+#: numeric forms that dominate real crawl corpora; each entry is one
+#: codegen'd JVM replace, so breadth here is nearly free.
 _ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
     ("&#39;", "'"),
+    ("&#x27;", "'"),
     ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&hellip;", "…"),
+    ("&bull;", "•"),
+    ("&middot;", "·"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&times;", "×"),
+    ("&eacute;", "é"),
+    ("&egrave;", "è"),
+    ("&agrave;", "à"),
+    ("&uuml;", "ü"),
+    ("&ouml;", "ö"),
+    ("&auml;", "ä"),
+    ("&ccedil;", "ç"),
     ("&amp;", "&"),
 )
 

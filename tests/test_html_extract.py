@@ -52,3 +52,22 @@ def test_query_covers_all_documents(spark, sf_dir):
         assert "alert(" not in r.clean_text  # script payload gone
         assert "color:red" not in r.clean_text  # style payload gone
         assert "  " not in r.clean_text
+
+
+def test_extended_entities_decode(spark):
+    """The real-corpus entity set: named punctuation/accents and the
+    numeric quote forms all decode; &amp; decodes LAST so
+    double-encoded text drops exactly one level per pass."""
+    from pyanamo_spark.functions.html import html_to_text
+
+    html = (
+        "<p>A&ndash;B &mdash; &ldquo;q&rdquo; &rsquo;s &hellip; "
+        "caf&eacute; 10&deg; 3&times;4 &copy; &#x27;x&#39; "
+        "&amp;lt;kept&amp;gt;</p>"
+    )
+    [row] = (
+        spark.range(1)
+        .select(html_to_text(F.lit(html)).alias("t"))
+        .collect()
+    )
+    assert row.t == "A–B — “q” ’s … café 10° 3×4 © 'x' &lt;kept&gt;"
