@@ -141,11 +141,38 @@ def _iter_strings(content: bytes) -> Iterator[tuple[str, bytes]]:
 
 
 def _parse_objects(payload: bytes) -> dict[int, bytes]:
-    """``N G obj ... endobj`` bodies keyed by object number."""
-    return {
+    """``N G obj ... endobj`` bodies keyed by object number, plus the
+    objects packed inside compressed object streams (``/Type /ObjStm``
+    — how most post-1.5 PDFs store their page/font dictionaries): the
+    stream's ``/N`` pairs of ``objnum offset`` index its decompressed
+    body, and each slice registers as a regular object."""
+    objs = {
         int(m.group(1)): m.group(2)
         for m in _OBJ_RE.finditer(payload)
     }
+    for num, body in list(objs.items()):
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is None:
+            continue
+        d = _read_dict(body[: sm.start()])
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        data = _object_stream(objs, num)
+        nm = re.search(rb"/N\s+(\d+)", d)
+        fm = re.search(rb"/First\s+(\d+)", d)
+        if data is None or nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = [int(x) for x in data[:first].split()][: 2 * n]
+        entries = list(zip(pairs[0::2], pairs[1::2]))
+        for i, (onum, off) in enumerate(entries):
+            end = (
+                first + entries[i + 1][1]
+                if i + 1 < len(entries)
+                else len(data)
+            )
+            objs.setdefault(onum, data[first + off : end])
+    return objs
 
 
 def _read_dict(data: bytes) -> bytes:

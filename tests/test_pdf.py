@@ -234,3 +234,47 @@ def test_dict_scanner_survives_hex_strings_hugging_closers():
     assert d.endswith(b"/C 3 >>")
     d2 = _read_dict(b"<< /ID <4142>>>")
     assert d2 == b"<< /ID <4142>>>"
+
+
+def test_object_stream_packed_dictionaries_resolve():
+    """Modern (PDF 1.5+) files pack page/font dictionaries into a
+    compressed /ObjStm; the object-graph walk must find them there.
+    The content stream draws PRIVATE glyph codes through a Type0 font
+    whose dict lives inside the object stream — the text decodes only
+    if the packed objects (catalog, pages, page, font) really resolve,
+    so the stream-walk fallback cannot fake a pass."""
+    import zlib as _z
+
+    from pyanamo_spark.sources.pdf import _assemble
+
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"3 beginbfchar <0001> <0068> <0002> <0069> <0003> <0021> "
+        b"endbfchar\n"
+    )
+    packed = [
+        (10, b"<< /Type /Catalog /Pages 11 0 R >>"),
+        (11, b"<< /Type /Pages /Kids [12 0 R] /Count 1 >>"),
+        (12, b"<< /Type /Page /Parent 11 0 R /Contents 2 0 R "
+             b"/Resources << /Font << /F1 13 0 R >> >> >>"),
+        (13, b"<< /Type /Font /Subtype /Type0 /BaseFont /FAKECC+S "
+             b"/Encoding /Identity-H /ToUnicode 3 0 R >>"),
+    ]
+    offsets, blob = [], b""
+    for num, body in packed:
+        offsets.append((num, len(blob)))
+        blob += body + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    stm = _z.compress(header + blob)
+    # codes 1,2,3 -> "hi!" only via the packed font's CMap
+    content = b"BT /F1 12 Tf 72 720 Td <000100020003> Tj ET"
+    objs = [
+        b"<< /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(stm)).encode()
+        + b" >>\nstream\n" + stm + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+    ]
+    assert extract_pdf_text(_assemble(objs)) == "hi!"
