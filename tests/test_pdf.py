@@ -278,3 +278,20 @@ def test_object_stream_packed_dictionaries_resolve():
         + b" >>\nstream\n" + cmap + b"\nendstream",
     ]
     assert extract_pdf_text(_assemble(objs)) == "hi!"
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(st.characters(codec="utf-8", min_codepoint=32), max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_property_multiline_cmap_roundtrip(lines):
+    """Multi-line text through the Type0/CMap route: newline structure
+    and every character survive."""
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    text = "\n".join(lines)
+    assert extract_pdf_text(build_pdf_cmap(text)) == text

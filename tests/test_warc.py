@@ -6,6 +6,8 @@ from __future__ import annotations
 import gzip
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyanamo_spark.sources.warc import (
     _split_gzip_members,
@@ -143,3 +145,14 @@ def test_chunk_extensions_are_ignored():
 
     wire = b"5;ext=1\r\nhello\r\n1\r\n!\r\n0\r\n\r\ntrailer: x\r\n\r\n"
     assert _dechunk(wire) == b"hello!"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_property_chunked_roundtrip_any_body(body):
+    """Any byte body survives chunked encode → WARC wrap → parse."""
+    from pyanamo_spark.sources.warc import build_warc_record, parse_warc
+
+    rec = build_warc_record("https://fixture/p", body, chunked=True)
+    [out] = list(parse_warc(rec))
+    assert out["body"] == body
