@@ -63,16 +63,17 @@ def connected_components(
     remainder runs through ``connected_components_star`` — the
     diameter never silently degrades to O(n) rounds.
     """
-    sym = (
-        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
-        .union(
-            edges.select(
-                F.col("b").cast("long").alias("a"),
-                F.col("a").cast("long").alias("b"),
-            )
-        )
-        .localCheckpoint()
-    )
+    # checkpoint the edge list BEFORE symmetrizing: the union's two
+    # legs are both the caller's edge plan (for q_dedup_clusters, the
+    # whole ngram candidate+verify pipeline), and Spark executes each
+    # leg independently — one checkpoint first means the pair plan
+    # runs once, not twice
+    e = edges.select(
+        F.col("a").cast("long"), F.col("b").cast("long")
+    ).localCheckpoint()
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     # seed with round 0 folded in: comp = min(self, direct neighbors)
     # — one aggregation instead of a distinct + a full propagation
     # round; dup graphs are near-cliques, so most clusters converge
