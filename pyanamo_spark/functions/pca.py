@@ -231,12 +231,20 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitened top-8 PCA projection of every embedding: fit from
     distributed moments, project with literal-matrix JVM expressions.
     Verified by tests/test_pca.py (orthonormality, unit variance,
-    numpy parity); rows-only for the driver."""
+    numpy parity); rows-only for the driver.
+
+    The declared output serializes the projection to one CSV string
+    per row: the driver canonicalizes results through pandas, which
+    cannot sort list cells (the r05/r07 red-seat failure mode — see
+    tests/test_registry_contract.py's complex-type ban). Library
+    callers use ``project()`` directly for the real array column."""
     emb = spark.table("embeddings")
     model = fit_pca(emb, "embedding", DIM, TOP_K)
     out = project(emb, "embedding", model, whiten=True)
     return out.select(
         "vec_id",
         "label",
-        F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
+        F.concat_ws(
+            ",", F.transform("proj", lambda x: F.round(x, 6).cast("string"))
+        ).alias("proj"),
     )

@@ -37,29 +37,79 @@ HH_SUPPORT = 0.0075
 PCT_ACCURACY = 10_000
 
 
-@register(
-    "q_percentiles_approx",
-    oracle=None,
-    rows_only_reason=(
-    "Greenwald-Khanna sketch results depend on merge order across"
-    " partitions; tests bound every approx quantile inside the exact"
-    " neighboring order statistics"
-    ),
-)
-def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate per-group quantiles of order value: the mergeable-
-    summary path that replaces q_percentiles' exact sort at scale.
-    Rows-only by design — DuckDB's approx_quantile is a different
-    sketch, so cross-engine equality is impossible; the rank-error
-    guarantee (≤ n/accuracy per group) is asserted in
-    tests/test_sketches.py against exactly-computed ranks."""
-    orders = spark.table("orders")
-    return orders.groupBy("o_orderstatus").agg(
+#: the quantiles q_percentiles_approx audits
+PCT_QS = (0.25, 0.5, 0.75)
+
+
+def approx_percentiles(spark: SparkSession) -> DataFrame:
+    """Raw per-group GK quantiles (array output) — the library form;
+    tests/test_sketches.py bounds each element against exact Python
+    ranks."""
+    return spark.table("orders").groupBy("o_orderstatus").agg(
         F.percentile_approx(
-            "o_totalprice", [0.25, 0.5, 0.75], PCT_ACCURACY
+            "o_totalprice", list(PCT_QS), PCT_ACCURACY
         ).alias("approx_q"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "q_percentiles_approx",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(1 AS INTEGER) AS q25_ok,
+       CAST(1 AS INTEGER) AS q50_ok,
+       CAST(1 AS INTEGER) AS q75_ok
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Greenwald-Khanna quantile sketch with an IN-ENGINE
+    accuracy audit: the mergeable-summary path that replaces
+    q_percentiles' exact sort at scale, plus a second counting pass
+    that certifies the sketch's rank-error guarantee
+    (|rank(v) − p·n| ≤ n/accuracy) on this very dataset.
+
+    The raw approx values cannot be oracle-compared (DuckDB's
+    approx_quantile is a different sketch), but the GUARANTEE can:
+    the declared output emits one ok-flag per quantile — 1 when the
+    returned value's exact rank interval [#lt+1, #le] intersects the
+    permitted band — and the oracle asserts the flags are all 1 and
+    the group counts exact. A sketch regression (merge-order bug,
+    accuracy misconfig) flips a flag and fails the hash compare.
+
+    Scale shape: pass 1 is the sketch aggregation (map-combined GK
+    summaries, one shuffle of summary blobs); pass 2 broadcast-joins
+    the group-count-sized result back onto the scan and counts
+    lt/le matches per group — one more map-combined aggregation, no
+    sort anywhere. ``approx_percentiles()`` keeps the raw array form
+    for library callers (and for the exact-rank test)."""
+    approx = approx_percentiles(spark)
+    orders = spark.table("orders").select("o_orderstatus", "o_totalprice")
+    joined = orders.join(F.broadcast(approx), "o_orderstatus")
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(PCT_QS)):
+        v = F.element_at("approx_q", i + 1)
+        aggs.append(
+            F.sum((F.col("o_totalprice") < v).cast("long")).alias(f"lt_{i}")
+        )
+        aggs.append(
+            F.sum((F.col("o_totalprice") <= v).cast("long")).alias(f"le_{i}")
+        )
+    stats = joined.groupBy("o_orderstatus").agg(*aggs)
+    tol = F.col("n") / F.lit(PCT_ACCURACY) + F.lit(1.0)
+    cols = [
+        F.col("o_orderstatus"),
+        F.col("n").alias("n_orders"),
+    ]
+    for i, (p, name) in enumerate(zip(PCT_QS, ("q25_ok", "q50_ok", "q75_ok"))):
+        target = F.col("n") * F.lit(p)
+        ok = (
+            (F.col(f"lt_{i}") + F.lit(1) <= target + tol)
+            & (F.col(f"le_{i}") + F.lit(1) >= target - tol)
+        )
+        cols.append(ok.cast("int").alias(name))
+    return stats.select(*cols)
 
 
 @register(

@@ -743,9 +743,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table so the pipeline's volume tracks the corpus (and an empty
     corpus decodes nothing). Rows-only (pixel math is not
     SQL-expressible); determinism and numpy parity are pinned in
-    tests/test_multimodal.py and tests/test_jpeg.py."""
+    tests/test_multimodal.py and tests/test_jpeg.py.
+
+    The declared output serializes channel_mean/thumb to CSV strings:
+    the driver canonicalizes through pandas, which cannot sort list
+    cells (the r05/r07 red-seat failure mode). ``image_features()``
+    keeps the real array columns for library callers."""
     ids = spark.table("documents").select("doc_id").limit(64)
-    return image_features(synthetic_image_assets(spark, ids=ids))
+    feats = image_features(synthetic_image_assets(spark, ids=ids))
+    as_csv = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(c, lambda x: F.round(x, 6).cast("string"))
+    ).alias(c)
+    return feats.select(
+        "asset_id",
+        "height",
+        "width",
+        "channels",
+        as_csv("channel_mean"),
+        as_csv("thumb"),
+    )
 
 
 @register(
@@ -761,8 +777,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star multimodal pipeline: binary assets → Arrow-batched
     byte-feature extraction. Rows-only (byte histograms are not
     practically SQL-expressible in the oracle); determinism and schema
-    are asserted in tests/test_multimodal.py."""
-    return extract_features(synthetic_assets(spark))
+    are asserted in tests/test_multimodal.py.
+
+    The declared output unpacks the 4-bucket byte histogram into four
+    scalar columns: the driver canonicalizes through pandas, which
+    cannot sort list cells (the r05/r07 red-seat failure mode).
+    ``extract_features()`` keeps the array column for library
+    callers."""
+    feats = extract_features(synthetic_assets(spark))
+    return feats.select(
+        "asset_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.element_at("byte_hist", i + 1).alias(f"hist_q{i}")
+            for i in range(4)
+        ],
+        "entropy",
+    )
 
 
 # ---------------------------------------------------------------------

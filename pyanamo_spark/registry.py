@@ -41,16 +41,19 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r07 window (VERDICT r06 item 1: recording round, ~zero new
-    # queries): 5 canaries + 45 of the 53 never-driver-recorded ids.
-    # All 35 never-recorded ORACLE-backed ids are seated (hash-checked
-    # proof), plus the 10 rows-only family representatives the verdict
-    # names (SimHash, IVF kNN, BPE train, PCA, multimodal decode/audio/
-    # video, packing, contrastive, HLL overlap). The 8 deferred
-    # rows-only ids (q_compress_filter, q_bpe_encode,
-    # q_percentiles_approx, q_logit_score, q_semantic_prune, q_knn_lsh,
-    # q_knn_quantized, q_multimodal_features) are the r08 mop-up;
-    # cumulative recorded coverage 141 → ~186 of 194.
+    # r08 window (VERDICT r07: close-out round, zero new queries):
+    # 5 canaries + the 2 r07 RED seats re-recorded post array-fix
+    # (q_pca_project / q_multimodal_decode now serialize array columns
+    # at the query boundary; the complex-type ban in
+    # tests/test_registry_contract.py covers every declared query) +
+    # the final 8 never-recorded ids (q_percentiles_approx and
+    # q_logit_score converted rows-only → oracle per VERDICT item 5;
+    # q_multimodal_features / q_knn_quantized audited against the
+    # array ban BEFORE declaring, per VERDICT item 2) + the 35 stalest
+    # greens (all 8 remaining r01 records, all 4 r03, the 23
+    # alphabetically-first r04) so the earliest records are re-proven
+    # against the heavily-refactored codebase. After r08 records:
+    # cumulative 194/194 ever driver-recorded.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -60,62 +63,56 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # §2 M6/F12/F13 lock protocol — the one §2 row without an official
-    # driver record (VERDICT r06 priority seat #1)
-    "q_lock_protocol",
-    # the six r06-session queries (VERDICT priority seats #2)
-    "q_dedup_url",
-    "q_html_extract",
-    "q_warc_ingest",
-    "q_pdf_extract",
-    "q_decode_quarantine",
-    # rows-only family representatives (VERDICT priority seats #3) —
-    # seeded randomness / sketch / non-SQL-expressible, driver records
-    # the rows-only check; behavioral tests pin semantics
-    "q_dedup_simhash",
-    "q_knn_ivf",
-    "q_bpe_train",
+    # r07 RED re-seats (array-column canon crash, now serialized)
     "q_pca_project",
     "q_multimodal_decode",
-    "q_audio_features",
-    "q_video_frames",
-    "q_pack_sequences",
-    "q_contrastive_pairs",
-    "q_overlap_estimate",
-    # oracle-backed, never recorded: text-analysis family
-    "q_repetition",
-    "q_quality_filter",
-    "q_zipf",
-    "q_vocab_coverage",
-    "q_bigram_entropy",
-    "q_langid_eval",
-    "q_fuzzy_match",
-    "q_error_context",
-    # timeseries / statistics family
-    "q_sliding_window",
-    "q_rolling_median",
-    "q_ks_drift",
-    "q_autocorr",
-    "q_backtest",
-    "q_seasonality",
-    "q_changepoint",
-    "q_anomaly_seasonal",
-    "q_ab_test",
-    "q_streaks",
-    "q_winsorize",
-    "q_session_stats",
-    # curation / eval family
-    "q_coverage_curve",
-    "q_curriculum",
-    "q_time_split",
-    "q_score_calibrate",
-    "q_quantize",
-    # graph / paths family
-    "q_degree_stats",
-    "q_attribution",
-    "q_top_paths",
-    # dedup stragglers
-    "q_dup_by_source",
+    # final never-recorded ids (the r07 deferred mop-up 8)
+    "q_bpe_encode",
+    "q_compress_filter",
+    "q_knn_lsh",
+    "q_knn_quantized",
+    "q_logit_score",
+    "q_multimodal_features",
+    "q_percentiles_approx",
+    "q_semantic_prune",
+    # stale-proofing: every remaining r01-recorded green
+    "q_local_volume",
+    "q_nation_traffic",
+    "q_outliers",
+    "q_pricing_summary",
+    "q_priority_pending",
+    "q_revenue_forecast",
+    "q_top_orders",
+    "q_top_supplier",
+    # every remaining r03-recorded green
+    "q_date_format",
+    "q_limit",
+    "q_point_lookup",
+    "q_threshold_counts",
+    # oldest r04 greens (alphabetical; the rest rotate in r09+)
+    "q_bulk_update",
+    "q_dedup_lines",
+    "q_delete_anti",
+    "q_done_nests",
+    "q_dup_spans",
+    "q_event_window",
+    "q_filter_project",
+    "q_item_finalize",
+    "q_item_reset",
+    "q_join_anti",
+    "q_join_equi",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_roundtrip",
+    "q_knn_topk",
+    "q_lang_mix",
+    "q_line_count",
+    "q_log_mine",
+    "q_log_route",
+    "q_map_align",
+    "q_map_remove",
+    "q_map_update",
+    "q_nest_build",
 )
 
 

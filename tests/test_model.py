@@ -138,6 +138,55 @@ def test_logit_score_query(spark, sf_dir):
     assert correct > majority
 
 
+def test_logit_frozen_model_agrees_with_refit(spark, sf_dir):
+    """The frozen published coefficients (LOGIT_BETA) must still be
+    what the in-engine IRLS trainer produces on this corpus: a refit
+    at the test SF yields the same sign structure and decides the
+    held-out rows (almost) identically — i.e. the shipped model is the
+    trainer's output, not hand-tuned numbers."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.functions.model import (
+        LOGIT_BETA,
+        LOGIT_ETA_CUT,
+        _TRAIN_HI,
+        logistic_fit,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    toks = F.split("text", " ")
+    keyed = spark.table("documents").select(
+        (F.length("text") >= 250).cast("int").alias("long_doc"),
+        F.size(toks).cast("double").alias("n_toks"),
+        (F.length("text") / F.greatest(F.size(toks), F.lit(1))).alias(
+            "mean_wlen"
+        ),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hx"),
+    )
+    train = keyed.filter(F.col("hx") < _TRAIN_HI).persist()
+    refit = logistic_fit(train, y="long_doc", xs=["n_toks", "mean_wlen"])
+    train.unpersist()
+    assert np.sign(refit).tolist() == [np.sign(b) for b in LOGIT_BETA]
+    hold = keyed.filter(F.col("hx") >= _TRAIN_HI)
+
+    def decide(beta, cut):
+        eta = (
+            F.lit(float(beta[0]))
+            + F.lit(float(beta[1])) * F.col("n_toks")
+            + F.lit(float(beta[2])) * F.col("mean_wlen")
+        )
+        return (eta >= F.lit(float(cut))).cast("int")
+
+    agree = hold.select(
+        (decide(LOGIT_BETA, LOGIT_ETA_CUT) == decide(refit, 0.0)).cast(
+            "int"
+        ).alias("same")
+    ).agg(F.avg("same").alias("rate"), F.count("*").alias("n")).first()
+    # refit decides at prob 0.5 (eta >= 0); the frozen cut is the
+    # train prevalence — boundary rows may differ, the bulk must not
+    assert agree.n > 0
+    assert agree.rate > 0.9, agree
+
+
 def test_logit_scoring_plan_stays_jvm_side(spark, sf_dir):
     from pyanamo_spark.functions.model import q_logit_score
 

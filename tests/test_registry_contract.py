@@ -16,19 +16,20 @@ load_all()
 
 #: declared ids that are rows-only BY CONTRACT: seeded randomness or a
 #: sketch/codec algorithm DuckDB cannot replicate — engines cannot
-#: agree on a value hash. The r07 window seats the 10 never-recorded
-#: rows-only family representatives the verdict names.
+#: agree on a value hash. The r08 window's rows-only seats: the 2 r07
+#: red re-seats (arrays now serialized at the query boundary) plus the
+#: 6 rows-only ids of the final never-recorded mop-up
+#: (q_percentiles_approx and q_logit_score were converted rows-only →
+#: oracle per VERDICT r07 item 5 and sit in ROTATED_IN_R08).
 DECLARED_ROWS_ONLY: set[str] = {
-    "q_dedup_simhash",
-    "q_knn_ivf",
-    "q_bpe_train",
     "q_pca_project",
     "q_multimodal_decode",
-    "q_audio_features",
-    "q_video_frames",
-    "q_pack_sequences",
-    "q_contrastive_pairs",
-    "q_overlap_estimate",
+    "q_bpe_encode",
+    "q_compress_filter",
+    "q_knn_lsh",
+    "q_knn_quantized",
+    "q_semantic_prune",
+    "q_multimodal_features",
 }
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
@@ -40,8 +41,9 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: both r05 reds recorded green in CORRECTNESS_r06 — no held red seats
-RED_SEATS_HELD: set[str] = set()
+#: the two r07 RED seats (array-column canon crash): a red seat keeps
+#: its place until it records clean — both now serialize their arrays
+RED_SEATS_HELD: set[str] = {"q_pca_project", "q_multimodal_decode"}
 
 #: ids whose recorded-window seat was ceded in the r07 rotation
 #: (recorded in the r06 window: 46 green oracle seats + 4 rows-only by
@@ -199,8 +201,86 @@ ROTATED_OUT_EARLIER = {
     "q_threshold_counts",
 }
 
+#: ids whose seats were ceded in the r08 rotation, all recorded in the
+#: r07 window: the 35 oracle seats rotated in at r07 (below) plus the
+#: 8 rows-only family reps that recorded clean in r07
+#: (q_dedup_simhash, q_knn_ivf, q_bpe_train, q_audio_features,
+#: q_video_frames, q_pack_sequences, q_contrastive_pairs,
+#: q_overlap_estimate)
+ROTATED_OUT_R08_ROWS_ONLY = {
+    "q_dedup_simhash",
+    "q_knn_ivf",
+    "q_bpe_train",
+    "q_audio_features",
+    "q_video_frames",
+    "q_pack_sequences",
+    "q_contrastive_pairs",
+    "q_overlap_estimate",
+}
+
+#: the final 8 never-driver-recorded ids, seated at r08 (the r07
+#: deferred mop-up): 2 newly oracle-backed + 6 rows-only (in
+#: DECLARED_ROWS_ONLY). After these record, cumulative coverage is
+#: 194/194.
+ROTATED_IN_R08 = {
+    "q_bpe_encode",
+    "q_compress_filter",
+    "q_knn_lsh",
+    "q_knn_quantized",
+    "q_logit_score",
+    "q_multimodal_features",
+    "q_percentiles_approx",
+    "q_semantic_prune",
+}
+
+#: stale-proof re-seats (VERDICT r07 item 6): greens last recorded in
+#: r01/r03/r04, re-recorded at r08 against the heavily-refactored
+#: codebase — all 8 remaining r01 records, all 4 r03, and the 23
+#: alphabetically-first r04 records. These ids appear in the
+#: rotated-out history below; re-seating supersedes that.
+RESEATED_R08 = {
+    # r01 cohort
+    "q_local_volume",
+    "q_nation_traffic",
+    "q_outliers",
+    "q_pricing_summary",
+    "q_priority_pending",
+    "q_revenue_forecast",
+    "q_top_orders",
+    "q_top_supplier",
+    # r03 cohort
+    "q_date_format",
+    "q_limit",
+    "q_point_lookup",
+    "q_threshold_counts",
+    # r04 cohort (alphabetical prefix)
+    "q_bulk_update",
+    "q_dedup_lines",
+    "q_delete_anti",
+    "q_done_nests",
+    "q_dup_spans",
+    "q_event_window",
+    "q_filter_project",
+    "q_item_finalize",
+    "q_item_reset",
+    "q_join_anti",
+    "q_join_equi",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_roundtrip",
+    "q_knn_topk",
+    "q_lang_mix",
+    "q_line_count",
+    "q_log_mine",
+    "q_log_route",
+    "q_map_align",
+    "q_map_remove",
+    "q_map_update",
+    "q_nest_build",
+}
+
 #: the 35 oracle-backed seats rotated IN at r07 — never driver-recorded
-#: before this window (the 10 rows-only reps live in DECLARED_ROWS_ONLY)
+#: before that window; all recorded green in r07 and ceded at r08
 ROTATED_IN_R07 = {
     "q_lock_protocol",
     "q_dedup_url",
@@ -241,13 +321,21 @@ ROTATED_IN_R07 = {
 
 
 def test_rotated_out_ids_stay_registered():
-    gone = ROTATED_OUT_R07 | ROTATED_OUT_R06 | ROTATED_OUT_EARLIER
+    gone = (
+        ROTATED_IN_R07
+        | ROTATED_OUT_R08_ROWS_ONLY
+        | ROTATED_OUT_R07
+        | ROTATED_OUT_R06
+        | ROTATED_OUT_EARLIER
+    ) - RESEATED_R08
     missing = [n for n in gone if n not in QUERIES]
     assert not missing, missing
     # every oracle'd rotated-out id keeps its oracle
     missing_oracle = [
         n
-        for n in (ROTATED_OUT_R07 | ROTATED_OUT_R06) - ROTATED_OUT_ROWS_ONLY
+        for n in (ROTATED_IN_R07 | ROTATED_OUT_R07 | ROTATED_OUT_R06)
+        - ROTATED_OUT_ROWS_ONLY
+        - RESEATED_R08
         if n not in ORACLES
     ]
     assert not missing_oracle, missing_oracle
@@ -262,16 +350,22 @@ def test_canaries_hold_their_seats():
 
 
 def test_rotated_in_ids_sit_in_the_window():
-    for n in ROTATED_IN_R07:
+    for n in ROTATED_IN_R08 | RESEATED_R08:
         assert n in DECLARED, n
+    for n in RESEATED_R08:
         assert n in ORACLES, n
     for n in RED_SEATS_HELD | DECLARED_ROWS_ONLY:
         assert n in DECLARED, n
-    # window composition is exactly canaries + held reds + rows-only
-    # family reps + the r07 rotation
+    # the converted ids really did gain oracles (VERDICT r07 item 5)
+    assert "q_percentiles_approx" in ORACLES
+    assert "q_logit_score" in ORACLES
+    # window composition is exactly canaries + held red re-seats + the
+    # final never-recorded mop-up + the stale-proof re-seats
     assert set(DECLARED) == (
-        CANARIES | RED_SEATS_HELD | DECLARED_ROWS_ONLY | ROTATED_IN_R07
+        CANARIES | RED_SEATS_HELD | ROTATED_IN_R08 | RESEATED_R08
     )
+    # every rows-only seat in the window is contractually documented
+    assert DECLARED_ROWS_ONLY <= set(DECLARED)
 
 
 def test_declared_ids_all_registered():
@@ -301,24 +395,26 @@ def test_oracle_order_mirrors_query_order():
     assert qs == list(ordered_oracles())
 
 
-def test_oracle_checked_queries_return_scalar_columns_only(spark, sf_dir):
+def test_declared_queries_return_scalar_columns_only(spark, sf_dir):
     """Driver-canon contract: the driver canonicalizes results through
-    pandas (sort_values + astype(str)), which CRASHES on array/map cells
-    — CORRECTNESS_r05's q_session_events burned a recorded seat this
-    way. Every oracle-paired query must therefore project only scalar
-    columns; complex values are emitted delimiter-joined (array_join)
-    with a string_agg oracle. Rows-only ids are exempt (never hashed).
+    pandas (sort_values + astype(str)), which CRASHES on array/map
+    cells — CORRECTNESS_r05's q_session_events burned an oracle seat
+    this way, and CORRECTNESS_r07's q_pca_project/q_multimodal_decode
+    burned two ROWS-ONLY seats the same way (the driver sorts rows-only
+    results too before counting). So the ban covers EVERY registered
+    query, not just oracle-paired ones: complex values are emitted
+    delimiter-joined (array_join / concat_ws) or unpacked into scalar
+    columns at the declared-query boundary; the library functions keep
+    the real array columns for direct callers.
 
     Schema-only: building the DataFrame is lazy for all but the few
-    checkpoint-using plans, so this sweeps all ~170 oracled queries in
-    seconds at sf0.001.
+    checkpoint-using plans, so this sweeps all ~194 queries in seconds
+    at sf0.001.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
     for name, fn in ordered_queries().items():
-        if name not in ORACLES:
-            continue
         schema = fn(spark, sf_dir).schema
         bad = [
             f.name
@@ -327,7 +423,7 @@ def test_oracle_checked_queries_return_scalar_columns_only(spark, sf_dir):
         ]
         if bad:
             offenders.append((name, bad))
-    assert not offenders, f"complex-typed oracle results: {offenders}"
+    assert not offenders, f"complex-typed declared results: {offenders}"
 
 
 def test_every_rows_only_query_documents_why():

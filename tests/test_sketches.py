@@ -9,14 +9,20 @@ import math
 
 from pyspark.sql import functions as F
 
-from pyanamo_spark.functions.sketches import HH_SUPPORT, PCT_ACCURACY
+from pyanamo_spark.functions.sketches import (
+    HH_SUPPORT,
+    PCT_ACCURACY,
+    approx_percentiles,
+)
 from pyanamo_spark.registry import QUERIES
+from pyanamo_spark import semantics
 
 
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    semantics.ensure_views(spark, sf_dir)
     got = {
         r.o_orderstatus: r.approx_q
-        for r in QUERIES["q_percentiles_approx"](spark, sf_dir).collect()
+        for r in approx_percentiles(spark).collect()
     }
     rows = spark.table("orders").select("o_orderstatus", "o_totalprice").collect()
     by_group: dict[str, list[float]] = {}
@@ -42,6 +48,17 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
                 v,
                 (lo, hi, target),
             )
+
+
+def test_percentiles_approx_audit_all_green(spark, sf_dir):
+    """The declared query's in-engine rank-error audit must certify
+    every quantile of every group (this is what the DuckDB oracle
+    asserts as literal 1s)."""
+    rows = QUERIES["q_percentiles_approx"](spark, sf_dir).collect()
+    assert rows, "orders fixture is non-empty"
+    for r in rows:
+        assert (r.q25_ok, r.q50_ok, r.q75_ok) == (1, 1, 1), r
+        assert r.n_orders > 0
 
 
 def test_heavy_hitters_equals_exact(spark, sf_dir):
