@@ -106,8 +106,13 @@ def connected_components(
         if rnd + 1 >= escalate_after:
             # still changing after escalate_after rounds: the graph is
             # chain-shaped (diameter > near-clique), so finish in
-            # O(log n) star rounds instead of O(diameter) propagation
-            return connected_components_star(edges, max_iter=max_iter)
+            # O(log n) star rounds instead of O(diameter) propagation.
+            # Hand over the already-checkpointed edge list, NOT the
+            # caller's `edges` plan — star's own localCheckpoint would
+            # otherwise re-execute the whole upstream candidate-pair
+            # pipeline (the same double-execution the pre-symmetrize
+            # checkpoint above exists to prevent)
+            return connected_components_star(e, max_iter=max_iter)
     return labels
 
 

@@ -228,11 +228,14 @@ def _frame_stream(d: bytes, raw: bytes, objs: dict[int, bytes]) -> bytes:
     object 6 is a bare integer) — falling back to the end-of-stream
     newline heuristic only when neither form resolves. (?!\\d) forbids
     prefix matches: without it, "/Length 92 0 R" backtracks to accept
-    "9" and truncates the body to 9 bytes."""
-    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)", d)
+    "9" and truncates the body to 9 bytes. The indirect guard accepts
+    ANY generation number ("/Length 92 1 R" is as indirect as
+    "/Length 92 0 R"), so the direct branch must look ahead for
+    \\d+\\s+R, not just 0\\s+R."""
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", d)
     if lm:
         return raw[: int(lm.group(1))]
-    im = re.search(rb"/Length\s+(\d+)\s+0\s+R", d)
+    im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", d)
     if im:
         ref = objs.get(int(im.group(1)))
         if ref is not None and ref.strip().isdigit():
@@ -313,8 +316,13 @@ def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
             else:
                 base = int(dst, 16)
                 for off in range(span):
-                    h = f"{base + off:0{len(dst)}X}".encode("ascii")
-                    mapping[int(lo, 16) + off] = dst_text(h)
+                    hs = f"{base + off:0{len(dst)}X}"
+                    if len(hs) % 2:  # foreign CMap whose run overflows
+                        # its declared width (spec-illegal — only the
+                        # last byte may increment): pad rather than
+                        # crash the whole document's decode
+                        hs = "0" + hs
+                    mapping[int(lo, 16) + off] = dst_text(hs.encode("ascii"))
     return width, mapping
 
 
@@ -519,7 +527,12 @@ def build_pdf_cmap(text: str, compress: bool = True) -> bytes:
     ops.append(b"ET")
     content = b" ".join(ops)
     # greedy bfranges over (code-consecutive, codepoint-consecutive)
-    # runs of BMP chars; singletons and astral chars go to bfchar
+    # runs of BMP chars; singletons and astral chars go to bfchar.
+    # Per the CMap spec only the LAST byte of a range destination
+    # increments, so a run must stay inside one 256-codepoint low-byte
+    # block (which also keeps every incremented destination ≤ 0xFFFF —
+    # an unbounded run starting near 0xFFF0 would format a 5-hex-digit
+    # destination the decoder's bytes.fromhex rejects)
     bfranges: list[tuple[int, int, str]] = []
     bfchars: list[tuple[int, str]] = []
     i = 0
@@ -527,8 +540,9 @@ def build_pdf_cmap(text: str, compress: bool = True) -> bytes:
         j = i
         while (
             j + 1 < len(chars)
-            and ord(chars[i]) <= 0xFFF0
+            and ord(chars[i]) <= 0xFFFF
             and ord(chars[j + 1]) == ord(chars[i]) + (j + 1 - i)
+            and (ord(chars[i]) + (j + 1 - i)) >> 8 == ord(chars[i]) >> 8
         ):
             j += 1
         if j > i:

@@ -46,6 +46,37 @@ def test_deep_chain_escalates_to_star_and_stays_correct(spark):
     assert got == {i: 0 for i in range(41)}
 
 
+def test_escalation_does_not_reexecute_upstream_plan(spark):
+    """ADVICE r07: the star escalation must receive the already-
+    checkpointed edge list, not the caller's plan — otherwise the full
+    upstream candidate-pair pipeline re-executes inside star's own
+    localCheckpoint (the same double-execution 16f14f8 fixed for the
+    common path). The accumulator counts upstream rows processed: the
+    40-edge plan must run exactly once even though escalate_after=3
+    forces the star path."""
+    import pandas as pd  # noqa: F401
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    edges = base.mapInPandas(bump, schema="a long, b long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            edges, max_iter=25, escalate_after=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+    assert acc.value == 40, f"upstream plan executed {acc.value / 40:.1f}x"
+
+
 def test_direction_and_duplicates_irrelevant(spark):
     got = _components(spark, [(5, 2), (2, 5), (2, 9), (9, 5)])
     assert got == {2: 2, 5: 2, 9: 2}

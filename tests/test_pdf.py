@@ -109,6 +109,70 @@ def test_indirect_length_multidigit_falls_back_to_heuristic():
     assert extract_pdf_text(patched) == text
 
 
+def test_generation_one_indirect_length_not_misframed():
+    """``/Length 92 1 R`` (generation 1) is exactly as indirect as
+    generation 0: the direct-length branch must not accept "92" and
+    truncate the body to 92 bytes (ADVICE r07). Unresolvable here, so
+    framing falls back to the newline heuristic and the text
+    survives."""
+    text = "a generation-one indirect length reference document body " * 3
+    raw = build_pdf(text.strip(), compress=False)
+    patched = re.sub(rb"/Length \d+", b"/Length 92 1 R", raw)
+    assert extract_pdf_text(patched) == text.strip()
+
+
+def test_indirect_length_any_generation_resolves_via_object_graph():
+    """``/Length 5 2 R`` resolves through the object graph just like
+    the generation-0 form."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    content = b"BT /F1 12 Tf 72 720 Td (gen two framing) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 5 2 R >>\nstream\n" + content + b"\nendstream",
+        str(len(content)).encode(),
+    ]
+    assert extract_pdf_text(_assemble(objs)) == "gen two framing"
+
+
+def test_cmap_run_near_bmp_ceiling_stays_four_hex_digits():
+    """16+ codepoint-consecutive chars starting near 0xFFF0 must not
+    emit a bfrange whose incremented destination exceeds 0xFFFF (a
+    5-hex-digit dst crashes bytes.fromhex in the decoder — ADVICE
+    r07); the builder bounds runs to one 256-codepoint block, so the
+    roundtrip survives."""
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    text = "".join(chr(c) for c in range(0xFFE8, 0xFFEE)) + "".join(
+        chr(c) for c in range(0xFF00, 0xFF20)
+    )
+    assert extract_pdf_text(build_pdf_cmap(text)) == text
+
+
+def test_cmap_run_never_crosses_a_low_byte_block():
+    """Per the CMap spec only the last byte of a range destination
+    increments: a consecutive run crossing a 256-codepoint boundary
+    (U+00F8..U+0107) must split into per-block ranges and still
+    roundtrip."""
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    text = "".join(chr(c) for c in range(0x00F8, 0x0108))
+    blob = build_pdf_cmap(text, compress=False)
+    assert extract_pdf_text(blob) == text
+    # no emitted bfrange spans the 0x0100 block boundary in its dst:
+    # every <lo> <hi> <dst> line keeps dst+span-1 within dst's block
+    import re as _re
+
+    for lo, hi, dst in _re.findall(
+        rb"<([0-9A-F]{4})> <([0-9A-F]{4})> <([0-9A-F]{4})>", blob
+    ):
+        span = int(hi, 16) - int(lo, 16)
+        d = int(dst, 16)
+        assert (d + span) >> 8 == d >> 8, (lo, hi, dst)
+
+
 def test_bad_header_raises():
     with pytest.raises(ValueError, match="header"):
         extract_pdf_text(b"NOPE")
