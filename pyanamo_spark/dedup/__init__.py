@@ -91,10 +91,18 @@ class NgramIndex:
     between one posting pass and three.
     """
 
-    def __init__(self, prepped, postings, prefix_pool):
+    def __init__(self, prepped, postings, prefix_pool, cacheable=False):
         self.prepped = prepped
         self.postings = postings
         self.prefix_pool = prefix_pool
+        self.cacheable = cacheable
+        #: lazily-memoized VERIFIED (doc_a, doc_b, jaccard) frame —
+        #: q_dedup_ngram's output IS q_dedup_clusters' input graph, so
+        #: the family computes candidates+verify once per corpus
+        #: (persisted by ngram.verified_ngram_pairs when cacheable;
+        #: the frame is output-sized — thousands of pairs, not
+        #: postings — so the storage cost is trivial)
+        self.ngram_pairs = None
 
     def prefix(self, t: float):
         """(doc_id, lang, size_bucket, n_sh, h) rows of each doc's
@@ -137,6 +145,8 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
             try:
                 old.prepped.unpersist()
                 old.prefix_pool.unpersist()
+                if old.ngram_pairs is not None:
+                    old.ngram_pairs.unpersist()
             except Exception:
                 # the entry may belong to an already-stopped session
                 # (new SparkSession in the same process) — its cache
@@ -189,7 +199,7 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     )
     if cacheable:
         prefix_pool = prefix_pool.persist()
-    idx = NgramIndex(prepped, postings, prefix_pool)
+    idx = NgramIndex(prepped, postings, prefix_pool, cacheable=cacheable)
     if cacheable:
         _NGRAM_INDEX[key] = idx
     return idx

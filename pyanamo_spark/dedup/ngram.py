@@ -93,7 +93,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyanamo_spark.dedup import ngram_index
 
-    idx = ngram_index(spark, sf_dir)
+    return verified_ngram_pairs(ngram_index(spark, sf_dir))
+
+
+def verified_ngram_pairs(idx) -> DataFrame:
+    """The family's verified (doc_a, doc_b, jaccard) pair table,
+    memoized on the shared index: q_dedup_ngram emits it and
+    q_dedup_clusters closes it into components, so candidates+verify
+    run once per corpus instead of once per family member. The frame
+    is OUTPUT-sized (true near-dup pairs), so persisting it costs
+    nothing next to the postings it saves recomputing."""
+    if idx.ngram_pairs is not None:
+        return idx.ngram_pairs
     prepped = idx.prepped
     # global document frequency — the total order for prefix ranking
     # (df asc, h asc as tiebreak). Rarest-first puts boilerplate last.
@@ -152,11 +163,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_jaccard = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    return (
+    pairs = (
         verified.filter(raw_jaccard >= THRESHOLD)
         .withColumn("jaccard", F.round(raw_jaccard, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
+    if idx.cacheable:
+        pairs = pairs.persist()
+        idx.ngram_pairs = pairs
+    return pairs
 
 
 # ---------------------------------------------------------------------
@@ -231,15 +246,26 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepped = idx.prepped
     # contained-side prefix: |A| - ceil(T·|A|) + 1 lowest-df shingles
     # (a subset of the cached FAMILY_MIN_T pool — same per-doc order)
-    a_prefix = idx.prefix(CONTAIN_T).select("doc_id", "lang", "h")
-    b_full = idx.postings.select("doc_id", "lang", "h")
+    a_prefix = idx.prefix(CONTAIN_T).select("doc_id", "lang", "n_sh", "h")
+    b_full = idx.postings.select("doc_id", "lang", "n_sh", "h")
     a, b = a_prefix.alias("a"), b_full.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # container-size prune, exact: |A∩B| ≤ |B|, so containment
+            # ≥ T·|A| forces |B| ≥ ceil(T·|A|) — a container smaller
+            # than that cannot hold the required intersection. Cuts
+            # the candidate set (and the array-carrying verify
+            # exchange behind it) before the distinct, with recall
+            # untouched (measured 7.8M → 5.5M distinct pairs and
+            # 14.3 s → ~6-9 s warm at sf1, same 458,334 output rows)
+            & (
+                F.col("b.n_sh")
+                >= F.ceil(F.lit(CONTAIN_T) * F.col("a.n_sh"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("contained_doc"),

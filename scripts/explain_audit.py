@@ -290,6 +290,10 @@ EXCHANGE_BUDGET = {
     # filter; nothing data-sized shuffles
     "q_percentiles": 4,  # bracket agg + fused stats agg (sketch
     # prefilter + exact verify), each two-phase
+    "q_percentiles_approx": 4,  # GK sketch agg (two-phase; the
+    # exchange carries per-partition summary blobs) + the in-engine
+    # rank-error audit's counting agg (two-phase) after the 3-row
+    # sketch result broadcasts back onto the scan — r08 oracle form
     "q_quality_filter": 4,  # global-percentile fit (2 aggs) + one-row
     # broadcast back onto the scoring scan
     "q_source_overlap": 8,  # the distinct-(source, digest) subtree is
@@ -407,16 +411,22 @@ PLAN_NOTES = {
         "(long, long) edge list. If a corpus ever measures deeper "
         "(propagation still changing after 5 rounds), the operator "
         "auto-escalates to alternating large-star/small-star with an "
-        "O(log n) round bound (dedup/clusters.py). sf1 wall-clock is "
-        "dominated by re-executing the shared ngram pair plan inside "
-        "the first localCheckpoint, not by CC rounds."
+        "O(log n) round bound (dedup/clusters.py). The input pair "
+        "graph is the family's memoized verified_ngram_pairs frame "
+        "(see q_dedup_ngram), so sf1 wall-clock is candidate+verify "
+        "once plus CC rounds — not a re-run of the pair pipeline."
     ),
     "q_dedup_ngram": (
         "First family member to run also MATERIALIZES the shared "
         "ngram_index (persisted tokenized corpus + FAMILY_MIN_T "
-        "prefix pool); q_dedup_contain and q_dedup_clusters then reuse "
-        "it, so per-query bench attribution charges the ~one-build "
-        "cost to whichever of the three runs first."
+        "prefix pool) AND the verified (doc_a, doc_b, jaccard) pair "
+        "frame (output-sized, persisted — q_dedup_clusters closes the "
+        "same pairs into components); q_dedup_contain reuses the "
+        "index, so per-query bench attribution charges the ~one-build "
+        "cost to whichever of the three runs first (r08: family total "
+        "at sf1 measured 66 s -> ~34 s; contain additionally prunes "
+        "candidates with the exact container-size bound |B| >= "
+        "ceil(T*|A|))."
     ),
 }
 

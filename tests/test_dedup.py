@@ -166,3 +166,22 @@ def test_ngram_index_cache_semantics(spark, sf_dir, tmp_path):
     # leave the real-corpus index in place for other tests
     _NGRAM_INDEX.clear()
     ngram_index(spark, sf_dir)
+
+
+def test_verified_pairs_memoized_on_shared_index(spark, sf_dir):
+    """The family computes candidates+verify ONCE per cacheable
+    corpus: q_dedup_ngram memoizes its verified pair frame on the
+    shared index and q_dedup_clusters consumes the same frame — a
+    second ngram call returns the memoized object, not a new plan."""
+    from pyanamo_spark.dedup import _NGRAM_INDEX, ngram_index
+    from pyanamo_spark.registry import QUERIES
+
+    _NGRAM_INDEX.clear()
+    first = QUERIES["q_dedup_ngram"](spark, sf_dir)
+    idx = ngram_index(spark, sf_dir)
+    assert idx.ngram_pairs is first
+    assert first.storageLevel.useMemory
+    assert QUERIES["q_dedup_ngram"](spark, sf_dir) is first
+    # non-directory sf_dirs (planted test corpora) must NOT memoize:
+    # a later planted corpus would otherwise read this corpus' pairs
+    assert ngram_index(spark, "").ngram_pairs is None
