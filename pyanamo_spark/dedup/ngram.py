@@ -104,7 +104,13 @@ def verified_ngram_pairs(idx) -> DataFrame:
     is OUTPUT-sized (true near-dup pairs), so persisting it costs
     nothing next to the postings it saves recomputing."""
     if idx.ngram_pairs is not None:
-        return idx.ngram_pairs
+        lvl = idx.ngram_pairs.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return idx.ngram_pairs
+        # a session-wide clearCache() dropped the memoized frame's
+        # storage — recompute and re-persist rather than serving a
+        # frame that silently recomputes on every action
+        idx.ngram_pairs = None
     prepped = idx.prepped
     # global document frequency — the total order for prefix ranking
     # (df asc, h asc as tiebreak). Rarest-first puts boilerplate last.

@@ -185,3 +185,22 @@ def test_verified_pairs_memoized_on_shared_index(spark, sf_dir):
     # non-directory sf_dirs (planted test corpora) must NOT memoize:
     # a later planted corpus would otherwise read this corpus' pairs
     assert ngram_index(spark, "").ngram_pairs is None
+
+
+def test_index_rebuilds_after_session_clearcache(spark, sf_dir):
+    """bench.py runs spark.catalog.clearCache() after every query: the
+    memoized index/pairs must detect the eviction and rebuild with a
+    fresh persist, not serve frames that silently recompute on every
+    action."""
+    from pyanamo_spark.dedup import _NGRAM_INDEX, ngram_index
+    from pyanamo_spark.registry import QUERIES
+
+    _NGRAM_INDEX.clear()
+    QUERIES["q_dedup_ngram"](spark, sf_dir)
+    idx_before = ngram_index(spark, sf_dir)
+    spark.catalog.clearCache()
+    idx_after = ngram_index(spark, sf_dir)
+    assert idx_after is not idx_before
+    pairs = QUERIES["q_dedup_ngram"](spark, sf_dir)
+    assert pairs.storageLevel.useMemory
+    assert idx_after.prepped.storageLevel.useMemory
