@@ -102,6 +102,13 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     join-backs, and without materialization each consumer re-tokenizes
     the full corpus (3x the dominant cost). Production materializes
     this table to parquet anyway — it IS the minhash index.
+
+    Reverted experiment (r08): repartitioning the corpus before the
+    shingle/signature stage — the fix that won for pdf/html/spans —
+    measured ~2x WORSE here (7.8 s -> 14 s at sf1, best-of-2): this
+    plan is dominated by the 32-wide band self-join and pair dedup,
+    not the scan-parallel signature pass, so the extra full-text
+    exchange buys nothing and costs a corpus shuffle.
     """
     prepped = (
         corpus.withColumn(

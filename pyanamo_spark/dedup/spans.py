@@ -8,7 +8,8 @@ surface spans that recur across distinct documents; downstream removal
 can then anchor on the flagged spans.
 
 Scale shape (same discipline as `dedup/lines.py`): the counting
-shuffle carries ONLY 16-byte gram digests; span text is recovered
+shuffle carries ONLY 8-byte xxhash64 gram digests; span text is
+recovered
 afterwards with a digest-keyed shuffle hash join against the
 surviving digest set. The survivor set is NOT assumed bounded — at
 min_docs this low, a heavily-duplicated crawl can surface a large
@@ -57,8 +58,22 @@ def doc_spans(corpus: DataFrame) -> DataFrame:
     cached array — inlining the split into the per-gram lambda makes
     Catalyst re-tokenize the whole document for every gram, an O(len²)
     blowup (measured 2.2 s → 0.4 s on the sf0.1 corpus).
+
+    The repartition exists for the same reason as q_pdf_extract's
+    (sources/pdf.py): tokenize+gram-build is CPU-heavy per row while
+    the fixture corpus is a few large parquet splits, so the explode
+    stage otherwise inherits the scan's 2-split parallelism and
+    strands the other cores. One narrow (doc_id, text) shuffle beats
+    serializing the gram work; on a real multi-thousand-split corpus
+    the scan already provides the parallelism and the exchange is a
+    no-op-sized rebalance.
     """
-    words = corpus.select("doc_id", F.split("text", " ").alias("_w"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    words = (
+        corpus.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", F.split("text", " ").alias("_w"))
+    )
     return words.select("doc_id", F.explode(gram_array()).alias("gram"))
 
 
@@ -72,7 +87,7 @@ def duplicated_spans(
     """
     grams = doc_spans(corpus)
     counts = (
-        grams.groupBy(F.md5("gram").alias("gram_hash"))
+        grams.groupBy(F.xxhash64("gram").alias("gram_hash"))
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_hits"),
@@ -88,7 +103,9 @@ def duplicated_spans(
     # map-side before any shuffle, which a join-then-dedup order cannot
     # do (measured 1.6x worse at sf1 — every occurrence's text crossed
     # the wire).
-    uniq = grams.select(F.md5("gram").alias("gram_hash"), "gram").distinct()
+    uniq = grams.select(
+        F.xxhash64("gram").alias("gram_hash"), "gram"
+    ).distinct()
     return uniq.join(counts.hint("shuffle_hash"), "gram_hash").select(
         "gram", "n_docs", "n_hits"
     )
@@ -148,7 +165,8 @@ def duplicated_passages(
          (start_word, end_word) via min/max
 
     Scale shape: the only data-sized shuffles carry (doc_id, i,
-    16-byte digest); the island window partitions by doc_id, so its
+    8-byte xxhash64 digest); the island window partitions by doc_id,
+    so its
     sort is bounded by document length, never corpus size. Returns
     (doc_id, start_word, end_word, n_words), word positions 1-based
     inclusive.
@@ -157,13 +175,31 @@ def duplicated_passages(
     salvage (/root/reference/code/executor.py tag handling) from "find
     the marker" to "find and bound every copied region".
     """
-    words = corpus.select("doc_id", F.split("text", " ").alias("_w"))
-    pos = words.select(
-        "doc_id", F.posexplode(gram_array()).alias("_p", "gram")
-    ).select(
-        "doc_id",
-        (F.col("_p") + 1).alias("i"),
-        F.md5("gram").alias("gram_hash"),
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    words = (
+        corpus.select("doc_id", "text")
+        .repartition(par)  # spread the CPU-heavy gram build (see
+        # doc_spans) instead of inheriting the scan's few splits
+        .select("doc_id", F.split("text", " ").alias("_w"))
+    )
+    # checkpoint the position table: both consumers below (the
+    # duplicated-digest aggregate and the hits join) hold it in their
+    # lineage, and Spark executes each lineage independently — without
+    # materialization the tokenize+explode+hash pass runs TWICE (the
+    # executed plan shows no ReusedExchange: the two consumers project
+    # differently, so their exchanges can never canonicalize equal).
+    # The checkpointed rows are (doc_id, i, 8-byte hash) — no text —
+    # so the materialization is position-count × 20 bytes
+    pos = (
+        words.select(
+            "doc_id", F.posexplode(gram_array()).alias("_p", "gram")
+        )
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).alias("i"),
+            F.xxhash64("gram").alias("gram_hash"),
+        )
+        .localCheckpoint()
     )
     dup = (
         pos.groupBy("gram_hash")
@@ -264,16 +300,29 @@ def source_overlap(corpus: DataFrame) -> DataFrame:
     (which sources syndicate or copy from each other).
 
     Scale shape: the distinct (source, gram) reduction shuffles only
-    16-byte digests; the pair join's fan-out per gram is bounded by
-    C(#sources, 2) — a catalog-sized constant — never by corpus size.
+    8-byte xxhash64 digests; the pair join's fan-out per gram is
+    bounded by C(#sources, 2) — a catalog-sized constant — never by
+    corpus size.
     """
-    words = corpus.select("source", F.split("text", " ").alias("_w"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    words = (
+        corpus.select("source", "text")
+        .repartition(par)  # spread the CPU-heavy gram build (see
+        # doc_spans) instead of inheriting the scan's few splits
+        .select("source", F.split("text", " ").alias("_w"))
+    )
     # source rides the explode directly — joining spans back to their
     # documents on doc_id would add a data-sized shuffle for nothing
+    # checkpoint the distinct (source, digest) set: the self-join's
+    # two legs each hold the scan+explode+distinct lineage and execute
+    # it independently (no ReusedExchange — join-key aliasing keeps the
+    # legs from canonicalizing equal); materializing the post-distinct
+    # rows (source + 8-byte hash) halves the heavy pass
     gs = (
         words.select("source", F.explode(gram_array()).alias("gram"))
-        .select("source", F.md5("gram").alias("gram_hash"))
+        .select("source", F.xxhash64("gram").alias("gram_hash"))
         .distinct()
+        .localCheckpoint()
     )
     a, b = gs.alias("a"), gs.alias("b")
     return (

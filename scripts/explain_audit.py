@@ -268,15 +268,22 @@ EXCHANGE_BUDGET = {
     # broadcasts
     "q_dup_passages": 8,  # position explode -> digest-count agg (2) +
     # digest-keyed hits join (2 sides) + per-doc island window sort +
-    # final interval aggregation; every wide row is (doc_id, i, digest)
+    # final interval aggregation; every wide row is (doc_id, i, digest).
+    # r08: the position table is localCheckpoint'ed (single execution
+    # of the tokenize pass) and the pre-explode repartition spreads the
+    # gram build across cores — both inside the truncated lineage
     "q_curation_funnel": 12,  # checkpointed numeric flag table feeds
     # the bounded-memory median (sketch agg, below-count agg, interior
     # window sort, pick — its inherent 4-pass shape, cf. q_percentiles)
     # plus the final 1-row rollup; without the checkpoint the composed
     # lineage printed ~90 exchanges
-    "q_dup_spans": 8,  # digest-count shuffle + digest-keyed
+    "q_dup_spans": 12,  # digest-count shuffle + digest-keyed
     # shuffle-hash text recovery (replaced the unbounded broadcast —
-    # two more exchanges, bounded memory at any duplication level)
+    # two more exchanges, bounded memory at any duplication level) +
+    # r08's pre-explode repartition, which appears once per consumer
+    # lineage (counts + text recovery both re-derive doc_spans; the
+    # narrow (doc_id, text) rebalance spreads the CPU-heavy gram build
+    # — sf1 8.3 s -> ~5.5 s)
     "q_embed_covariance": 8,  # moment partials (one row per Arrow
     # batch) + coordinate groupBy-sum + three broadcasts of the
     # (1+d+d²)-row moment table slices — all exchanged rows are scalars
@@ -296,11 +303,11 @@ EXCHANGE_BUDGET = {
     # sketch result broadcasts back onto the scan — r08 oracle form
     "q_quality_filter": 4,  # global-percentile fit (2 aggs) + one-row
     # broadcast back onto the scoring scan
-    "q_source_overlap": 8,  # the distinct-(source, digest) subtree is
-    # PRINTED once per self-join side (canonically identical →
-    # ReuseExchange dedups at runtime); live profile: gram-digest
-    # distinct, the pair join, the final pair groupBy — all digest- or
-    # catalog-sized rows
+    "q_source_overlap": 8,  # r08: the distinct-(source, digest) set is
+    # localCheckpoint'ed (the self-join legs executed the scan+explode+
+    # distinct lineage independently — measured, no ReusedExchange
+    # fired), so the printed plan is the pair join + final pair groupBy
+    # over the checkpointed rows — all digest- or catalog-sized
     "q_equidepth": 4,  # global-percentile fit (2 aggs, eager) + the
     # tiny per-bucket rollup after the single bucketing scan
     "q_mixture_weights": 4,  # source count agg (two-phase) + the
