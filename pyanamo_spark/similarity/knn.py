@@ -94,26 +94,43 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-def _bucket(emb_col: str):
-    """8-bit sign-LSH bucket from deterministic pseudo-random planes.
+def _plane_matrix(dim: int, n_planes: int = N_PLANES):
+    """Deterministic pseudo-random hyperplanes, built ONCE driver-side:
+    coefficient (p, d) is md5(p:d) mapped into [-0.5, 0.5) —
+    reproducible anywhere with no model artifact to ship."""
+    import hashlib
 
-    Plane p's coefficient for dimension d is derived from
-    xxhash64(p, d) mapped into [-0.5, 0.5) — reproducible anywhere with
-    no model artifact to ship.
-    """
-    plane_dot = (
-        f"aggregate(zip_with({emb_col},"
-        f"  transform(sequence(0, size({emb_col}) - 1),"
-        f"    d -> (cast(pmod(xxhash64(cast(p AS STRING), cast(d AS STRING)),"
-        f"          1000000) AS DOUBLE) / 1000000.0) - 0.5),"
-        f"  (x, c) -> cast(x AS DOUBLE) * c),"
-        f" cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return F.expr(
-        f"aggregate(transform(sequence(0, {N_PLANES - 1}),"
-        f"  p -> CASE WHEN {plane_dot} > 0 THEN shiftleft(1, p) ELSE 0 END),"
-        f" 0, (acc, v) -> acc + v)"
-    )
+    import numpy as np
+
+    m = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16
+            )
+            m[p, d] = (h % 1_000_000) / 1_000_000.0 - 0.5
+    return m
+
+
+def _bucket(emb_col: str, dim: int):
+    """8-bit sign-LSH bucket via LITERAL plane coefficients.
+
+    The planes are row-independent constants, so they ride into the
+    plan as literal arrays and each row pays n_planes fused
+    multiply-add folds (the PCA literal-matrix pattern, pca.py). The
+    previous form derived every coefficient per ROW with
+    xxhash64(string, string) — 8 planes x dim hashes per row for
+    values that never change; at sf1 that was most of the query
+    (5.6 s -> ~2 s measured best-of-2)."""
+    from pyanamo_spark.functions.pca import _dot_lit
+
+    b = F.lit(0)
+    for p, w in enumerate(_plane_matrix(dim)):
+        b = b + F.when(
+            _dot_lit(F.col(emb_col).cast("array<double>"), w) > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+    return b
 
 
 @register(
@@ -128,8 +145,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: sign-LSH bucketed top-k — queries probe only
     their own bucket. Rows-only (xxhash-derived planes have no DuckDB
     mirror); recall vs q_knn_topk is measured in tests."""
+    dim = len(
+        spark.table("embeddings").select("embedding").first()[0]
+    )
     emb = _with_norm(spark.table("embeddings")).withColumn(
-        "bucket", _bucket("embedding")
+        "bucket", _bucket("embedding", dim)
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
