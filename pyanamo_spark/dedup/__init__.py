@@ -162,6 +162,14 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
                 # all that's left to do
                 pass
     corpus = corpus_with_mutants(spark)
+    if cacheable:
+        # the doc_id repartition (required below for the cache's output
+        # partitioning) happens BEFORE tokenization on the narrow
+        # (doc_id, text, lang) rows: expressions compute in the stage
+        # that feeds the exchange, so tokenize+shingle+hash — the
+        # build's CPU — would otherwise run on the scan's few parquet
+        # splits (2-4 on the fixture) and strand the other cores
+        corpus = corpus.repartition("doc_id")
     prepped = (
         corpus.select(
             "doc_id",
@@ -178,13 +186,13 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     if cacheable:
         # persisted (spillable), not localCheckpoint: the shingle
         # arrays are corpus-sized and must be allowed to overflow to
-        # disk on big fixtures. Cached PRE-PARTITIONED on doc_id: the
-        # verify joins key on doc ids, so the cache's output
-        # partitioning satisfies ENSURE_REQUIREMENTS and only the
-        # (tiny) candidate-pair side exchanges — the corpus-sized
-        # shingle-array rows are shuffled ONCE at build instead of
-        # twice per family query
-        prepped = prepped.repartition("doc_id").persist()
+        # disk on big fixtures. Cached PRE-PARTITIONED on doc_id (the
+        # repartition above survives the projection): the verify joins
+        # key on doc ids, so the cache's output partitioning satisfies
+        # ENSURE_REQUIREMENTS and only the (tiny) candidate-pair side
+        # exchanges — the corpus-sized shingle-array rows are shuffled
+        # ONCE at build instead of twice per family query
+        prepped = prepped.persist()
     postings = prepped.select(
         "doc_id", "lang", "size_bucket", "n_sh", F.explode("sh").alias("h")
     )
