@@ -71,6 +71,13 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket total is a 1-row broadcast scalar; top-k is
     TakeOrderedAndProject. Nothing is ever all-pairs over the
     catalog.
+
+    Reverted experiment (r08): localCheckpoint-ing ``items`` (it feeds
+    four lineages) measured ~1.4x WORSE at sf1 (6.9 s -> 9.9 s
+    best-of-2) — unlike the span/CC cases, the distinct's exchanges
+    canonicalize identically across the self-join legs so runtime
+    reuse already covers the recompute, and the forced materialization
+    only adds I/O.
     """
     items = (
         spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
