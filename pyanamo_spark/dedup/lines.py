@@ -10,7 +10,7 @@ The fixture's documents are single-line, so "lines" are deterministic
 headers are planted on doc_id % 5 / % 3 subsets so the operator has
 something real to find.
 
-At 100 TB: only 16-byte line digests travel through the counting
+At 100 TB: only 8-byte line digests travel through the counting
 shuffle (the text stays where it was scanned); the surviving boilerplate
 set is tiny (boilerplate is by definition low-cardinality/high-frequency)
 so the removal join is a broadcast, and the rebuild groupBy re-uses the
@@ -44,25 +44,37 @@ transform(
 
 
 def chunk_lines(corpus: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, line_no, line): 10-word chunks."""
-    return corpus.select(
-        "doc_id", F.split("text", " ").alias("_w")
-    ).select(
-        "doc_id",
-        F.posexplode(F.expr(_CHUNK_EXPR)).alias("line_no", "line"),
+    """(doc_id, text) -> (doc_id, line_no, line): 10-word chunks.
+
+    Repartitions the narrow (doc_id, text) rows first for the same
+    reason as dedup/spans.py doc_spans: the chunk explode is CPU-heavy
+    per row and would otherwise inherit the fixture scan's 2-split
+    parallelism."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return (
+        corpus.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_CHUNK_EXPR)).alias("line_no", "line"),
+        )
     )
 
 
 def boilerplate_lines(lines: DataFrame, min_docs: int = MIN_DOCS) -> DataFrame:
     """Line digests occurring in >= min_docs distinct documents.
 
-    Counts distinct docs per 128-bit digest — ONLY the 16-byte hash
-    travels through the counting shuffle; line text stays in the scan
-    partitions and is recovered later by joining the (tiny) surviving
-    digest set back against the lines.
+    Counts distinct docs per 64-bit xxhash64 digest — ONLY the 8-byte
+    hash travels through the counting shuffle; line text stays in the
+    scan partitions and is recovered later by joining the (tiny)
+    surviving digest set back against the lines. (The digest is
+    internal — the oracle groups on line text and the emitted
+    clean_fingerprint stays md5 — so the cheaper narrower hash is
+    free; collisions are ~1e-9 at fixture scale.)
     """
     return (
-        lines.groupBy(F.md5("line").alias("line_hash"))
+        lines.groupBy(F.xxhash64("line").alias("line_hash"))
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
@@ -78,7 +90,7 @@ def remove_boilerplate(lines: DataFrame, boiler: DataFrame) -> DataFrame:
     """
     flagged = lines.join(
         F.broadcast(boiler.select("line_hash", F.lit(1).alias("is_boiler"))),
-        F.md5(lines["line"]) == boiler["line_hash"],
+        F.xxhash64(lines["line"]) == boiler["line_hash"],
         "left",
     ).drop("line_hash")
     kept = F.when(F.col("is_boiler").isNull(), F.struct("line_no", "line"))
@@ -203,7 +215,7 @@ def update_boilerplate_store(
             )
     partial = (
         chunk_lines(batch)
-        .groupBy(F.md5("line").alias("line_hash"))
+        .groupBy(F.xxhash64("line").alias("line_hash"))
         .agg(F.count_distinct("doc_id").alias("n_docs"))
     )
     out = os.path.join(store_dir, f"batch={batch_id}")
@@ -219,7 +231,7 @@ def current_boilerplate(
 ) -> DataFrame:
     """The live boilerplate digest set: sum the per-batch partials and
     threshold. Mergeable by construction — the scan reads only the
-    (16-byte digest, count) partials, never any text."""
+    (8-byte digest, count) partials, never any text."""
     return (
         spark.read.option("basePath", store_dir)
         .parquet(store_dir)

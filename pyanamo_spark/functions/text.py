@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
 
+def _spread(docs: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow projection before a CPU-heavy
+    tokenize/explode stage (the dedup/spans.py doc_spans fix): the
+    fixture corpus is a few large parquet splits, so token explodes
+    and their map-side partial aggregations otherwise inherit 2-split
+    parallelism and strand the other cores. Only the hot per-token
+    operators use this — for cheap scans the extra exchange costs more
+    than it saves. On a real multi-thousand-split corpus this is a
+    no-op-sized rebalance."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(*cols).repartition(par)
+
+
 #: tiny English stopword set for the language-ID heuristic
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -287,7 +300,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), so document text crosses the wire only once, as
     (doc_id, term, count) triples. Ranking ties break on the term
     itself, making top-3 deterministic for the oracle."""
-    toks = spark.table("documents").select(
+    toks = _spread(spark.table("documents"), "doc_id", "text").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -534,7 +547,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, nll) for any (doc_id, text, ...) corpus —
     the q_lm_score plan on a caller-supplied DataFrame."""
-    toks = docs.select(
+    toks = _spread(docs, "doc_id", "text").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -663,7 +676,7 @@ def bm25_scores(spark: SparkSession) -> DataFrame:
         [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
         "query_id string, term string",
     )
-    toks = spark.table("documents").select(
+    toks = _spread(spark.table("documents"), "doc_id", "text").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = (
@@ -1037,7 +1050,7 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy fold is one LANGS-sized aggregation.
     """
     split_col = F.split(F.col("text"), " ")
-    toks = spark.table("documents").select(
+    toks = _spread(spark.table("documents"), "doc_id", "lang", "text").select(
         "doc_id",
         "lang",
         F.posexplode(split_col).alias("pos", "tok"),

@@ -61,7 +61,9 @@ EXCHANGE_BUDGET = {
     "q_model_score": 4,  # train-split regr aggregation (two-phase)
     # + the final per-(flag, tree-class) report aggregation; the
     # GROUPS-sized model joins back as a broadcast with no exchange
-    "q_bm25": 16,  # the tf subtree is PRINTED thrice (own consumer,
+    "q_bm25": 20,  # the tf subtree is PRINTED thrice (own consumer,
+    # each copy now led by the r08 _spread repartition exchange —
+    # identical canonical subtrees, so runtime ReuseExchange dedups;
     # df derivation, scored join) and the doc-length subtree twice
     # (stats + join) — copies canonicalize identically so
     # ReuseExchange dedups at runtime, same story as q_tfidf. Live
@@ -160,7 +162,8 @@ EXCHANGE_BUDGET = {
     # map-combined to VOCAB size) + the K-row TakeOrdered vocabulary;
     # the vocab flag joins back as a broadcast and the readout is a
     # LANGS-sized aggregate — the token stream itself never shuffles
-    "q_bigram_entropy": 6,  # positional token stream → per-doc lag
+    "q_bigram_entropy": 8,  # r08 _spread repartition (narrow doc
+    # rows, spreads the posexplode) + positional token stream → per-doc lag
     # window (one doc-keyed exchange) → bigram-vocab-sized count
     # aggregate; the context/corpus-total windows and the entropy fold
     # all run over that bounded table
@@ -185,7 +188,8 @@ EXCHANGE_BUDGET = {
     # same subtree) — copies canonicalize so ReuseExchange dedups at
     # runtime; live profile: one entity aggregation, a 1-row censor
     # scalar, and windows over the bounded duration table
-    "q_hybrid_search": 28,  # the BM25 leg's CTE chain (itself
+    "q_hybrid_search": 32,  # the BM25 leg inherits q_bm25's r08
+    # _spread repartition (printed once per tf-subtree copy); the CTE chain (itself
     # print-duplicated, see q_bm25) appears again under the fusion's
     # full-outer join, and the centroid aggregate subtree is PRINTED
     # per consumer — identical copies canonicalize so ReuseExchange
@@ -235,12 +239,15 @@ EXCHANGE_BUDGET = {
     # on within-batch fingerprints; rows are 16-byte digests
     "q_repetition": 4,  # two genuine shuffles (distinct-gram counts,
     # then per-doc max/sum), both fed by map-side partial aggregation
-    "q_tfidf": 10,  # the tf aggregation subtree is PRINTED twice (its
+    "q_tfidf": 14,  # r08 _spread repartition leads each printed
+    # copy; the tf aggregation subtree is PRINTED twice (its
     # own consumer + the df derivation); the two exchanges canonicalize
     # identically so ReuseExchange dedups them at runtime. Live
     # profile: tf shuffle, df term shuffle, singleton corpus count, and
     # the final per-doc window sort; df and n_docs ride back broadcast
-    "q_dedup_lines": 6,  # digest-count agg + broadcast removal join +
+    "q_dedup_lines": 10,  # r08 chunk_lines repartition (printed once
+    # per consumer lineage — counting agg + removal join both re-derive
+    # the chunk explode) + digest-count agg + broadcast removal join +
     # per-doc rebuild groupBy; every wide shuffle row is a 16-byte
     # digest or a per-doc aggregate, never line text
     "q_table_stats": 4,  # four exact count(distinct)s in one agg plan
@@ -260,7 +267,10 @@ EXCHANGE_BUDGET = {
     # precedent): window-key partials, then the distinct merge
     "q_dedup_stats": 4,  # union of two digest rollups, each a genuine
     # two-phase (map-side partial + merge) aggregation
-    "q_lm_score": 14,  # the tf subtree is PRINTED three times (scored
+    "q_lm_score": 20,  # r08 _spread repartition leads each of the
+    # three printed tf-subtree copies (identical canonical exchanges —
+    # runtime ReuseExchange now has a shareable point; sf1 2.5->1.8 s);
+    # the tf subtree is PRINTED three times (scored
     # join, term-model derivation, totals derivation); the copies
     # canonicalize identically so ReuseExchange dedups them at runtime
     # (q_tfidf precedent). Live shuffles: tf, term model, singleton
