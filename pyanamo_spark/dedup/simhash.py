@@ -255,9 +255,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of step 2 makes that linear when pair enumeration isn't
     required downstream.
     """
+    par = spark.sparkContext.defaultParallelism
     sigs = (
         corpus_with_mutants(spark)
         .where(F.col("text").isNotNull())  # nothing to compare
+        .repartition(par)  # spread the Arrow-batched signature UDF
+        # across cores instead of the scan's few splits (probe below)
         .select("doc_id", simhash_udf(F.col("text")).alias("sig"))
         # persisted: three consumers below (within-group join, distinct
         # blocking, member expansion); 16 bytes/doc is far cheaper than
