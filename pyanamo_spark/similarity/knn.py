@@ -145,9 +145,10 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: sign-LSH bucketed top-k — queries probe only
     their own bucket. Rows-only (xxhash-derived planes have no DuckDB
     mirror); recall vs q_knn_topk is measured in tests."""
-    dim = len(
-        spark.table("embeddings").select("embedding").first()[0]
-    )
+    # bounded driver probe for the vector dimension (one row); on an
+    # EMPTY corpus any dim yields the correct empty result
+    head = spark.table("embeddings").select("embedding").first()
+    dim = len(head[0]) if head is not None and head[0] is not None else 1
     emb = _with_norm(spark.table("embeddings")).withColumn(
         "bucket", _bucket("embedding", dim)
     )
