@@ -289,6 +289,24 @@ def test_property_cmap_roundtrip(text):
     assert extract_pdf_text(build_pdf_cmap(text)) == text
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0x20, max_value=0xFFDF),
+    st.integers(min_value=2, max_value=32),
+)
+def test_property_cmap_consecutive_runs(start, length):
+    """Codepoint-consecutive runs anywhere in the BMP — including runs
+    that straddle a 256-codepoint block boundary or press against
+    0xFFFF — must roundtrip through the bounded bfrange builder
+    (random text rarely generates long consecutive runs, so this
+    drives the range path directly)."""
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    cps = [c for c in range(start, start + length) if not (0xD800 <= c <= 0xDFFF)]
+    text = "".join(map(chr, cps))
+    assert extract_pdf_text(build_pdf_cmap(text)) == text
+
+
 def test_dict_scanner_survives_hex_strings_hugging_closers():
     """``/ID <41>>>``: the hex string's '>' must not pair with the
     dictionary's closing '>>' and truncate the balanced scan."""
