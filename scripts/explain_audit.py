@@ -430,8 +430,11 @@ PLAN_NOTES = {
         "auto-escalates to alternating large-star/small-star with an "
         "O(log n) round bound (dedup/clusters.py). The input pair "
         "graph is the family's memoized verified_ngram_pairs frame "
-        "(see q_dedup_ngram), so sf1 wall-clock is candidate+verify "
-        "once plus CC rounds — not a re-run of the pair pipeline."
+        "(see q_dedup_ngram), so in a shared session candidates+verify "
+        "run once for the whole family. BENCH numbers are per-query "
+        "COLD by harness design (bench.py clearCache()s between "
+        "queries), so the archived clusters figure includes one full "
+        "index build + pair generation + CC."
     ),
     "q_dedup_ngram": (
         "First family member to run also MATERIALIZES the shared "
