@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
+from pyanamo_spark.session import spread
 
 #: exactly 10 words each so planted headers stay chunk-aligned
 HEADER_A = "terms of service apply to this content all rights reserved"
@@ -50,10 +51,8 @@ def chunk_lines(corpus: DataFrame) -> DataFrame:
     reason as dedup/spans.py doc_spans: the chunk explode is CPU-heavy
     per row and would otherwise inherit the fixture scan's 2-split
     parallelism."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     return (
-        corpus.select("doc_id", "text")
-        .repartition(par)
+        spread(corpus, "doc_id", "text")
         .select("doc_id", F.split("text", " ").alias("_w"))
         .select(
             "doc_id",
@@ -231,11 +230,24 @@ def current_boilerplate(
 ) -> DataFrame:
     """The live boilerplate digest set: sum the per-batch partials and
     threshold. Mergeable by construction — the scan reads only the
-    (8-byte digest, count) partials, never any text."""
+    (8-byte digest, count) partials, never any text.
+
+    Store format: ``line_hash`` is an xxhash64 BIGINT as of r08 (the
+    earlier format used md5 hex strings). Digests from the two formats
+    can never match each other, so a mixed store would silently stop
+    flagging old boilerplate — the type check below fails loudly
+    instead; rebuild legacy stores from their source batches."""
+    df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    kind = dict(df.dtypes).get("line_hash")
+    if kind != "bigint":
+        raise ValueError(
+            f"boilerplate store at {store_dir!r} has line_hash type "
+            f"{kind!r}; this version writes xxhash64 BIGINT digests — "
+            "a pre-r08 (md5 string) store must be rebuilt from its "
+            "source batches, mixed digests can never match"
+        )
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(store_dir)
-        .groupBy("line_hash")
+        df.groupBy("line_hash")
         .agg(F.sum("n_docs").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )

@@ -32,6 +32,7 @@ from pyspark.sql.types import LongType
 
 from pyanamo_spark.dedup import corpus_with_mutants
 from pyanamo_spark.registry import register
+from pyanamo_spark.session import spread
 
 HAMMING_MAX = 7
 
@@ -255,12 +256,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of step 2 makes that linear when pair enumeration isn't
     required downstream.
     """
-    par = spark.sparkContext.defaultParallelism
     sigs = (
-        corpus_with_mutants(spark)
-        .where(F.col("text").isNotNull())  # nothing to compare
-        .repartition(par)  # spread the Arrow-batched signature UDF
-        # across cores instead of the scan's few splits (probe below)
+        # spread() the Arrow-batched signature UDF across cores instead
+        # of the scan's few splits (session.spread)
+        spread(
+            corpus_with_mutants(spark).where(F.col("text").isNotNull()),
+            "doc_id",
+            "text",
+        )
         .select("doc_id", simhash_udf(F.col("text")).alias("sig"))
         # persisted: three consumers below (within-group join, distinct
         # blocking, member expansion); 16 bytes/doc is far cheaper than

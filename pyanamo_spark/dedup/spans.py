@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
+from pyanamo_spark.session import spread
 
 SPAN_WORDS = 5
 #: a span is duplicated when it occurs in >= this many distinct docs
@@ -68,11 +69,8 @@ def doc_spans(corpus: DataFrame) -> DataFrame:
     the scan already provides the parallelism and the exchange is a
     no-op-sized rebalance.
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    words = (
-        corpus.select("doc_id", "text")
-        .repartition(par)
-        .select("doc_id", F.split("text", " ").alias("_w"))
+    words = spread(corpus, "doc_id", "text").select(
+        "doc_id", F.split("text", " ").alias("_w")
     )
     return words.select("doc_id", F.explode(gram_array()).alias("gram"))
 
@@ -175,12 +173,8 @@ def duplicated_passages(
     salvage (/root/reference/code/executor.py tag handling) from "find
     the marker" to "find and bound every copied region".
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    words = (
-        corpus.select("doc_id", "text")
-        .repartition(par)  # spread the CPU-heavy gram build (see
-        # doc_spans) instead of inheriting the scan's few splits
-        .select("doc_id", F.split("text", " ").alias("_w"))
+    words = spread(corpus, "doc_id", "text").select(
+        "doc_id", F.split("text", " ").alias("_w")
     )
     # checkpoint the position table: both consumers below (the
     # duplicated-digest aggregate and the hits join) hold it in their
@@ -304,12 +298,8 @@ def source_overlap(corpus: DataFrame) -> DataFrame:
     bounded by C(#sources, 2) — a catalog-sized constant — never by
     corpus size.
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    words = (
-        corpus.select("source", "text")
-        .repartition(par)  # spread the CPU-heavy gram build (see
-        # doc_spans) instead of inheriting the scan's few splits
-        .select("source", F.split("text", " ").alias("_w"))
+    words = spread(corpus, "source", "text").select(
+        "source", F.split("text", " ").alias("_w")
     )
     # source rides the explode directly — joining spans back to their
     # documents on doc_id would add a data-sized shuffle for nothing

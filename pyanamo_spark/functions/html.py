@@ -172,12 +172,9 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage otherwise inherits the scan's 2-split parallelism and
     strands the other cores (sf1 ratio 6.6× before, scan-bound). One
     narrow (doc_id, text) shuffle beats serializing the regex work."""
-    par = spark.sparkContext.defaultParallelism
-    docs = (
-        spark.table("documents")
-        .select("doc_id", "text")
-        .repartition(par)
-    )
+    from pyanamo_spark.session import spread
+
+    docs = spread(spark.table("documents"), "doc_id", "text")
     return docs.select(
         "doc_id", html_to_text(_messy_html()).alias("clean_text")
     )

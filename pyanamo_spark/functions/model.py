@@ -285,31 +285,6 @@ def logistic_fit(
     return beta
 
 
-def logistic_score(
-    df: DataFrame,
-    beta,
-    xs: list[str],
-    threshold: float = 0.5,
-    decimals: int = COEF_DECIMALS,
-) -> DataFrame:
-    """Append ``prob``/``predicted`` from literal (rounded)
-    coefficients — codegen'd arithmetic, no Python in the scan.
-    ``threshold`` defaults to 0.5; pass the train-set prevalence for
-    imbalanced labels (at 0.5 a well-calibrated model on a 30%%
-    positive class can degenerate to all-majority predictions)."""
-    eta = sum(
-        (
-            round(float(beta[i + 1]), decimals) * F.col(c).cast("double")
-            for i, c in enumerate(xs)
-        ),
-        F.lit(round(float(beta[0]), decimals)),
-    )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-    return df.withColumn("prob", prob).withColumn(
-        "predicted", (prob >= F.lit(round(float(threshold), decimals))).cast("int")
-    )
-
-
 #: published logistic model: P(long_doc | n_toks, mean_wlen) fitted
 #: once by the in-engine IRLS trainer above (8 iterations, ridge 1e-3,
 #: sf0.01 train split hx < 'c'), coefficients rounded to 4 dp and

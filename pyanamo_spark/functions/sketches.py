@@ -104,9 +104,13 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for i, (p, name) in enumerate(zip(PCT_QS, ("q25_ok", "q50_ok", "q75_ok"))):
         target = F.col("n") * F.lit(p)
+        # intersection test of the returned value's exact rank interval
+        # [lt+1, le] with the permitted band [p·n − tol, p·n + tol]:
+        # lt+1 ≤ p·n + tol AND le ≥ p·n − tol (le without a +1 — the
+        # off-by-one would mask a genuine one-rank sketch violation)
         ok = (
             (F.col(f"lt_{i}") + F.lit(1) <= target + tol)
-            & (F.col(f"le_{i}") + F.lit(1) >= target - tol)
+            & (F.col(f"le_{i}") >= target - tol)
         )
         cols.append(ok.cast("int").alias(name))
     return stats.select(*cols)

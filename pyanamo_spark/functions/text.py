@@ -15,17 +15,10 @@ from pyspark.sql import functions as F
 
 from pyanamo_spark.registry import register
 
-def _spread(docs: DataFrame, *cols: str) -> DataFrame:
-    """Repartition a narrow projection before a CPU-heavy
-    tokenize/explode stage (the dedup/spans.py doc_spans fix): the
-    fixture corpus is a few large parquet splits, so token explodes
-    and their map-side partial aggregations otherwise inherit 2-split
-    parallelism and strand the other cores. Only the hot per-token
-    operators use this — for cheap scans the extra exchange costs more
-    than it saves. On a real multi-thousand-split corpus this is a
-    no-op-sized rebalance."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select(*cols).repartition(par)
+from pyanamo_spark.session import spread as _spread  # noqa: E402 — the
+# canonical repartition-before-per-row-CPU helper; only the hot
+# per-token operators use it (for cheap scans the extra exchange costs
+# more than it saves)
 
 
 #: tiny English stopword set for the language-ID heuristic

@@ -77,3 +77,18 @@ def get_spark(app_name: str = "pyanamo_spark", cpus: int | str | None = None) ->
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, *cols: str):
+    """Repartition a narrow projection before a CPU-heavy per-row stage
+    (tokenize/explode/decode UDF): the local fixture corpus is a few
+    large parquet splits, so such stages otherwise inherit 2-4-split
+    parallelism and strand the remaining cores. On a real
+    multi-thousand-split corpus the exchange is a no-op-sized
+    rebalance. One definition so the tuning decision (count, keying,
+    gating) lives in one place; NOT applied where a join dominates the
+    plan — see the reverted experiments recorded in dedup/minhash.py
+    and operators/market.py.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(*cols).repartition(par)

@@ -333,7 +333,7 @@ def _font_cmap(
     if body is None:
         return None
     d = _read_dict(body)
-    tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", d)
+    tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", d)
     if tm is None:
         return None
     stream = _object_stream(objs, int(tm.group(1)))
@@ -355,20 +355,20 @@ def _page_contents(
         am = re.search(rb"/Contents\s*\[(.*?)\]", d, re.S)
         if am:
             c_nums = [
-                int(x) for x in re.findall(rb"(\d+)\s+0\s+R", am.group(1))
+                int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))
             ]
         else:
-            cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", d)
+            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", d)
             c_nums = [int(cm.group(1))] if cm else []
         res = d
-        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", d)
+        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", d)
         if rm:
             res = _read_dict(objs.get(int(rm.group(1)), b""))
         fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
         fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
         if fm:
             for name, fnum in re.findall(
-                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", fm.group(1)
+                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
             ):
                 cmap = _font_cmap(objs, int(fnum))
                 if cmap is not None:
@@ -648,12 +648,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1) and strands the other cores. One narrow (doc_id, text)
     shuffle costs far less than serializing the parse — the same call
     a production job makes before any compute-bound stage."""
-    par = spark.sparkContext.defaultParallelism
-    docs = (
-        spark.table("documents")
-        .select("doc_id", "text")
-        .repartition(par)
-    )
+    from pyanamo_spark.session import spread
+
+    docs = spread(spark.table("documents"), "doc_id", "text")
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -15,7 +15,9 @@ load_all()
 
 #: model-fit queries that cannot produce a model from nothing; their
 #: contract is a clear ValueError, not an empty result
-FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune", "q_logit_score"}
+#: (q_logit_score left this set in r08 — it now scores through frozen
+#: literal coefficients and must return an EMPTY confusion matrix)
+FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune"}
 
 #: queries whose CORRECT empty-input output is non-empty: ungrouped
 #: aggregates yield their single zero/null row (SQL semantics), the

@@ -151,6 +151,19 @@ def test_cmap_run_near_bmp_ceiling_stays_four_hex_digits():
     assert extract_pdf_text(build_pdf_cmap(text)) == text
 
 
+def test_nonzero_generation_references_resolve_everywhere():
+    """Every indirect-reference site (/Contents, /Resources, /Font,
+    /ToUnicode, /Length) accepts any generation number — rewriting all
+    ``N 0 R`` references to generation 3 must not change extraction
+    (the reader keys objects by number; a gen-0-only regex silently
+    drops the CMap walk and garbles Type0 text)."""
+    from pyanamo_spark.sources.pdf import build_pdf_cmap
+
+    text = "generation three references everywhere"
+    blob = build_pdf_cmap(text, compress=False).replace(b" 0 R", b" 3 R")
+    assert extract_pdf_text(blob) == text
+
+
 def test_cmap_run_never_crosses_a_low_byte_block():
     """Per the CMap spec only the last byte of a range destination
     increments: a consecutive run crossing a 256-codepoint boundary
