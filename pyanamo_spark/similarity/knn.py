@@ -112,37 +112,44 @@ def _plane_matrix(dim: int, n_planes: int = N_PLANES):
     return m
 
 
-#: plane coefficients are generated up to this many dimensions; vectors
-#: wider than this hash on their first LSH_MAX_DIM coordinates (still a
-#: valid random-hyperplane family, just on a subspace — raise the cap
-#: for very wide embeddings)
-LSH_MAX_DIM = 256
+#: one dimension probe per (application, corpus): q_knn_lsh needs the
+#: vector length to size its literal planes, and a one-row first() at
+#: EVERY DataFrame construction would break the registry sweep's
+#: plans-build-lazily property — memoizing keeps it to one tiny job
+#: per session/corpus (a per-row slice-the-planes form that needed no
+#: probe at all measured ~2x slower per row: 2.0 -> 3.5 s warm at sf1)
+_DIM_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _bucket(emb_col: str):
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DIM_CACHE:
+        head = spark.table("embeddings").select("embedding").first()
+        # empty corpus: any dim yields the correct empty result
+        _DIM_CACHE[key] = (
+            len(head[0]) if head is not None and head[0] is not None else 1
+        )
+    return _DIM_CACHE[key]
+
+
+def _bucket(emb_col: str, dim: int):
     """8-bit sign-LSH bucket via LITERAL plane coefficients.
 
     The planes are row-independent constants, so they ride into the
-    plan as literal arrays — sliced per row to the vector's length, so
-    no driver-side dimension probe runs and building the DataFrame
-    stays fully lazy — and each row pays n_planes fused multiply-add
-    folds (the PCA literal-matrix pattern, pca.py). The previous form
-    derived every coefficient per ROW with xxhash64(string, string) —
-    8 planes x dim hashes per row for values that never change; at sf1
-    that was most of the query (5.6 s -> ~2 s measured best-of-2)."""
-    emb = F.slice(
-        F.col(emb_col).cast("array<double>"), 1, LSH_MAX_DIM
-    )
-    n = F.least(F.size(emb), F.lit(LSH_MAX_DIM))
+    plan as literal arrays and each row pays n_planes fused
+    multiply-add folds (the PCA literal-matrix pattern, pca.py). The
+    previous form derived every coefficient per ROW with
+    xxhash64(string, string) — 8 planes x dim hashes per row for
+    values that never change; at sf1 that was most of the query
+    (5.6 s -> ~2 s measured best-of-2)."""
+    from pyanamo_spark.functions.pca import _dot_lit
+
     b = F.lit(0)
-    for p, w in enumerate(_plane_matrix(LSH_MAX_DIM)):
-        lit = F.array(*[F.lit(float(x)) for x in w])
-        dot = F.aggregate(
-            F.zip_with(emb, F.slice(lit, 1, n), lambda a, c: a * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for p, w in enumerate(_plane_matrix(dim)):
+        b = b + F.when(
+            _dot_lit(F.col(emb_col).cast("array<double>"), w) > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
     return b
 
 
@@ -163,7 +170,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful ANN check is recall vs exact q_knn_topk, measured in
     tests/test_similarity.py."""
     emb = _with_norm(spark.table("embeddings")).withColumn(
-        "bucket", _bucket("embedding")
+        "bucket", _bucket("embedding", _embedding_dim(spark, sf_dir))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
