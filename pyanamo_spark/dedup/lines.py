@@ -171,6 +171,24 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(lines, boiler).filter(F.col("n_removed") > 0)
 
 
+def _check_store_format(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Open a boilerplate store and fail loudly unless ``line_hash`` is
+    the xxhash64 BIGINT format (r08+). Digests from the legacy md5-hex
+    format can never match bigints, so a mixed store would silently
+    stop flagging old boilerplate; both the read path and the append
+    path run this guard."""
+    df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    kind = dict(df.dtypes).get("line_hash")
+    if kind != "bigint":
+        raise ValueError(
+            f"boilerplate store at {store_dir!r} has line_hash type "
+            f"{kind!r}; this version writes xxhash64 BIGINT digests — "
+            "a pre-r08 (md5 string) store must be rebuilt from its "
+            "source batches, mixed digests can never match"
+        )
+    return df
+
+
 def update_boilerplate_store(
     spark: SparkSession, store_dir: str, batch: DataFrame, batch_id: str
 ) -> DataFrame:
@@ -197,6 +215,15 @@ def update_boilerplate_store(
     """
     import os
 
+    # Reject a legacy (md5-string) store BEFORE writing anything:
+    # deferring the format check to current_boilerplate would let this
+    # append a bigint partial batch first, leaving a mixed-type store
+    # that the later error tells the user to rebuild — after the
+    # corruption has already been written.
+    if os.path.isdir(store_dir) and any(
+        d.startswith("batch=") for d in os.listdir(store_dir)
+    ):
+        _check_store_format(spark, store_dir)
     ids = batch.select("doc_id").distinct()
     docs_root = os.path.join(store_dir, "_seen_docs")
     has_docs = os.path.isdir(docs_root) and any(
@@ -237,15 +264,7 @@ def current_boilerplate(
     can never match each other, so a mixed store would silently stop
     flagging old boilerplate — the type check below fails loudly
     instead; rebuild legacy stores from their source batches."""
-    df = spark.read.option("basePath", store_dir).parquet(store_dir)
-    kind = dict(df.dtypes).get("line_hash")
-    if kind != "bigint":
-        raise ValueError(
-            f"boilerplate store at {store_dir!r} has line_hash type "
-            f"{kind!r}; this version writes xxhash64 BIGINT digests — "
-            "a pre-r08 (md5 string) store must be rebuilt from its "
-            "source batches, mixed digests can never match"
-        )
+    df = _check_store_format(spark, store_dir)
     return (
         df.groupBy("line_hash")
         .agg(F.sum("n_docs").alias("n_docs"))

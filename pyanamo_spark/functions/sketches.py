@@ -56,11 +56,12 @@ def approx_percentiles(spark: SparkSession) -> DataFrame:
 @register(
     "q_percentiles_approx",
     oracle="""
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+SELECT o_orderstatus, CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders,
        CAST(1 AS INTEGER) AS q25_ok,
        CAST(1 AS INTEGER) AS q50_ok,
        CAST(1 AS INTEGER) AS q75_ok
 FROM orders GROUP BY o_orderstatus
+HAVING COUNT(o_totalprice) > 0
 """,
 )
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +86,16 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort anywhere. ``approx_percentiles()`` keeps the raw array form
     for library callers (and for the exact-rank test)."""
     approx = approx_percentiles(spark)
-    orders = spark.table("orders").select("o_orderstatus", "o_totalprice")
+    # percentile_approx ranks only non-null values, so the audit must
+    # count the same population: without this filter a null-bearing
+    # price column inflates n (and the p·n target) past what the
+    # sketch ever saw and the ok-flags can false-fail. The oracle's
+    # COUNT(o_totalprice) matches (nulls excluded).
+    orders = (
+        spark.table("orders")
+        .select("o_orderstatus", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     joined = orders.join(F.broadcast(approx), "o_orderstatus")
     aggs = [F.count("*").alias("n")]
     for i in range(len(PCT_QS)):

@@ -122,14 +122,27 @@ _DIM_CACHE: dict[tuple[str, str], int] = {}
 
 
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    import os
+
+    # Only memoize real on-disk corpora (the ngram-index rule,
+    # dedup/__init__.py): an ad-hoc temp view under a blank/bogus
+    # sf_dir may be re-registered later with different data, and an
+    # empty probe must never pin dim=1 for a view that fills up —
+    # wrong-dim literal planes null every zip_with dot and silently
+    # collapse all rows into bucket 0 (full-scan LSH).
+    cacheable = bool(sf_dir) and os.path.isdir(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DIM_CACHE:
-        head = spark.table("embeddings").select("embedding").first()
-        # empty corpus: any dim yields the correct empty result
-        _DIM_CACHE[key] = (
-            len(head[0]) if head is not None and head[0] is not None else 1
-        )
-    return _DIM_CACHE[key]
+    if cacheable and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    head = spark.table("embeddings").select("embedding").first()
+    if head is None or head[0] is None:
+        # empty corpus: any dim yields the correct empty result;
+        # do NOT cache — the table may be populated later
+        return 1
+    dim = len(head[0])
+    if cacheable:
+        _DIM_CACHE[key] = dim
+    return dim
 
 
 def _bucket(emb_col: str, dim: int):

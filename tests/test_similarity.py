@@ -239,3 +239,32 @@ def test_append_to_index_matches_one_shot_build(spark, sf_dir, tmp_path):
     hits = search_index(spark, inc_dir, probe).collect()
     top = min(hits, key=lambda r: r.rnk)
     assert top.vec_id == probe_id and abs(top.cos_sim - 1.0) < 1e-6
+
+
+def test_embedding_dim_probe_never_caches_adhoc_views(spark, sf_dir):
+    """The dim memo must follow the ngram-index rule: only real
+    on-disk corpora are cacheable, and an empty probe is never
+    pinned. A cached dim=1 for a later-populated temp view would
+    size the LSH planes wrong — every zip_with dot nulls out and
+    all rows silently collapse into bucket 0 (full-scan LSH)."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.similarity.knn import _DIM_CACHE, _embedding_dim
+
+    real_dim = _embedding_dim(spark, sf_dir)
+    assert real_dim > 1
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<double>"
+    )
+    try:
+        empty.createOrReplaceTempView("embeddings")
+        assert _embedding_dim(spark, "") == 1
+        app = spark.sparkContext.applicationId
+        assert (app, "") not in _DIM_CACHE  # ad-hoc key never memoized
+        # once the same view fills up, the probe sees the real data
+        spark.createDataFrame(
+            [(0, "a", [0.0] * 7)], "vec_id long, label string, embedding array<double>"
+        ).createOrReplaceTempView("embeddings")
+        assert _embedding_dim(spark, "") == 7
+    finally:
+        semantics.ensure_views(spark, sf_dir)
+    assert _embedding_dim(spark, sf_dir) == real_dim

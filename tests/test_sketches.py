@@ -98,3 +98,30 @@ def test_hll_sketch_mergeability(spark, sf_dir):
     # and the estimate is actually close to truth
     exact = toks.select("tok").distinct().count()
     assert math.isclose(merged, exact, rel_tol=0.05)
+
+
+def test_percentiles_audit_ignores_null_prices(spark, sf_dir):
+    """percentile_approx ranks only non-null values; the audit must
+    count the same population or null prices inflate p·n past what
+    the sketch saw and false-fail the ok-flags."""
+    semantics.ensure_views(spark, sf_dir)
+    base = spark.table("orders").select("o_orderstatus", "o_totalprice")
+    n_real = base.filter(F.col("o_totalprice").isNotNull()).count()
+    try:
+        # plant one null price per group plus an ALL-null group
+        nulls = base.select("o_orderstatus").distinct().select(
+            "o_orderstatus", F.lit(None).cast("double").alias("o_totalprice")
+        ).union(
+            spark.createDataFrame(
+                [("Z", None), ("Z", None)],
+                "o_orderstatus string, o_totalprice double",
+            )
+        )
+        base.unionByName(nulls).createOrReplaceTempView("orders")
+        rows = QUERIES["q_percentiles_approx"].__wrapped__(spark, "").collect()
+        assert sum(r.n_orders for r in rows) == n_real
+        assert all((r.q25_ok, r.q50_ok, r.q75_ok) == (1, 1, 1) for r in rows)
+        # the all-null group has no ranked population: dropped entirely
+        assert "Z" not in {r.o_orderstatus for r in rows}
+    finally:
+        semantics.ensure_views(spark, sf_dir)

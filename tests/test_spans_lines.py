@@ -288,3 +288,36 @@ def test_overlap_estimate_tracks_exact_matrix(spark, sf_dir):
         # proportional to SET size: bound by ~2.5% of |A|+|B|
         tol = 0.025 * (sizes.get(pair[0], 0) + sizes.get(pair[1], 0)) + 5
         assert abs(e - x) <= tol, (pair, e, x, tol)
+
+
+def test_boilerplate_store_rejects_legacy_format_before_writing(
+    spark, sf_dir, tmp_path
+):
+    """Appending to a pre-r08 (md5-string line_hash) store must fail
+    BEFORE the new bigint batch lands: a mixed-type store silently
+    stops flagging old boilerplate, and the old deferred check only
+    fired after the corruption had been written."""
+    import os
+
+    import pytest
+
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.lines import (
+        _planted_corpus,
+        update_boilerplate_store,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    store = str(tmp_path / "legacy_store")
+    spark.createDataFrame(
+        [("deadbeef" * 4, 31)], ["line_hash", "n_docs"]
+    ).write.parquet(os.path.join(store, "batch=legacy"))
+    corpus = _planted_corpus(
+        spark.table("documents").select("doc_id", "text")
+    )
+    with pytest.raises(ValueError, match="line_hash type"):
+        update_boilerplate_store(
+            spark, store, corpus.filter(F.col("doc_id") < 50), "b_new"
+        )
+    assert not os.path.isdir(os.path.join(store, "batch=b_new"))
+    assert not os.path.isdir(os.path.join(store, "_seen_docs"))
