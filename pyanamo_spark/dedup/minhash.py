@@ -7,14 +7,16 @@ Pipeline (the standard shingle → minhash → band → bucket-join shape):
      permutations as one uint64 outer product per doc (see
      minhash_signature for why this beat the pure-expression forms)
   3. 8 bands × 4 rows: band hash groups docs into buckets
-  4. docs sharing any band bucket become candidate pairs (self-join on
-     the band key — the only shuffle, and it carries 16 bytes/row)
+  4. docs sharing any band bucket become candidate pairs (ONE grouped
+     shuffle of 20-byte (doc_id, band) rows, pairs emitted by an
+     in-bucket combinations explode — see candidate_pairs)
   5. candidates verified with exact Jaccard over the hashed shingle
      sets (longs, not strings — see candidate_pairs)
 
-At 100 TB the band self-join is the scale bottleneck; bucket sizes are
-bounded because identical band hashes imply near-identical docs, and
-AQE's skew-join handles the pathological all-same-doc corpus.
+At 100 TB the band-bucket shuffle is the scale bottleneck; bucket
+sizes stay small because identical band hashes imply near-identical
+docs, and the pathological all-same-doc corpus routes through a
+skew-splittable self-join (MAX_COMBO_BUCKET valve).
 
 Declared rows-only: xxhash64 has no DuckDB equivalent, so the oracle
 cannot replay the signature; determinism within Spark is seeded by
@@ -81,13 +83,36 @@ def band_structs(sig_col):
     )
 
 
+#: buckets at most this big emit their pairs with an in-task
+#: combinations explode; larger ones fall back to the skew-splittable
+#: self-join path (see candidate_pairs)
+MAX_COMBO_BUCKET = 256
+
+
 def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket.
 
-    The band self-join and the pair dedup carry only (doc_id, band)
-    ids — 16 bytes/row — NOT the shingle arrays; the arrays are joined
-    back onto the deduped pairs afterwards (two narrow hash joins on
-    doc_id), so the hottest shuffles never ship document content.
+    Pair emission is grouped, not self-joined: the (doc_id, band)
+    rows — 20 bytes each, never any text — shuffle ONCE into their
+    band bucket, and each bucket emits its id combinations with an
+    in-task array explode. The old a/b self-join shuffled the band
+    table twice and probed a 3.2M-row hash relation; at sf1 the
+    grouped form measured 5.9 s -> 3.6 s best-of-3 (r09; ~2.9 s
+    without the always-planned skew-valve branch below — the 0.7 s is
+    the insurance premium), with the identical pair set by
+    construction. Shingle-hash arrays are
+    joined back onto the deduped pairs afterwards (two narrow hash
+    joins on doc_id), so the hottest shuffles never ship content.
+
+    Skew valve: a bucket's pair count is quadratic in its size, and
+    the grouped explode emits a bucket on ONE task. Identical band
+    hashes imply near-identical docs, so buckets stay small on real
+    corpora — but a boilerplate mega-cluster (thousands of identical
+    docs) is realistic at crawl scale, and pinning its k^2/2 pairs to
+    one task is not. Buckets above MAX_COMBO_BUCKET are re-exploded
+    to rows and pair via the old self-join, whose skewed band key AQE
+    splits across tasks (spark.sql.adaptive.skewJoin). Both branches
+    read the persisted bucket table, so the signature pass runs once.
 
     The corpus is prepped straight to *hashed* shingle sets (one
     xxhash64 per shingle string, then array_distinct on the longs): the
@@ -101,17 +126,18 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     The hashed corpus is persisted: it feeds the band branch AND both
     join-backs, and without materialization each consumer re-tokenizes
     the full corpus (3x the dominant cost). Production materializes
-    this table to parquet anyway — it IS the minhash index.
-
-    Reverted experiment (r08): repartitioning the corpus before the
-    shingle/signature stage — the fix that won for pdf/html/spans —
-    measured ~2x WORSE here (7.8 s -> 14 s at sf1, best-of-2): this
-    plan is dominated by the 32-wide band self-join and pair dedup,
-    not the scan-parallel signature pass, so the extra full-text
-    exchange buys nothing and costs a corpus shuffle.
+    this table to parquet anyway — it IS the minhash index. The prep
+    runs behind session.spread: the r08 experiment that measured
+    spread 2x WORSE here was against the join-dominated plan; once
+    the grouped emission removed the self-join, the plan is scan-
+    dominated like pdf/html/spans and spread measured 6.8 -> 4.5 s
+    at sf1 (best-of-3) on its own.
     """
+    from pyanamo_spark.session import spread
+
     prepped = (
-        corpus.withColumn(
+        spread(corpus, "doc_id", "text")
+        .withColumn(
             "hs",
             F.array_distinct(
                 F.transform(shingles("text"), lambda s: F.xxhash64(s))
@@ -120,21 +146,37 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .select("doc_id", "hs")
         .persist()
     )
-    # the band table is persisted too: the self-join otherwise computes
-    # the 32-permutation signature on BOTH sides (ReuseExchange does
-    # not kick in across the a/b aliases) — 8 band ids/doc is far
-    # cheaper to hold than to recompute
-    bands = (
+    # persisted bucket table: feeds both emission branches, and holds
+    # ~1 sorted id array per non-singleton bucket instead of 8 band
+    # rows/doc — far cheaper to hold than to recompute the signature
+    buckets = (
         prepped.withColumn("sig", minhash_signature("hs"))
         .select("doc_id", F.explode(band_structs("sig")).alias("band"))
-        .select("doc_id", "band.band_idx", "band.band_hash")
+        .groupBy("band.band_idx", "band.band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .persist()
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    pair_ids = (
-        left.join(
-            right,
+    # two-level explode: row per (doc, later-docs-slice), then a row
+    # per pair — peak memory per row is O(bucket), never the O(k^2)
+    # struct array a single flatten(transform(...)) would materialize
+    small = (
+        buckets.filter(F.size("ids") <= MAX_COMBO_BUCKET)
+        .select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias(
+                "doc_b"
+            ),
+        )
+    )
+    over = buckets.filter(F.size("ids") > MAX_COMBO_BUCKET).select(
+        "band_idx", "band_hash", F.explode("ids").alias("doc_id")
+    )
+    big = (
+        over.alias("a")
+        .join(
+            over.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -143,8 +185,8 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    pair_ids = small.unionByName(big).dropDuplicates(["doc_a", "doc_b"])
     sh_a = prepped.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
     )

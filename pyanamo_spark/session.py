@@ -87,8 +87,9 @@ def spread(df, *cols: str):
     multi-thousand-split corpus the exchange is a no-op-sized
     rebalance. One definition so the tuning decision (count, keying,
     gating) lives in one place; NOT applied where a join dominates the
-    plan — see the reverted experiments recorded in dedup/minhash.py
-    and operators/market.py.
+    plan — see the reverted experiment recorded in operators/market.py
+    (dedup/minhash.py was such a site until r09's grouped pair
+    emission removed its self-join, after which spread won there too).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.select(*cols).repartition(par)

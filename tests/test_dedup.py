@@ -204,3 +204,34 @@ def test_index_rebuilds_after_session_clearcache(spark, sf_dir):
     pairs = QUERIES["q_dedup_ngram"](spark, sf_dir)
     assert pairs.storageLevel.useMemory
     assert idx_after.prepped.storageLevel.useMemory
+
+
+def test_minhash_mega_bucket_routes_through_skew_join(spark):
+    """A boilerplate mega-cluster (one band bucket holding far more
+    docs than MAX_COMBO_BUCKET) must still yield every pair: oversized
+    buckets skip the in-task combinations explode and pair via the
+    skew-splittable self-join branch instead."""
+    from pyanamo_spark.dedup.minhash import (
+        MAX_COMBO_BUCKET,
+        candidate_pairs,
+        JACCARD_THRESHOLD,
+    )
+
+    n = MAX_COMBO_BUCKET + 44  # forces the big-bucket branch
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, same) for i in range(n)]
+    rows += [(1000 + i, f"unique doc {i} " + " ".join(f"w{i}x{j}" for j in range(12)))
+             for i in range(6)]
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = candidate_pairs(spark, corpus)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.filter(jac >= JACCARD_THRESHOLD).collect()
+    }
+    want = {(a, b) for a in range(n) for b in range(n) if a < b}
+    assert got == want  # all k(k-1)/2 identical-doc pairs, nothing else
