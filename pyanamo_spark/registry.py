@@ -41,19 +41,18 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r08 window (VERDICT r07: close-out round, zero new queries):
-    # 5 canaries + the 2 r07 RED seats re-recorded post array-fix
-    # (q_pca_project / q_multimodal_decode now serialize array columns
-    # at the query boundary; the complex-type ban in
-    # tests/test_registry_contract.py covers every declared query) +
-    # the final 8 never-recorded ids (q_percentiles_approx and
-    # q_logit_score converted rows-only → oracle per VERDICT item 5;
-    # q_multimodal_features / q_knn_quantized audited against the
-    # array ban BEFORE declaring, per VERDICT item 2) + the 35 stalest
-    # greens (all 8 remaining r01 records, all 4 r03, the 23
-    # alphabetically-first r04) so the earliest records are re-proven
-    # against the heavily-refactored codebase. After r08 records:
-    # cumulative 194/194 ever driver-recorded.
+    # r09 window (VERDICT r08: deepening round — contract saturated at
+    # 194/194 cumulative): 5 canaries + the 3 rows-only → oracle audit
+    # conversions (q_knn_lsh / q_knn_ivf gain the ann_audit
+    # certification, q_approx_distinct the exact-vocabulary HLL audit;
+    # VERDICT item 3) + 4 semantics/plan-changed re-seats
+    # (q_percentiles_approx's oracle went null-safe, q_dedup_near and
+    # q_contrastive_pairs ride the rewritten grouped LSH pair emission,
+    # q_pdf_extract gains the glyph-name /Differences fallback; a
+    # changed query must re-record or its cumulative row goes stale) +
+    # the 38 stalest greens (all 13 remaining r04-recorded ids, the 25
+    # alphabetically-first r05 ids; the remaining 18 r05 ids rotate in
+    # r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -63,56 +62,55 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # r07 RED re-seats (array-column canon crash, now serialized)
-    "q_pca_project",
-    "q_multimodal_decode",
-    # final never-recorded ids (the r07 deferred mop-up 8)
-    "q_bpe_encode",
-    "q_compress_filter",
+    # rows-only → oracle audit conversions (VERDICT r08 item 3)
     "q_knn_lsh",
-    "q_knn_quantized",
-    "q_logit_score",
-    "q_multimodal_features",
+    "q_knn_ivf",
+    "q_approx_distinct",
+    # changed-this-round re-seats
     "q_percentiles_approx",
-    "q_semantic_prune",
-    # stale-proofing: every remaining r01-recorded green
-    "q_local_volume",
-    "q_nation_traffic",
-    "q_outliers",
-    "q_pricing_summary",
-    "q_priority_pending",
-    "q_revenue_forecast",
-    "q_top_orders",
-    "q_top_supplier",
-    # every remaining r03-recorded green
-    "q_date_format",
-    "q_limit",
-    "q_point_lookup",
-    "q_threshold_counts",
-    # oldest r04 greens (alphabetical; the rest rotate in r09+)
-    "q_bulk_update",
-    "q_dedup_lines",
-    "q_delete_anti",
-    "q_done_nests",
-    "q_dup_spans",
-    "q_event_window",
-    "q_filter_project",
-    "q_item_finalize",
-    "q_item_reset",
-    "q_join_anti",
-    "q_join_equi",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_roundtrip",
-    "q_knn_topk",
-    "q_lang_mix",
-    "q_line_count",
-    "q_log_mine",
-    "q_log_route",
-    "q_map_align",
-    "q_map_remove",
-    "q_map_update",
-    "q_nest_build",
+    "q_dedup_near",
+    "q_contrastive_pairs",
+    "q_pdf_extract",
+    # stale-proofing: every remaining r04-recorded green
+    "q_nest_filter",
+    "q_partition_split",
+    "q_pipe_exec",
+    "q_rollup",
+    "q_sessionize",
+    "q_setops",
+    "q_state_counts",
+    "q_tag_extract",
+    "q_text_stats",
+    "q_vector_math",
+    "q_width_profile",
+    "q_window_lag",
+    "q_window_rank",
+    # oldest r05 greens (alphabetical; the rest rotate in r10)
+    "q_anomaly",
+    "q_bloom_join",
+    "q_bpe_pairs",
+    "q_chunk_documents",
+    "q_cube",
+    "q_curation_funnel",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_ngram",
+    "q_dedup_stats",
+    "q_dup_passages",
+    "q_embed_covariance",
+    "q_equidepth",
+    "q_funnel_latency",
+    "q_global_ids",
+    "q_group_sample",
+    "q_group_split",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_join_asof",
+    "q_join_auto",
+    "q_lm_score",
+    "q_merge_upsert",
 )
 
 

@@ -389,13 +389,23 @@ EXCHANGE_BUDGET = {
     "q_state_join": 3,
     "q_join_equi": 3,
     "q_knn_topk": 3,  # window over scored pairs
-    "q_knn_ivf": 5,  # index BUILD (assignment + per-cluster Lloyd
+    "q_knn_ivf": 10,  # index BUILD (assignment + per-cluster Lloyd
     # mean) fused inline with the search for the declared query;
     # assignment itself is shuffle-free mapInPandas since the centroid
     # model rides into tasks as a numpy constant. Production builds
     # once, stores assignments as the partition key, and the search
-    # plan alone is 3 exchanges
-    "q_knn_lsh": 3,
+    # plan alone is 3 exchanges. r09: the declared output is the
+    # ann_audit certification, which adds the exact_topk ground-truth
+    # pass (window + agg) and the K-rows-per-query audit join/agg —
+    # every added exchange is query-set-sized (K x N_QUERIES rows),
+    # never corpus-sized
+    "q_knn_lsh": 10,  # 3 for the bucketed search; the rest is the
+    # same ann_audit shape as q_knn_ivf (exact ground truth + tiny
+    # audit join), all K x N_QUERIES-sized
+    "q_approx_distinct": 4,  # the HLL estimate and the exact
+    # count-distinct certification aggregate plan as two two-phase
+    # aggs over one token explode; the audit's exact pass is the
+    # declared certification cost (library approx_vocab stays 2)
     "q_custdist": 4,  # orders pre-agg + final distribution agg (over
     # an already customer-cardinality input) + 2 broadcasts
     "q_idle_customers": 4,  # cohort-avg scalar (exchange + 1-row

@@ -14,22 +14,31 @@ from pyanamo_spark.registry import (
 
 load_all()
 
-#: declared ids that are rows-only BY CONTRACT: seeded randomness or a
-#: sketch/codec algorithm DuckDB cannot replicate — engines cannot
-#: agree on a value hash. The r08 window's rows-only seats: the 2 r07
-#: red re-seats (arrays now serialized at the query boundary) plus the
-#: 6 rows-only ids of the final never-recorded mop-up
-#: (q_percentiles_approx and q_logit_score were converted rows-only →
-#: oracle per VERDICT r07 item 5 and sit in ROTATED_IN_R08).
-DECLARED_ROWS_ONLY: set[str] = {
-    "q_pca_project",
-    "q_multimodal_decode",
+#: registered ids that are rows-only BY CONTRACT: seeded randomness or
+#: a sketch/codec algorithm DuckDB cannot replicate — engines cannot
+#: agree on a value hash. Each carries a documented reason
+#: (ROWS_ONLY_REASONS) plus the behavioral test SURVEY §2.10 names as
+#: its bar. r09 converted q_knn_lsh / q_knn_ivf / q_approx_distinct
+#: out of this set via in-engine audits (the q_percentiles_approx
+#: pattern), shrinking it 20 -> 17.
+ROWS_ONLY_IDS: set[str] = {
+    "q_audio_features",
     "q_bpe_encode",
+    "q_bpe_train",
     "q_compress_filter",
-    "q_knn_lsh",
+    "q_contrastive_pairs",
+    "q_dedup_near",
+    "q_dedup_simhash",
     "q_knn_quantized",
-    "q_semantic_prune",
+    "q_multimodal_decode",
     "q_multimodal_features",
+    "q_overlap_estimate",
+    "q_pack_sequences",
+    "q_pca_project",
+    "q_rand_order",
+    "q_sample_topk",
+    "q_semantic_prune",
+    "q_video_frames",
 }
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
@@ -41,307 +50,104 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: the two r07 RED seats (array-column canon crash): a red seat keeps
-#: its place until it records clean — both now serialize their arrays
-RED_SEATS_HELD: set[str] = {"q_pca_project", "q_multimodal_decode"}
+#: rows-only -> oracle audit conversions seated at r09 (VERDICT r08
+#: item 3): each must now carry an oracle
+CONVERTED_R09 = {"q_knn_lsh", "q_knn_ivf", "q_approx_distinct"}
 
-#: ids whose recorded-window seat was ceded in the r07 rotation
-#: (recorded in the r06 window: 46 green oracle seats + 4 rows-only by
-#: contract); they must remain registered so the full replay keeps
-#: verifying them
-ROTATED_OUT_R07 = {
-    # r05 reds, re-recorded green in r06
-    "q_join_cardinality",
-    "q_session_events",
-    # §2 rows-only ids, re-recorded in modern form in r06 (no oracle)
-    "q_rand_order",
-    "q_sample_topk",
-    "q_dedup_near",
-    "q_approx_distinct",
-    # the 39 oracle seats rotated in at r06, all recorded green
-    "q_pagerank",
-    "q_survival",
-    "q_bm25",
-    "q_hybrid_search",
-    "q_crossval",
-    "q_drift",
-    "q_kanon",
-    "q_basket_rules",
-    "q_mv_refresh",
-    "q_shard_plan",
-    "q_token_budget",
-    "q_dataset_card",
-    "q_pivot",
-    "q_funnel",
-    "q_token_count",
-    "q_lang_id",
-    "q_big_orders",
-    "q_brand_revenue",
-    "q_custdist",
-    "q_excess_suppliers",
-    "q_idle_customers",
-    "q_important_stock",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_promo_share",
-    "q_returned_customers",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_supplier_parts",
-    "q_waiting_suppliers",
-    "q_dedup_contain",
-    "q_transitions",
-    "q_ltv",
-    "q_gini",
-    "q_pmi",
-    "q_fingerprint",
-    "q_quality_score",
-    "q_heavy_hitters",
+#: re-seats whose semantics, oracle SQL, or physical plan changed in
+#: r09 — a changed query must re-record or its cumulative row is stale
+CHANGED_R09 = {
+    "q_percentiles_approx",  # null-safe audit population + oracle
+    "q_dedup_near",          # grouped band-bucket pair emission
+    "q_contrastive_pairs",   # shares candidate_pairs
+    "q_pdf_extract",         # glyph-name /Differences fallback
 }
 
-#: rows-only ids among the r07-rotated-out set (never had oracles)
-ROTATED_OUT_ROWS_ONLY = {
-    "q_rand_order",
-    "q_sample_topk",
-    "q_dedup_near",
-    "q_approx_distinct",
-}
-
-#: r06-era rotation history, folded into the earlier set
-ROTATED_OUT_R06 = {
-    # green first recorded in r04 (and again in r05)
-    "q_embed_covariance",
-    "q_global_ids",
-    "q_join_asof",
-    "q_merge_upsert",
-    "q_setops_fused",
-    "q_dedup_stats",
-    "q_mixture_weights",
-    "q_bpe_pairs",
-    "q_equidepth",
-    # green first recorded in r05
-    "q_model_score",
-    "q_join_auto",
-    "q_bloom_join",
-    "q_salted_join",
-    "q_skew_profile",
-    "q_snapshot_diff",
-    "q_scd2",
-    "q_validate",
-    "q_table_stats",
-    "q_anomaly",
-    "q_retention",
-    "q_funnel_latency",
-    "q_resample",
-    "q_percentiles",
-    "q_cube",
-    "q_grouping_sets",
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    "q_dup_passages",
-    "q_source_overlap",
-    "q_source_similarity",
-    "q_tfidf",
-    "q_lm_score",
-    "q_curation_funnel",
-    "q_hash_split",
-    "q_group_split",
-    "q_scrub",
-    "q_decontaminate",
-    "q_chunk_documents",
-    "q_stratified_sample",
-    "q_group_sample",
-    "q_weighted_sample",
-}
-
-#: ids rotated out in r05 or earlier — same staying-registered contract
-ROTATED_OUT_EARLIER = {
-    "q_filter_project",
-    "q_nest_filter",
-    "q_log_route",
-    "q_map_align",
-    "q_state_counts",
-    "q_line_count",
-    "q_done_nests",
-    "q_item_finalize",
-    "q_width_profile",
-    "q_nest_build",
-    "q_bulk_update",
-    "q_item_reset",
-    "q_map_update",
-    "q_map_remove",
-    "q_delete_anti",
-    "q_partition_split",
-    "q_tag_extract",
-    "q_log_mine",
-    "q_json_roundtrip",
-    "q_event_window",
-    "q_pipe_exec",
-    "q_dedup_lines",
-    "q_knn_topk",
-    "q_text_stats",
-    "q_vector_math",
-    "q_join_equi",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
+#: stale-proof re-seats: every id whose last driver record predates r05
+#: (all 13 r04 survivors), plus the 25 alphabetically-first r05 ids;
+#: the remaining 18 r05 ids rotate in r10
+STALE_R09 = {
+    "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
+    "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
+    "q_text_stats", "q_vector_math", "q_width_profile", "q_window_lag",
     "q_window_rank",
-    "q_window_lag",
-    "q_rollup",
-    "q_setops",
-    "q_sessionize",
-    "q_dup_spans",
-    "q_lang_mix",
-    "q_limit",
-    "q_point_lookup",
-    "q_date_format",
-    "q_threshold_counts",
+    "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
+    "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
+    "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
+    "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
+    "q_equidepth", "q_funnel_latency", "q_global_ids", "q_group_sample",
+    "q_group_split", "q_grouping_sets", "q_hash_split", "q_join_asof",
+    "q_join_auto", "q_lm_score", "q_merge_upsert",
 }
 
-#: ids whose seats were ceded in the r08 rotation, all recorded in the
-#: r07 window: the 35 oracle seats rotated in at r07 (below) plus the
-#: 8 rows-only family reps that recorded clean in r07
-#: (q_dedup_simhash, q_knn_ivf, q_bpe_train, q_audio_features,
-#: q_video_frames, q_pack_sequences, q_contrastive_pairs,
-#: q_overlap_estimate)
-ROTATED_OUT_R08_ROWS_ONLY = {
-    "q_dedup_simhash",
-    "q_knn_ivf",
-    "q_bpe_train",
-    "q_audio_features",
-    "q_video_frames",
-    "q_pack_sequences",
-    "q_contrastive_pairs",
-    "q_overlap_estimate",
-}
-
-#: the final 8 never-driver-recorded ids, seated at r08 (the r07
-#: deferred mop-up): 2 newly oracle-backed + 6 rows-only (in
-#: DECLARED_ROWS_ONLY). After these record, cumulative coverage is
-#: 194/194.
-ROTATED_IN_R08 = {
-    "q_bpe_encode",
-    "q_compress_filter",
-    "q_knn_lsh",
-    "q_knn_quantized",
-    "q_logit_score",
-    "q_multimodal_features",
-    "q_percentiles_approx",
-    "q_semantic_prune",
-}
-
-#: stale-proof re-seats (VERDICT r07 item 6): greens last recorded in
-#: r01/r03/r04, re-recorded at r08 against the heavily-refactored
-#: codebase — all 8 remaining r01 records, all 4 r03, and the 23
-#: alphabetically-first r04 records. These ids appear in the
-#: rotated-out history below; re-seating supersedes that.
-RESEATED_R08 = {
-    # r01 cohort
-    "q_local_volume",
-    "q_nation_traffic",
-    "q_outliers",
-    "q_pricing_summary",
-    "q_priority_pending",
-    "q_revenue_forecast",
-    "q_top_orders",
-    "q_top_supplier",
-    # r03 cohort
-    "q_date_format",
-    "q_limit",
-    "q_point_lookup",
-    "q_threshold_counts",
-    # r04 cohort (alphabetical prefix)
-    "q_bulk_update",
-    "q_dedup_lines",
-    "q_delete_anti",
-    "q_done_nests",
-    "q_dup_spans",
-    "q_event_window",
-    "q_filter_project",
-    "q_item_finalize",
-    "q_item_reset",
-    "q_join_anti",
-    "q_join_equi",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_roundtrip",
-    "q_knn_topk",
-    "q_lang_mix",
-    "q_line_count",
-    "q_log_mine",
-    "q_log_route",
-    "q_map_align",
-    "q_map_remove",
-    "q_map_update",
-    "q_nest_build",
-}
-
-#: the 35 oracle-backed seats rotated IN at r07 — never driver-recorded
-#: before that window; all recorded green in r07 and ceded at r08
-ROTATED_IN_R07 = {
-    "q_lock_protocol",
-    "q_dedup_url",
-    "q_html_extract",
-    "q_warc_ingest",
-    "q_pdf_extract",
-    "q_decode_quarantine",
-    "q_repetition",
-    "q_quality_filter",
-    "q_zipf",
-    "q_vocab_coverage",
-    "q_bigram_entropy",
-    "q_langid_eval",
-    "q_fuzzy_match",
-    "q_error_context",
-    "q_sliding_window",
-    "q_rolling_median",
-    "q_ks_drift",
-    "q_autocorr",
-    "q_backtest",
-    "q_seasonality",
-    "q_changepoint",
-    "q_anomaly_seasonal",
-    "q_ab_test",
-    "q_streaks",
-    "q_winsorize",
-    "q_session_stats",
-    "q_coverage_curve",
-    "q_curriculum",
-    "q_time_split",
-    "q_score_calibrate",
-    "q_quantize",
-    "q_degree_stats",
-    "q_attribution",
-    "q_top_paths",
-    "q_dup_by_source",
+#: every id the driver has EVER recorded (cumulative through r08 —
+#: 194/194 as of the r08 close-out). Rotation never un-registers a
+#: query: ceding a recorded seat only moves the official recording,
+#: the full replay (driver_sim / test_parity) keeps verifying all of
+#: them every round. This set is the anti-deletion contract.
+EVER_RECORDED: set[str] = {
+    "q_ab_test", "q_anomaly", "q_anomaly_seasonal", "q_approx_distinct",
+    "q_attribution", "q_audio_features", "q_autocorr", "q_backtest",
+    "q_basket_rules", "q_big_orders", "q_bigram_entropy", "q_bloom_join",
+    "q_bm25", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
+    "q_brand_revenue", "q_bulk_update", "q_changepoint", "q_chunk_documents",
+    "q_compress_filter", "q_contrastive_pairs", "q_coverage_curve", "q_crossval",
+    "q_cube", "q_curation_funnel", "q_curriculum", "q_custdist",
+    "q_dataset_card", "q_date_format", "q_decode_quarantine", "q_decontaminate",
+    "q_dedup_clusters", "q_dedup_contain", "q_dedup_embed", "q_dedup_exact",
+    "q_dedup_incremental", "q_dedup_lines", "q_dedup_near", "q_dedup_ngram",
+    "q_dedup_simhash", "q_dedup_stats", "q_dedup_url", "q_degree_stats",
+    "q_delete_anti", "q_done_nests", "q_drift", "q_dup_by_source",
+    "q_dup_passages", "q_dup_spans", "q_embed_covariance", "q_equidepth",
+    "q_error_context", "q_event_window", "q_excess_suppliers", "q_filter_project",
+    "q_fingerprint", "q_funnel", "q_funnel_latency", "q_fuzzy_match",
+    "q_gini", "q_global_ids", "q_group_sample", "q_group_split",
+    "q_grouping_sets", "q_hash_split", "q_heavy_hitters", "q_html_extract",
+    "q_hybrid_search", "q_idle_customers", "q_important_stock", "q_ingest_csv",
+    "q_item_finalize", "q_item_reset", "q_join_anti", "q_join_asof",
+    "q_join_auto", "q_join_cardinality", "q_join_equi", "q_join_range",
+    "q_join_semi", "q_json_roundtrip", "q_kanon", "q_knn_ivf",
+    "q_knn_lsh", "q_knn_quantized", "q_knn_topk", "q_ks_drift",
+    "q_lang_id", "q_lang_mix", "q_langid_eval", "q_limit",
+    "q_line_count", "q_lm_score", "q_local_volume", "q_lock_protocol",
+    "q_log_mine", "q_log_route", "q_logit_score", "q_ltv",
+    "q_map_align", "q_map_remove", "q_map_update", "q_market_share",
+    "q_merge_upsert", "q_min_cost_supplier", "q_mixture_weights", "q_model_score",
+    "q_multimodal_decode", "q_multimodal_features", "q_mv_refresh", "q_nation_traffic",
+    "q_nest_build", "q_nest_filter", "q_outliers", "q_overlap_estimate",
+    "q_pack_sequences", "q_pagerank", "q_partition_split", "q_pca_project",
+    "q_pdf_extract", "q_percentiles", "q_percentiles_approx", "q_pipe_exec",
+    "q_pivot", "q_pmi", "q_point_lookup", "q_pricing_summary",
+    "q_priority_pending", "q_product_profit", "q_progress_histogram", "q_promo_share",
+    "q_quality_filter", "q_quality_score", "q_quantize", "q_rand_order",
+    "q_repetition", "q_resample", "q_retention", "q_returned_customers",
+    "q_revenue_forecast", "q_rolling_avg", "q_rolling_median", "q_rollup",
+    "q_salted_join", "q_sample_topk", "q_scd2", "q_score_calibrate",
+    "q_scrub", "q_seasonality", "q_semantic_prune", "q_session_events",
+    "q_session_stats", "q_sessionize", "q_setops", "q_setops_fused",
+    "q_shard_plan", "q_shipmode_priority", "q_skew_profile", "q_sliding_window",
+    "q_small_qty_revenue", "q_snapshot_diff", "q_source_overlap", "q_source_similarity",
+    "q_state_counts", "q_state_join", "q_stratified_sample", "q_streaks",
+    "q_supplier_parts", "q_survival", "q_table_stats", "q_tag_extract",
+    "q_text_stats", "q_tfidf", "q_threshold_counts", "q_time_split",
+    "q_token_budget", "q_token_count", "q_top_orders", "q_top_paths",
+    "q_top_supplier", "q_transitions", "q_validate", "q_vector_math",
+    "q_video_frames", "q_vocab_coverage", "q_waiting_suppliers", "q_warc_ingest",
+    "q_weighted_sample", "q_width_profile", "q_window_lag", "q_window_rank",
+    "q_winsorize", "q_zipf",
 }
 
 
-def test_rotated_out_ids_stay_registered():
-    gone = (
-        ROTATED_IN_R07
-        | ROTATED_OUT_R08_ROWS_ONLY
-        | ROTATED_OUT_R07
-        | ROTATED_OUT_R06
-        | ROTATED_OUT_EARLIER
-    ) - RESEATED_R08
-    missing = [n for n in gone if n not in QUERIES]
+def test_ever_recorded_ids_stay_registered():
+    missing = [n for n in EVER_RECORDED if n not in QUERIES]
     assert not missing, missing
-    # every oracle'd rotated-out id keeps its oracle
+    # every recorded id keeps an oracle unless contractually rows-only
     missing_oracle = [
         n
-        for n in (ROTATED_IN_R07 | ROTATED_OUT_R07 | ROTATED_OUT_R06)
-        - ROTATED_OUT_ROWS_ONLY
-        - RESEATED_R08
-        if n not in ORACLES
+        for n in EVER_RECORDED
+        if n not in ORACLES and n not in ROWS_ONLY_IDS
     ]
     assert not missing_oracle, missing_oracle
-    # none of them still occupies a seat
-    still_in = [n for n in gone if n in DECLARED]
-    assert not still_in, still_in
 
 
 def test_canaries_hold_their_seats():
@@ -349,23 +155,13 @@ def test_canaries_hold_their_seats():
         assert n in DECLARED, n
 
 
-def test_rotated_in_ids_sit_in_the_window():
-    for n in ROTATED_IN_R08 | RESEATED_R08:
-        assert n in DECLARED, n
-    for n in RESEATED_R08:
+def test_r09_window_composition():
+    # the conversions really did gain oracles (VERDICT r08 item 3)
+    for n in CONVERTED_R09:
         assert n in ORACLES, n
-    for n in RED_SEATS_HELD | DECLARED_ROWS_ONLY:
-        assert n in DECLARED, n
-    # the converted ids really did gain oracles (VERDICT r07 item 5)
-    assert "q_percentiles_approx" in ORACLES
-    assert "q_logit_score" in ORACLES
-    # window composition is exactly canaries + held red re-seats + the
-    # final never-recorded mop-up + the stale-proof re-seats
-    assert set(DECLARED) == (
-        CANARIES | RED_SEATS_HELD | ROTATED_IN_R08 | RESEATED_R08
-    )
-    # every rows-only seat in the window is contractually documented
-    assert DECLARED_ROWS_ONLY <= set(DECLARED)
+    # window is exactly canaries + conversions + changed re-seats +
+    # the stale-proof cohort
+    assert set(DECLARED) == CANARIES | CONVERTED_R09 | CHANGED_R09 | STALE_R09
 
 
 def test_declared_ids_all_registered():
@@ -385,7 +181,7 @@ def test_declared_have_oracles_unless_contractually_rows_only():
     missing = [
         n
         for n in DECLARED
-        if n not in ORACLES and n not in DECLARED_ROWS_ONLY
+        if n not in ORACLES and n not in ROWS_ONLY_IDS
     ]
     assert not missing, missing
 

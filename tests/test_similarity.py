@@ -28,8 +28,17 @@ def test_topk_selfmatch_rank1(spark, sf_dir):
         assert abs(top.cos_sim - 1.0) < 1e-6
 
 
+def _ensure(spark, sf_dir):
+    from pyanamo_spark import semantics
+
+    semantics.ensure_views(spark, sf_dir)
+
+
 def test_lsh_selfmatch_and_subset_of_bucket(spark, sf_dir):
-    rows = QUERIES["q_knn_lsh"](spark, sf_dir).collect()
+    from pyanamo_spark.similarity.knn import lsh_topk
+
+    _ensure(spark, sf_dir)
+    rows = lsh_topk(spark, sf_dir).collect()
     by_query = {}
     for r in rows:
         by_query.setdefault(r.query_id, []).append(r)
@@ -41,7 +50,10 @@ def test_lsh_selfmatch_and_subset_of_bucket(spark, sf_dir):
 
 
 def test_ivf_selfmatch_and_probe_bound(spark, sf_dir):
-    rows = QUERIES["q_knn_ivf"](spark, sf_dir).collect()
+    from pyanamo_spark.similarity.ivf import ivf_topk
+
+    _ensure(spark, sf_dir)
+    rows = ivf_topk(spark, sf_dir).collect()
     by_query = {}
     for r in rows:
         by_query.setdefault(r.query_id, []).append(r)
@@ -56,11 +68,14 @@ def test_ivf_selfmatch_and_probe_bound(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
+    from pyanamo_spark.similarity.ivf import ivf_topk
+
+    _ensure(spark, sf_dir)
     exact = {}
     for r in QUERIES["q_knn_topk"](spark, sf_dir).collect():
         exact.setdefault(r.query_id, set()).add(r.vec_id)
     approx = {}
-    for r in QUERIES["q_knn_ivf"](spark, sf_dir).collect():
+    for r in ivf_topk(spark, sf_dir).collect():
         approx.setdefault(r.query_id, set()).add(r.vec_id)
     # probing 2/16 lists: expect meaningful overlap with the exact
     # top-5 — at minimum the self-match; record-and-floor the rest
@@ -68,6 +83,34 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert all(r >= 1 / 5 for r in recalls)
+
+
+def test_ann_audit_flags_green_and_catch_regressions(spark, sf_dir):
+    """The declared q_knn_lsh / q_knn_ivf audits must certify the
+    fixture (what the oracle asserts as literal 1s), and the audit
+    must actually FAIL a broken approximate result — otherwise the
+    oracle seats prove nothing."""
+    from pyanamo_spark.similarity.knn import (
+        LSH_RECALL_FLOOR,
+        ann_audit,
+        exact_topk,
+    )
+
+    for name in ("q_knn_lsh", "q_knn_ivf"):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        assert {r.query_id for r in rows} == set(range(N_QUERIES))
+        for r in rows:
+            assert (r.self_ok, r.recall_ok) == (1, 1), (name, r)
+            assert r.n_exact == K
+    # a sabotaged "approx" result (every neighbor id shifted out of
+    # the corpus → zero overlap with exact) must flip both flags
+    broken = exact_topk(spark).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10**9)
+    )
+    audited = ann_audit(spark, broken, LSH_RECALL_FLOOR).collect()
+    assert audited and all(
+        r.self_ok == 0 and r.recall_ok == 0 for r in audited
+    )
 
 
 def test_stored_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
@@ -123,8 +166,11 @@ def test_stored_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_lsh_deterministic(spark, sf_dir):
-    a = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
-    b = sorted(map(tuple, QUERIES["q_knn_lsh"](spark, sf_dir).collect()))
+    from pyanamo_spark.similarity.knn import lsh_topk
+
+    _ensure(spark, sf_dir)
+    a = sorted(map(tuple, lsh_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, lsh_topk(spark, sf_dir).collect()))
     assert a == b
 
 

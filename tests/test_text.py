@@ -14,13 +14,15 @@ load_all()
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """q_approx_distinct's HyperLogLog++ vocabulary estimate must land
-    within a conservative multiple of the configured 2% rsd of the
-    exact per-language vocabulary (rows-only query — this test is its
-    accuracy contract)."""
+    """The raw HLL++ vocabulary estimate (library approx_vocab) must
+    land within a conservative multiple of the configured 2% rsd of
+    the exact per-language vocabulary, and the declared audit query
+    must certify exactly that (all hll_ok flags 1, exact counts)."""
+    from pyanamo_spark.functions.text import approx_vocab
+
+    semantics.ensure_views(spark, sf_dir)
     got = {
-        r["lang"]: r["approx_vocab"]
-        for r in QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+        r["lang"]: r["approx_vocab"] for r in approx_vocab(spark).collect()
     }
     exact = {
         r["lang"]: r["exact_vocab"]
@@ -36,6 +38,9 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for lang, est in got.items():
         rel_err = abs(est - exact[lang]) / exact[lang]
         assert rel_err < 0.10, (lang, est, exact[lang])
+    audited = QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    assert {r.lang: r.n_vocab for r in audited} == exact
+    assert all(r.hll_ok == 1 for r in audited)
 
 
 def test_lang_mix_invariants(spark, sf_dir):
