@@ -16,19 +16,26 @@ remap character codes, resolved through their **/ToUnicode CMap**
 Identity-H composite fonts included). The object graph is walked for
 page → contents → resources → font structure, so indirect ``/Length``
 references resolve and non-content streams (font programs, the CMap
-itself, images) never leak into the text. Fonts carrying no ToUnicode
-table extract their bytes as-is — recovering those needs the font
-program's glyph names, which is exactly where a production pipeline
-swaps in a native extractor behind the same column contract.
+itself, images) never leak into the text. Simple fonts carrying no
+ToUnicode table fall back (r09) to **/Encoding glyph-name
+resolution**: base-encoding tables (WinAnsi/Standard/MacRoman)
+overlaid with the /Differences array, each name mapped to Unicode via
+the Adobe Glyph List subset plus the algorithmic ``uniXXXX``/``uXXXX``
+forms — the standard fallback chain (pdfminer/poppler do the same).
+Only embedded subset fonts with NEITHER table extract bytes as-is;
+recovering those needs the font program's own glyph table, which is
+where a production pipeline swaps in a native extractor behind the
+same column contract.
 
 The extraction runs in Arrow-batched bytes-local ``mapInPandas``
 stages; the registered query plants each document's text in a
-one-page PDF — every 4th doc through a Type0/Identity-H font whose
-codes only a CMap walk can map back — and the oracle reads the
-expectation straight from the documents table: a hash match proves
-object parsing, inflate, string unescaping, operator walking, AND
-CMap decoding reproduced every planted byte (same oracle pattern as
-sources/warc.py).
+one-page PDF — doc %4==1 through a Type0/Identity-H font whose codes
+only a CMap walk can map back, %4==2 through a ToUnicode-less simple
+font whose codes only the /Differences fallback can map back — and
+the oracle reads the expectation straight from the documents table: a
+hash match proves object parsing, inflate, string unescaping,
+operator walking, CMap decoding, AND glyph-name resolution reproduced
+every planted byte (same oracle pattern as sources/warc.py).
 """
 
 from __future__ import annotations
@@ -326,6 +333,206 @@ def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
     return width, mapping
 
 
+# ------------------------------------------- glyph-name fallback
+#
+# Fonts without a /ToUnicode table are recoverable when they are
+# SIMPLE fonts (Type1/TrueType, 1-byte codes) carrying an /Encoding:
+# code → glyph NAME (base encoding table, overridden by a
+# /Differences array) → Unicode via the Adobe Glyph List. This is the
+# standard-glyph-list fallback every real extractor implements
+# (pdfminer/poppler do the same dance); only embedded subset fonts
+# with neither table keep their raw bytes. Reference behavior bar:
+# text-bearing docs the executor's log miner ingests
+# (/root/reference/code/use-cases/example_docker/managing-item-logs.py:61-71).
+
+#: Adobe Glyph List subset: every printable-Latin-1 name, the cp1252
+#: specials, and the ASCII punctuation names — the names simple-font
+#: /Differences arrays actually use. ``uniXXXX`` / ``uXXXXXX`` forms
+#: are resolved algorithmically in _glyph_to_char.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Standard-encoding typographic names
+    "quoteright": "’", "quoteleft": "‘",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fi": "ﬁ", "fl": "ﬂ",
+    "florin": "ƒ", "circumflex": "ˆ", "caron": "ˇ",
+    "tilde": "˜", "trademark": "™", "Euro": "€",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "dotlessi": "ı",
+    # Latin-1 upper half
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+}
+# A-Z / a-z map to themselves; accented Latin-1 letters follow the
+# AGL naming convention (<letter><accent-name>)
+_AGL.update({c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
+for _name, _cp in (
+    ("Agrave", 0xC0), ("Aacute", 0xC1), ("Acircumflex", 0xC2),
+    ("Atilde", 0xC3), ("Adieresis", 0xC4), ("Aring", 0xC5),
+    ("AE", 0xC6), ("Ccedilla", 0xC7), ("Egrave", 0xC8),
+    ("Eacute", 0xC9), ("Ecircumflex", 0xCA), ("Edieresis", 0xCB),
+    ("Igrave", 0xCC), ("Iacute", 0xCD), ("Icircumflex", 0xCE),
+    ("Idieresis", 0xCF), ("Eth", 0xD0), ("Ntilde", 0xD1),
+    ("Ograve", 0xD2), ("Oacute", 0xD3), ("Ocircumflex", 0xD4),
+    ("Otilde", 0xD5), ("Odieresis", 0xD6), ("Oslash", 0xD8),
+    ("Ugrave", 0xD9), ("Uacute", 0xDA), ("Ucircumflex", 0xDB),
+    ("Udieresis", 0xDC), ("Yacute", 0xDD), ("Thorn", 0xDE),
+    ("germandbls", 0xDF), ("agrave", 0xE0), ("aacute", 0xE1),
+    ("acircumflex", 0xE2), ("atilde", 0xE3), ("adieresis", 0xE4),
+    ("aring", 0xE5), ("ae", 0xE6), ("ccedilla", 0xE7),
+    ("egrave", 0xE8), ("eacute", 0xE9), ("ecircumflex", 0xEA),
+    ("edieresis", 0xEB), ("igrave", 0xEC), ("iacute", 0xED),
+    ("icircumflex", 0xEE), ("idieresis", 0xEF), ("eth", 0xF0),
+    ("ntilde", 0xF1), ("ograve", 0xF2), ("oacute", 0xF3),
+    ("ocircumflex", 0xF4), ("otilde", 0xF5), ("odieresis", 0xF6),
+    ("oslash", 0xF8), ("ugrave", 0xF9), ("uacute", 0xFA),
+    ("ucircumflex", 0xFB), ("udieresis", 0xFC), ("yacute", 0xFD),
+    ("thorn", 0xFE), ("ydieresis", 0xFF),
+):
+    _AGL[_name] = chr(_cp)
+
+#: char → canonical glyph name (for the fixture builder)
+_AGL_REV: dict[str, str] = {}
+for _n, _c in _AGL.items():
+    _AGL_REV.setdefault(_c, _n)
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """AGL lookup plus the algorithmic ``uniXXXX`` / ``uXXXX[XX]``
+    forms; None for names outside the subset (code stays unmapped)."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    if re.fullmatch(r"uni[0-9A-F]{4}", name):
+        cp = int(name[3:], 16)
+        return chr(cp) if not 0xD800 <= cp <= 0xDFFF else None
+    if re.fullmatch(r"u[0-9A-F]{4,6}", name):
+        cp = int(name[1:], 16)
+        return chr(cp) if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF else None
+    return None
+
+
+def _ascii_names(quote: str, grave: str) -> dict[int, str]:
+    table = {}
+    for code in range(32, 127):
+        ch = chr(code)
+        nm = _AGL_REV.get(ch)
+        if code == 0x27:
+            nm = quote
+        elif code == 0x60:
+            nm = grave
+        if nm:
+            table[code] = nm
+    return table
+
+
+#: PDF base encodings as code → glyph-name tables (PDF spec App. D).
+#: WinAnsi = cp1252; Standard differs at the quote characters and
+#: leaves the upper half to its older charset (subset here — unmapped
+#: upper codes surface as U+FFFD, same as any absent glyph).
+_WIN_ANSI: dict[int, str] = _ascii_names("quotesingle", "grave")
+for _code, _nm in (
+    (0x80, "Euro"), (0x82, "quotesinglbase"), (0x83, "florin"),
+    (0x84, "quotedblbase"), (0x85, "ellipsis"), (0x86, "dagger"),
+    (0x87, "daggerdbl"), (0x88, "circumflex"), (0x89, "perthousand"),
+    (0x8A, "Scaron"), (0x8B, "guilsinglleft"), (0x8C, "OE"),
+    (0x8E, "Zcaron"), (0x91, "quoteleft"), (0x92, "quoteright"),
+    (0x93, "quotedblleft"), (0x94, "quotedblright"), (0x95, "bullet"),
+    (0x96, "endash"), (0x97, "emdash"), (0x98, "tilde"),
+    (0x99, "trademark"), (0x9A, "scaron"), (0x9B, "guilsinglright"),
+    (0x9C, "oe"), (0x9E, "zcaron"), (0x9F, "Ydieresis"),
+):
+    _WIN_ANSI[_code] = _nm
+for _code in range(0xA1, 0x100):
+    _nm = _AGL_REV.get(chr(_code))
+    if _nm:
+        _WIN_ANSI[_code] = _nm
+_STANDARD: dict[int, str] = _ascii_names("quoteright", "quoteleft")
+_MAC_ROMAN: dict[int, str] = _ascii_names("quotesingle", "grave")
+
+_BASE_ENCODINGS = {
+    b"WinAnsiEncoding": _WIN_ANSI,
+    b"StandardEncoding": _STANDARD,
+    b"MacRomanEncoding": _MAC_ROMAN,
+    b"PDFDocEncoding": _WIN_ANSI,
+}
+
+_DIFF_TOKEN = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _encoding_map(
+    objs: dict[int, bytes], font_dict: bytes
+) -> tuple[int, dict[int, str]] | None:
+    """code → text mapping for a simple font from its /Encoding entry
+    (base-encoding name and/or /Differences array), or None when the
+    font carries no resolvable encoding (embedded subset fonts keep
+    raw bytes — the documented native-extractor swap point is now only
+    needed for THOSE)."""
+    if re.search(rb"/Subtype\s*/Type0", font_dict):
+        return None  # composite font: codes are CIDs, not byte codes
+    m = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_dict)
+    if m:
+        body = objs.get(int(m.group(1)))
+        if body is None:
+            return None
+        enc = _read_dict(body)
+    else:
+        m = re.search(rb"/Encoding\s*(<<.*?>>|/[A-Za-z]+)", font_dict, re.S)
+        if m is None:
+            return None
+        enc = m.group(1)
+    names: dict[int, str] = {}
+    bm = re.search(rb"/(?:BaseEncoding\s*/)?([A-Za-z]+Encoding)", enc)
+    base = _BASE_ENCODINGS.get(bm.group(1)) if bm else None
+    # per the spec, Differences overlay the base encoding; with no
+    # BaseEncoding the font's built-in encoding applies, for which
+    # Standard is the portable stand-in
+    names.update(base if base is not None else _STANDARD)
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.S)
+    if dm is not None:
+        code = 0
+        for num, nm in _DIFF_TOKEN.findall(dm.group(1)):
+            if num:
+                code = int(num)
+            else:
+                names[code] = nm.decode("latin-1")
+                code += 1
+    elif base is None:
+        return None  # no encoding information at all
+    mapping: dict[int, str] = {}
+    for code, nm in names.items():
+        ch = _glyph_to_char(nm)
+        if ch is not None:
+            mapping[code] = ch
+    return (1, mapping) if mapping else None
+
+
 def _font_cmap(
     objs: dict[int, bytes], fnum: int
 ) -> tuple[int, dict[int, str]] | None:
@@ -335,10 +542,10 @@ def _font_cmap(
     d = _read_dict(body)
     tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", d)
     if tm is None:
-        return None
+        return _encoding_map(objs, d)
     stream = _object_stream(objs, int(tm.group(1)))
     if stream is None:
-        return None
+        return _encoding_map(objs, d)
     return _parse_tounicode(stream)
 
 
@@ -602,6 +809,60 @@ def build_pdf_cmap(text: str, compress: bool = True) -> bytes:
     return _assemble(objs)
 
 
+def build_pdf_differences(text: str, compress: bool = True) -> bytes:
+    """One-page PDF drawing ``text`` through a simple TrueType font
+    with NO /ToUnicode table: every character gets a private 1-byte
+    code (first-appearance order, starting at 33 — unrelated to its
+    Unicode value), recoverable only by resolving the font's
+    /Encoding /Differences array through the standard glyph list
+    (AGL names where they exist, ``uniXXXX`` otherwise). The
+    Differences array restarts its integer code token every 32 names
+    so both token kinds are exercised. Texts with more than 223
+    distinct characters exceed a simple font's code space and build
+    through the Type0/CMap fixture instead — the switch real PDF
+    producers also make."""
+    chars: list[str] = []
+    index: dict[str, int] = {}
+    for ch in text:
+        if ch != "\n" and ch not in index:
+            index[ch] = 33 + len(chars)
+            chars.append(ch)
+    if len(chars) > 223:  # codes 33..255
+        return build_pdf_cmap(text, compress=compress)
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for ln in text.split("\n"):
+        hexs = "".join(f"{index[ch]:02X}" for ch in ln)
+        ops.append(b"<" + hexs.encode("ascii") + b"> Tj 0 -14 Td")
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    diff_parts: list[bytes] = []
+    for i, ch in enumerate(chars):
+        if i % 32 == 0:
+            diff_parts.append(str(33 + i).encode("ascii"))
+        nm = _AGL_REV.get(ch)
+        if nm is None:
+            cp = ord(ch)
+            nm = f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:06X}"
+        diff_parts.append(b"/" + nm.encode("ascii"))
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /FAKECC+Synth "
+        b"/Encoding 6 0 R >>",
+        b"<< /Type /Encoding /Differences [ "
+        + b" ".join(diff_parts) + b" ] >>",
+    ]
+    return _assemble(objs)
+
+
 def _assemble(objs: list[bytes]) -> bytes:
     """Number the objects 1..n, append xref + trailer."""
     out = bytearray(b"%PDF-1.4\n")
@@ -633,14 +894,16 @@ FROM documents
 )
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-source ingest through the PDF stack: plant each
-    document's text in a one-page PDF — every 4th doc via a
+    document's text in a one-page PDF — doc_id %4==1 via a
     Type0/Identity-H font whose private glyph codes only the
-    /ToUnicode CMap walk can map back, the rest as plain
-    (un)compressed literal-string PDFs — extract it back with the
-    real parser, and return (doc_id, text). The oracle is the
-    documents table itself — a hash match proves object/stream
-    parsing, inflate, unescaping, operator walking, and CMap decoding
-    reproduced every planted byte.
+    /ToUnicode CMap walk can map back, %4==2 via a simple font with
+    NO ToUnicode whose private byte codes only the /Encoding
+    /Differences glyph-name resolution can map back (r09), the rest
+    as plain (un)compressed literal-string PDFs — extract it back
+    with the real parser, and return (doc_id, text). The oracle is
+    the documents table itself — a hash match proves object/stream
+    parsing, inflate, unescaping, operator walking, CMap decoding,
+    and glyph-name fallback reproduced every planted byte.
 
     The explicit repartition exists because the parse is CPU-heavy
     per row while the input is few large splits: without it the
@@ -658,6 +921,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if int(doc_id) % 4 == 1:
                     blob = build_pdf_cmap(str(text))
+                elif int(doc_id) % 4 == 2:
+                    blob = build_pdf_differences(str(text))
                 else:
                     blob = build_pdf(
                         str(text), compress=int(doc_id) % 4 != 3

@@ -390,3 +390,112 @@ def test_property_multiline_cmap_roundtrip(lines):
 
     text = "\n".join(lines)
     assert extract_pdf_text(build_pdf_cmap(text)) == text
+
+
+def test_differences_roundtrip_basic():
+    """A simple font with NO ToUnicode but an /Encoding /Differences
+    array must extract through glyph-name resolution (AGL names and
+    uniXXXX forms), including multi-line text and non-Latin chars."""
+    from pyanamo_spark.sources.pdf import build_pdf_differences
+
+    text = "café — naïve\nΩmega §1.2 «quoted»\nplain ascii ()\\"
+    assert extract_pdf_text(build_pdf_differences(text)) == text
+    # uncompressed variant exercises the raw stream path
+    assert (
+        extract_pdf_text(build_pdf_differences(text, compress=False))
+        == text
+    )
+
+
+def test_differences_codes_are_not_the_text():
+    """The planted byte codes must NOT equal the original bytes — the
+    roundtrip must prove the glyph-name walk, not a passthrough."""
+    from pyanamo_spark.sources.pdf import build_pdf_differences
+
+    text = "secret payload"
+    blob = build_pdf_differences(text, compress=False)
+    assert text.encode() not in blob
+    assert extract_pdf_text(blob) == text
+
+
+def test_differences_overfull_alphabet_delegates_to_cmap():
+    """Texts exceeding a simple font's 1-byte code space must still
+    roundtrip (the builder switches to the Type0/CMap fixture, as a
+    real producer would)."""
+    from pyanamo_spark.sources.pdf import build_pdf_differences
+
+    big = "".join(chr(0x100 + i) for i in range(300))
+    assert extract_pdf_text(build_pdf_differences(big)) == big
+
+
+def test_winansi_name_form_encoding():
+    """/Encoding given as a bare base-encoding NAME (no Differences)
+    must decode cp1252 bytes, including the 0x80-0x9F specials."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    text = "café • déjà vu — “quoted” …"
+    payload = text.encode("cp1252")
+    esc = (
+        payload.replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)")
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
+    blob = _assemble([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+        b"/Encoding /WinAnsiEncoding >>",
+    ])
+    assert extract_pdf_text(blob) == text
+
+
+def test_differences_overlay_base_encoding():
+    """Differences entries override only their codes; other codes keep
+    the base-encoding mapping (here: WinAnsi base, one remapped code)."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    # code 0x41 ('A' in WinAnsi) remapped to /eacute; 'B' untouched
+    content = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"
+    blob = _assemble([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 65 /eacute ] >> >>",
+    ])
+    assert extract_pdf_text(blob) == "éB"
+
+
+def test_subset_font_without_any_table_keeps_bytes():
+    """Embedded subset fonts with neither ToUnicode nor Encoding stay
+    the documented native-extractor swap point: bytes pass through."""
+    from pyanamo_spark.sources.pdf import _assemble
+
+    content = b"BT /F1 12 Tf 72 720 Td (raw bytes) Tj ET"
+    blob = _assemble([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /ABCDEF+SubsetSans >>",
+    ])
+    assert extract_pdf_text(blob) == "raw bytes"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(st.characters(codec="utf-8", min_codepoint=32), max_size=60))
+def test_property_differences_roundtrip(text):
+    from pyanamo_spark.sources.pdf import build_pdf_differences
+
+    assert extract_pdf_text(build_pdf_differences(text)) == text
