@@ -127,15 +127,33 @@ def build_index(
     16-row centroid model to the driver — the small-model-to-driver
     move every k-means implementation makes; without it iteration N
     re-derives every previous iteration."""
-    emb = spark.table("embeddings").withColumn(
+    return _build_from(spark.table("embeddings"), iters)
+
+
+def _build_from(
+    corpus: DataFrame, iters: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """build_index over an explicit (vec_id, embedding, ...) corpus —
+    rebuild_index trains on the stored lists themselves, not the
+    session's embeddings view. Seeds are the N_CENTROIDS lowest
+    vec_ids present (deterministic for any corpus, including one
+    whose low ids were deleted)."""
+    emb = corpus.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    seeds = emb.filter(
-        (F.col("vec_id") < N_CENTROIDS) & F.col("embedding").isNotNull()
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-16 then a driver merge, never a full sort (identical to the
+    # old vec_id < N_CENTROIDS filter when ids 0..15 exist)
+    seeds = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", "nrm")
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     )
     centroids = seeds
     for _ in range(max(1, iters)):
@@ -144,9 +162,54 @@ def build_index(
     return assignments, centroids
 
 
+def resolve_index_dir(index_dir: str) -> str:
+    """Concrete directory holding the CURRENT ``lists``/``centroids``
+    pair. Stored indexes are versioned with the snapshot-commit
+    pointer protocol (sources/snapshots.py): ``index_dir/_CURRENT``
+    names the committed ``v=NNNNNNNN`` directory, and rebuilds publish
+    a whole new version before atomically swinging the pointer —
+    readers resolve once per call and never observe a half-swapped
+    index. A directory without a pointer is a legacy flat store and
+    resolves to itself."""
+    from pyanamo_spark.sources.snapshots import current_version, version_dir
+
+    v = current_version(index_dir)
+    return index_dir if v is None else version_dir(index_dir, v)
+
+
+def _commit_version(
+    index_dir: str,
+    writer,
+) -> int:
+    """Run ``writer(concrete_dir)`` against the next unpublished
+    version directory, then publish it with the snapshots pointer
+    swap. The write never touches the live version."""
+    import os
+    import uuid
+
+    from pyanamo_spark.sources.snapshots import (
+        _pointer,
+        current_version,
+        version_dir,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    v = (current_version(index_dir) or 0) + 1
+    writer(version_dir(index_dir, v))
+    tmp = os.path.join(index_dir, f"._CURRENT.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer(index_dir))
+    return v
+
+
 def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
     """Persist the IVF index: inverted lists as parquet PARTITIONED BY
-    centroid_id (the probe unit), centroids as a side table.
+    centroid_id (the probe unit), centroids as a side table — written
+    as snapshot version 1 under the pointer protocol (see
+    resolve_index_dir).
 
     This is the production shape the inline q_knn_ivf only simulates:
     build once, then every search is a partition-pruned read of
@@ -157,14 +220,69 @@ def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
     emb = spark.table("embeddings").withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    (
-        emb.join(assignments, "vec_id")
-        .repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_dir}/lists")
-    )
-    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+    def writer(vdir: str) -> None:
+        (
+            emb.join(assignments, "vec_id")
+            .repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .parquet(f"{vdir}/lists")
+        )
+        centroids.write.parquet(f"{vdir}/centroids")
+
+    _commit_version(index_dir, writer)
+
+
+#: rebuild when the largest inverted list exceeds this multiple of the
+#: mean list size — frozen-centroid appends degrade probes by
+#: imbalance first (append_to_index docstring), so imbalance IS the
+#: rebuild signal
+REBUILD_IMBALANCE = 3.0
+
+
+def rebuild_index(
+    spark: SparkSession,
+    index_dir: str,
+    imbalance_threshold: float = REBUILD_IMBALANCE,
+    iters: int = 2,
+) -> int | None:
+    """Consume the growth signal ``append_to_index`` documents: when
+    the largest inverted list exceeds ``imbalance_threshold`` x the
+    mean list size, re-train the coarse quantizer ON THE STORED
+    VECTORS (the lists are the corpus of record — the embeddings view
+    may have moved on), write the re-listed index as a NEW snapshot
+    version, and atomically swing the pointer. Readers holding a
+    DataFrame from before the swap keep their version (snapshot_read
+    semantics); new ``search_index`` calls resolve the rebuilt one —
+    never a mix. Returns the committed version, or None when balance
+    is within bounds and no rebuild was needed."""
+    vdir_now = resolve_index_dir(index_dir)
+    lists = spark.read.parquet(f"{vdir_now}/lists")
+    sizes = [
+        r.n
+        for r in lists.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    if not sizes or max(sizes) <= imbalance_threshold * (
+        sum(sizes) / len(sizes)
+    ):
+        return None
+    corpus = lists.drop("centroid_id", "nrm")
+    assignments, centroids = _build_from(corpus, iters)
+    relisted = corpus.withColumn(
+        "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    ).join(assignments, "vec_id")
+
+    def writer(vdir: str) -> None:
+        (
+            relisted.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .parquet(f"{vdir}/lists")
+        )
+        centroids.write.parquet(f"{vdir}/centroids")
+
+    return _commit_version(index_dir, writer)
 
 
 def append_to_index(
@@ -180,14 +298,18 @@ def append_to_index(
     ``vectors`` must carry the lists' base columns (vec_id, embedding,
     label) so appended parquet files share the schema.
 
-    Returns {centroid_id: n_appended} — the caller's rebuild signal:
+    Returns {centroid_id: n_appended} — the rebuild signal:
     because centroids are frozen, a drifting corpus degrades recall by
     IMBALANCE first (hot lists grow, probes scan more than
-    1/N_CENTROIDS of the corpus), so monitor the running list sizes
-    and re-run ``write_index`` when the largest list exceeds a few
-    multiples of the mean. This is the FAISS/IVF operational contract:
-    cheap adds between periodic re-trains."""
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    1/N_CENTROIDS of the corpus). ``rebuild_index`` consumes the
+    signal: it measures the stored list sizes and re-trains + swaps
+    atomically once the largest list passes REBUILD_IMBALANCE x the
+    mean. This is the FAISS/IVF operational contract: cheap adds
+    between periodic re-trains. Appends land INSIDE the current
+    snapshot version (they extend it, which is the point — new
+    vectors become searchable without a commit)."""
+    vdir = resolve_index_dir(index_dir)
+    centroids = spark.read.parquet(f"{vdir}/centroids")
     v = vectors.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
@@ -197,7 +319,7 @@ def append_to_index(
         appended.repartition("centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(f"{index_dir}/lists")
+        .parquet(f"{vdir}/lists")
     )
     return {
         r.centroid_id: r.n
@@ -224,9 +346,12 @@ def search_index(
     (the broadcast-join-driven alternative relies on runtime dynamic
     partition pruning; the literal form is guaranteed and testable).
 
-    ``queries`` needs (vec_id, embedding) columns."""
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
-    lists = spark.read.parquet(f"{index_dir}/lists")
+    ``queries`` needs (vec_id, embedding) columns. The snapshot
+    pointer is resolved ONCE here: the returned plan is bound to one
+    immutable index version even if a rebuild commits mid-flight."""
+    vdir = resolve_index_dir(index_dir)
+    centroids = spark.read.parquet(f"{vdir}/centroids")
+    lists = spark.read.parquet(f"{vdir}/lists")
     q = queries.select(
         "vec_id",
         "embedding",

@@ -126,9 +126,11 @@ def test_stored_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
     import os
 
+    from pyanamo_spark.similarity.ivf import resolve_index_dir
+
     parts = [
         d
-        for d in os.listdir(f"{index_dir}/lists")
+        for d in os.listdir(f"{resolve_index_dir(index_dir)}/lists")
         if d.startswith("centroid_id=")
     ]
     assert parts, "inverted lists must be centroid-partitioned"
@@ -257,8 +259,12 @@ def test_append_to_index_matches_one_shot_build(spark, sf_dir, tmp_path):
     assert sum(counts.values()) == extra.count()
 
     # one-shot comparison index: same frozen centroids, full corpus
+    from pyanamo_spark.similarity.ivf import resolve_index_dir
+
     ref_dir = str(tmp_path / "ivf_ref")
-    centroids = spark.read.parquet(f"{inc_dir}/centroids")
+    centroids = spark.read.parquet(
+        f"{resolve_index_dir(inc_dir)}/centroids"
+    )
     v = full.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
@@ -314,3 +320,100 @@ def test_embedding_dim_probe_never_caches_adhoc_views(spark, sf_dir):
     finally:
         semantics.ensure_views(spark, sf_dir)
     assert _embedding_dim(spark, sf_dir) == real_dim
+
+
+def test_rebuild_index_fires_on_imbalance_and_swaps_atomically(
+    spark, sf_dir, tmp_path
+):
+    """The FAISS-style operational loop: frozen-centroid appends skew
+    the lists; rebuild_index must (a) no-op while balanced, (b) fire
+    once the largest list passes the imbalance bound, (c) restore the
+    balance a fresh build would give, and (d) never disturb a reader
+    holding the pre-rebuild version (snapshot pointer swap)."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.similarity.ivf import (
+        append_to_index,
+        rebuild_index,
+        resolve_index_dir,
+        search_index,
+        write_index,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    index_dir = str(tmp_path / "ivf_grow")
+    write_index(spark, index_dir, iters=2)
+    v1 = resolve_index_dir(index_dir)
+    assert "/v=" in v1
+
+    # balanced index: no rebuild
+    assert rebuild_index(spark, index_dir) is None
+    assert resolve_index_dir(index_dir) == v1
+
+    # append 2x corpus aimed at ONE region: every appended vector is a
+    # lightly-perturbed copy of vector 0, so one list absorbs ~2N rows
+    base = spark.table("embeddings")
+    n = base.count()
+    first = base.filter(F.col("vec_id") == 0).first()["embedding"]
+    lit_first = F.array(*[F.lit(float(x)) for x in first])
+    skewed = (
+        base.crossJoin(spark.range(2).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("vec_id") + 100000 * (F.col("copy") + 1)).alias("vec_id"),
+            F.col("label"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                lit_first,
+                lambda e, f: f + e * 0.001,
+            )
+            .cast("array<float>")  # append contract: share the schema
+            .alias("embedding"),
+        )
+    )
+    counts = append_to_index(spark, index_dir, skewed)
+    assert sum(counts.values()) == 2 * n
+
+    # a reader bound BEFORE the rebuild keeps its version
+    queries = base.filter(F.col("vec_id") < 3)
+    pre_handle = search_index(spark, index_dir, queries)
+    pre_rows = sorted(map(tuple, pre_handle.collect()))
+
+    v2 = rebuild_index(spark, index_dir)
+    assert v2 == 2
+    v2dir = resolve_index_dir(index_dir)
+    assert v2dir != v1 and v2dir.endswith("v=00000002")
+
+    # (c) balance restored to fresh-build level: compare max/mean
+    # imbalance of the rebuilt lists against a one-shot build over the
+    # same union corpus
+    def imbalance(d):
+        sizes = [
+            r.n
+            for r in spark.read.parquet(f"{d}/lists")
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    skew_before = imbalance(v1)
+    union = base.select("vec_id", "label", "embedding").unionByName(
+        skewed.select("vec_id", "label", "embedding")
+    )
+    fresh_dir = str(tmp_path / "ivf_fresh")
+    union.createOrReplaceTempView("embeddings")
+    try:
+        write_index(spark, fresh_dir, iters=2)
+    finally:
+        semantics.ensure_views(spark, sf_dir)
+    fresh = imbalance(resolve_index_dir(fresh_dir))
+    rebuilt = imbalance(v2dir)
+    assert skew_before > 3.0  # the signal really fired
+    assert rebuilt <= fresh * 1.01  # identical build → identical balance
+
+    # rebuilt index serves the same results as the fresh one
+    got = sorted(map(tuple, search_index(spark, index_dir, queries).collect()))
+    want = sorted(map(tuple, search_index(spark, fresh_dir, queries).collect()))
+    assert got == want
+
+    # (d) the pre-rebuild handle still reads version 1, untouched
+    assert sorted(map(tuple, pre_handle.collect())) == pre_rows
