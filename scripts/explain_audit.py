@@ -506,8 +506,62 @@ def count_exchanges(plan: str) -> int:
 
 
 
+#: queries allowed to HASH-partition a raw document text column —
+#: empty by design: every hash shuffle (join/groupBy keying) in the
+#: suite carries digests/ids, and full text rides only round-robin
+#: rebalance exchanges (session.spread before a CPU-heavy stage).
+#: A name lands here only with a written justification.
+TEXT_HASH_EXCHANGE_OK: set[str] = {
+    # the fixture-building repartition("chunk_id") co-locates each
+    # WARC chunk's docs before the pack UDF — a one-pass keyed
+    # rebalance of the raw corpus (same cost class as spread's
+    # round-robin), not a candidate/join shuffle; the parse side
+    # exchanges only (chunk_id, payload) blobs
+    "q_warc_ingest",
+}
+
+
+def text_hash_exchanges(plan: str) -> list[int]:
+    """Node ids of non-cached Exchanges that HASH-partition rows
+    carrying a raw document ``text`` column.
+
+    This is the shuffle-payload audit for the dedup family's design
+    claim (dedup/minhash.py: candidate shuffles carry only digest/id
+    columns): a regression that drags full text through a band/bucket
+    or verify join turns a 16-byte/row exchange into a KB/row one —
+    invisible at sf0.01, fatal at 100 TB. Round-robin repartitions
+    (session.spread) are exempt: they deliberately rebalance the raw
+    corpus BEFORE tokenization and their cost is the linear scan
+    itself, not a join blowup."""
+    ranges = cached_node_ranges(plan)
+
+    def cached(k: int) -> bool:
+        return any(lo < k <= hi for lo, hi in ranges)
+
+    bad: list[int] = []
+    for m in re.finditer(
+        r"\((\d+)\) Exchange\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        node, block = int(m.group(1)), m.group(2)
+        if cached(node):
+            continue
+        if "hashpartitioning" not in block:
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        if inp and re.search(r"(?<![A-Za-z_])text#\d+", inp.group(1)):
+            bad.append(node)
+    return bad
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
+    if name not in TEXT_HASH_EXCHANGE_OK:
+        leaky = text_hash_exchanges(plan)
+        if leaky:
+            flags.append(
+                f"FLAG: raw text hash-shuffled at Exchange node(s) "
+                f"{leaky} — candidate shuffles must carry digests/ids"
+            )
     n_exchange = count_exchanges(plan)
     budget = EXCHANGE_BUDGET.get(name, 2)
     if n_exchange > budget:

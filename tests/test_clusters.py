@@ -181,3 +181,60 @@ def test_star_variant_raises_on_non_convergence(spark):
         for r in connected_components_star(path, max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(41)}
+
+
+def test_mega_cluster_10k_single_component(spark):
+    """Power-law skew stress (VERDICT r08 item 5): one 10k-doc
+    boilerplate cluster — realistic for crawl-scale near-identical
+    pages — concentrated in ONE component. The edge list is the shape
+    the candidate stage emits for such a cluster (hub pairs to the
+    min doc + consecutive chords; a subsample of the quadratic pair
+    set with the same closure). Must converge in the near-clique
+    regime (no star escalation) and label every node with the hub."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    hub = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    chords = spark.range(1, n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    # a second, smaller cluster proves the mega one doesn't absorb all
+    other = spark.range(20_000, 20_050).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    t0 = time.time()
+    labels = {
+        r.node: r.comp
+        for r in connected_components(
+            hub.union(chords).union(other)
+        ).collect()
+    }
+    wall = time.time() - t0
+    assert {labels[i] for i in range(n)} == {0}
+    assert {labels[i] for i in range(20_000, 20_051)} == {20_000}
+    assert len(labels) == n + 51
+    # generous wall bound: the hub graph is diameter-2, so this is a
+    # seed aggregate + 1-2 fixpoint rounds — minutes would mean the
+    # propagation degraded to per-round quadratic work
+    assert wall < 90, f"mega-cluster took {wall:.1f}s"
+
+
+def test_deep_chain_2k_escalates_and_bounds_rounds(spark):
+    """A 2048-node path is the adversarial diameter case: propagation
+    alone would need ~2048 rounds; the auto-escalation must hand over
+    to the star algorithm and finish in its O(log n) budget."""
+    from pyspark.sql import functions as F
+
+    n = 2048
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    labels = {
+        r.node: r.comp
+        for r in connected_components(chain, max_iter=25).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
