@@ -104,3 +104,66 @@ def test_extracted_text_is_clean(spark, tmp_path):
     docs = web_ingest_batch(spark.read.parquet(chunks_dir)).collect()
     for r in docs:
         assert r.text == f"doc {r.doc_id} & text"
+
+
+def test_property_arrival_order_invariance(spark, tmp_path):
+    """Late/out-of-order batches (the last untested streaming axis):
+    whatever order crawl chunks ARRIVE in, the final ledger must hold
+    exactly one entry per distinct body fingerprint — the same set an
+    in-order run accepts. Keeper doc_ids may legitimately differ (the
+    stream keeps the earliest-ARRIVING copy), so the invariant is the
+    fingerprint set plus one-doc-per-fingerprint, checked across a
+    spread of shuffled arrival permutations."""
+    import random
+
+    from pyanamo_spark.streaming.webingest import ingest_sink
+
+    # 4 chunks with cross-chunk duplicates in both directions
+    chunk_ids = [
+        list(range(0, 5)),
+        list(range(5, 10)),
+        list(range(10, 15)),
+        list(range(15, 20)),
+    ]
+    dup_of = {7: 1, 12: 1, 16: 11, 4: 15}  # 4 cross-chunk dup bodies
+    blobs = [
+        _chunk(ids, dup_of=dup_of) for ids in chunk_ids
+    ]
+
+    def run(order, store):
+        for epoch, ci in enumerate(order):
+            batch = spark.createDataFrame(
+                [(ci, bytearray(blobs[ci]))], "chunk_id long, payload binary"
+            )
+            ingest_sink(store)(batch, epoch)
+        rows = accepted_corpus(spark, store).select(
+            "fingerprint", "doc_id"
+        ).collect()
+        return rows
+
+    base_rows = run([0, 1, 2, 3], str(tmp_path / "store_inorder"))
+    base_fps = {r.fingerprint for r in base_rows}
+    assert len(base_rows) == len(base_fps)  # one doc per fingerprint
+
+    rng = random.Random(0xC4A31)
+    orders = {tuple(rng.sample(range(4), 4)) for _ in range(8)}
+    orders.discard((0, 1, 2, 3))
+    assert len(orders) >= 4
+    for n, order in enumerate(sorted(orders)):
+        store = str(tmp_path / f"store_perm{n}")
+        rows = run(list(order), store)
+        fps = {r.fingerprint for r in rows}
+        assert fps == base_fps, order
+        assert len(rows) == len(fps), order  # still exactly one keeper
+        # and a replay of the LAST epoch after the fact stays a no-op
+        ingest_sink(store)(
+            spark.createDataFrame(
+                [(order[-1], bytearray(blobs[order[-1]]))],
+                "chunk_id long, payload binary",
+            ),
+            len(order) - 1,
+        )
+        assert {
+            r.fingerprint
+            for r in accepted_corpus(spark, store).collect()
+        } == base_fps
