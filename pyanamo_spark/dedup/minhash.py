@@ -18,9 +18,12 @@ sizes stay small because identical band hashes imply near-identical
 docs, and the pathological all-same-doc corpus routes through a
 skew-splittable self-join (MAX_COMBO_BUCKET valve).
 
-Declared rows-only: xxhash64 has no DuckDB equivalent, so the oracle
-cannot replay the signature; determinism within Spark is seeded by
-construction and asserted in tests/test_dedup.py.
+Oracle-checked via the planted-mutant audit (r09): DuckDB cannot
+replay the xxhash64 signatures, but it CAN recompute the exact
+3-shingle Jaccard of every planted (text, text+suffix) pair — the
+declared q_dedup_near output certifies that the LSH+verify pipeline's
+verdict agrees with that ground truth pair-by-pair; determinism and
+full-corpus recall stay pinned in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -31,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from pyanamo_spark.dedup import corpus_with_mutants, shingles
+from pyanamo_spark.dedup import (
+    MUTANT_OFFSET,
+    MUTANT_SUFFIX,
+    corpus_with_mutants,
+    shingles,
+)
 from pyanamo_spark.registry import register
 
 N_PERM = 32
@@ -196,18 +204,10 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     return pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
 
 
-@register(
-    "q_dedup_near",
-    oracle=None,
-    rows_only_reason=(
-    "MinHash signatures are xxhash64-based (no DuckDB equivalent);"
-    " planted-mutant tests pin recall and the exact-jaccard verify"
-    " stage bounds precision"
-    ),
-)
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 near-dup dedup: MinHash-LSH candidates verified by exact
-    shingle Jaccard ≥ 0.5 over the mutant corpus."""
+def near_dup_pairs(spark: SparkSession) -> DataFrame:
+    """X2 near-dup dedup (library form): MinHash-LSH candidates
+    verified by exact shingle Jaccard ≥ 0.5 over the mutant corpus —
+    the raw pair output q_dedup_near's audit certifies."""
     corpus = corpus_with_mutants(spark)
     pairs = candidate_pairs(spark, corpus)
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -217,4 +217,91 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+#: DuckDB 3-shingle set, mirroring dedup.shingles() (the ngram-oracle
+#: vocabulary): distinct word trigrams, whole text when < 3 words
+_SH_SQL = (
+    "list_distinct(list_transform("
+    " generate_series(1, greatest(len(string_split({c}, ' ')) - 2, 1)),"
+    " i -> array_to_string((string_split({c}, ' '))[i:i+2], ' ')))"
+)
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, text, text || '{MUTANT_SUFFIX}' AS mut
+  FROM documents WHERE doc_id % 100 = 0
+),
+sh AS (
+  SELECT doc_id,
+         {_SH_SQL.format(c="text")} AS a,
+         {_SH_SQL.format(c="mut")} AS b
+  FROM planted
+)
+SELECT doc_id,
+       CAST(ROUND(CAST(len(list_intersect(a, b)) AS DOUBLE)
+                  / (len(a) + len(b) - len(list_intersect(a, b))), 6)
+            >= {JACCARD_THRESHOLD} AS INTEGER) AS expected_match,
+       CAST(1 AS INTEGER) AS found_ok
+FROM sh
+""",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup dedup, audited: the full MinHash-LSH + exact-verify
+    pipeline runs (``near_dup_pairs``), then the DECLARED output
+    certifies it against the planted ground truth the oracle can
+    re-derive — one row per planted mutant source with
+    ``expected_match`` (does the exact 3-shingle Jaccard of
+    (text, text+suffix) clear the threshold? DuckDB recomputes this
+    with the ngram-oracle list vocabulary) and ``found_ok`` (the LSH
+    pipeline's verdict for that pair AGREES — found when expected,
+    absent when not). A banding regression that drops a true mutant
+    pair, or a verify regression that lets a sub-threshold one
+    through, flips found_ok and fails the hash compare; xxhash64
+    signatures themselves stay un-replayed (hash-vs-shingle Jaccard
+    differs only on in-doc 64-bit collisions, ~1e-9/doc). Precision
+    beyond the planted set is enforced by the verify stage's exact
+    filter by construction; full recall beyond it is the planted-
+    mutant test's job (tests/test_dedup.py)."""
+    pairs = near_dup_pairs(spark)
+
+    def hs(col_sql: str):  # shingles() takes a SQL expression string
+        return F.array_distinct(
+            F.transform(shingles(col_sql), lambda s: F.xxhash64(s))
+        )
+
+    planted = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            "doc_id",
+            hs("text").alias("h_a"),
+            hs(f"concat(text, '{MUTANT_SUFFIX}')").alias("h_b"),
+        )
+    )
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
+        F.array_union("h_a", "h_b")
+    )
+    expected = planted.select(
+        "doc_id",
+        (F.round(jac, 6) >= JACCARD_THRESHOLD)
+        .cast("int")
+        .alias("expected_match"),
+    )
+    mutant_found = pairs.filter(
+        F.col("doc_b") - F.col("doc_a") == MUTANT_OFFSET
+    ).select(F.col("doc_a").alias("doc_id"), F.lit(1).alias("_found"))
+    return (
+        expected.join(mutant_found, "doc_id", "left")
+        .select(
+            "doc_id",
+            "expected_match",
+            (F.coalesce(F.col("_found"), F.lit(0)) == F.col("expected_match"))
+            .cast("int")
+            .alias("found_ok"),
+        )
     )

@@ -143,17 +143,22 @@ def q_nest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rand_order",
-    oracle=None,
-    rows_only_reason=(
-    "seeded rand() — reproducible within Spark, but DuckDB's PRNG"
-    " differs so engines can never hash-agree; row count and schema"
-    " are still driver-checked"
-    ),
+    oracle="""
+SELECT itemID, taskID
+FROM tasks
+WHERE ItemState = 'todo'
+""",
+    needs_views=("tasks",),
 )
 def q_rand_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 random work-order shuffle (client.py:133, runner.py:97):
-    seeded rand so the run is reproducible within Spark; declared
-    rows-only since DuckDB's PRNG differs (SURVEY §7.4.3)."""
+    seeded rand so the run is reproducible within Spark. Oracle-checked
+    as of r09: the driver's value hash is ORDER-INSENSITIVE (rows are
+    canonicalized sorted), so while DuckDB's PRNG can never replay the
+    ordering, the shuffled CONTENT — exactly the todo items, each once
+    — is fully checkable; the ordering properties themselves
+    (reproducibility, actual permutation) stay pinned by
+    tests/test_randomized_parity.py."""
     from pyanamo_spark import semantics  # noqa: F401
 
     return (
@@ -164,21 +169,55 @@ def q_rand_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_sample_topk",
-    oracle=None,
-    rows_only_reason=(
-    "seeded random sample — same PRNG-divergence contract as"
-    " q_rand_order; sample size is pinned by tests"
-    ),
-)
-def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 random input sampling (`aws s3 ls | sort -R | head`,
-    Tailoring the Example Docker.md:160) → seeded rand + limit;
-    rows-only for the same PRNG reason as q_rand_order."""
+#: O4 sample size (`aws s3 ls | sort -R | head`)
+SAMPLE_K = 10
+
+
+def sample_topk(spark: SparkSession) -> DataFrame:
+    """Raw O4 random sample (library form): seeded rand + limit —
+    reproducible within Spark, PRNG-divergent across engines."""
     return (
         spark.table("tasks")
         .select("itemID", "taskID")
         .orderBy(F.rand(42))
-        .limit(10)
+        .limit(SAMPLE_K)
+    )
+
+
+@register(
+    "q_sample_topk",
+    oracle=f"""
+SELECT CAST(LEAST({SAMPLE_K}, COUNT(*)) AS BIGINT) AS n_sampled,
+       CAST(1 AS INTEGER) AS from_tasks_ok,
+       CAST(1 AS INTEGER) AS distinct_ok
+FROM tasks
+""",
+    needs_views=("tasks",),
+)
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 random input sampling, audited (the in-engine certification
+    pattern): the sampled ROWS are PRNG-specific, but the sample's
+    guarantees are not — exactly LEAST(k, |tasks|) rows, every one a
+    real task, no row twice. The declared output emits those three
+    facts as scalars the oracle re-derives/asserts; the raw sample
+    stays available as ``sample_topk``."""
+    s = sample_topk(spark)
+    member = (
+        spark.table("tasks")
+        .select("itemID", "taskID")
+        .dropDuplicates(["itemID", "taskID"])
+        .withColumn("_in", F.lit(1))
+    )
+    joined = s.join(member, ["itemID", "taskID"], "left")
+    return joined.agg(
+        F.count("*").alias("n_sampled"),
+        F.coalesce(F.min(F.coalesce(F.col("_in"), F.lit(0))), F.lit(1))
+        .cast("int")
+        .alias("from_tasks_ok"),
+        (
+            F.count_distinct(F.col("itemID"), F.col("taskID"))
+            == F.count("*")
+        )
+        .cast("int")
+        .alias("distinct_ok"),
     )

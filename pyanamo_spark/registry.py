@@ -50,8 +50,8 @@ DECLARED: tuple[str, ...] = (
     # q_contrastive_pairs ride the rewritten grouped LSH pair emission,
     # q_pdf_extract gains the glyph-name /Differences fallback; a
     # changed query must re-record or its cumulative row goes stale) +
-    # the 38 stalest greens (all 13 remaining r04-recorded ids, the 25
-    # alphabetically-first r05 ids; the remaining 18 r05 ids rotate in
+    # the 36 stalest greens (all 13 remaining r04-recorded ids, the 23
+    # alphabetically-first r05 ids; the remaining 20 r05 ids rotate in
     # r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
@@ -62,13 +62,18 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # rows-only → oracle audit conversions (VERDICT r08 item 3)
+    # rows-only → oracle audit conversions (VERDICT r08 item 3, then
+    # the same pattern pushed further: q_dedup_near's planted-mutant
+    # audit, q_sample_topk's size/membership audit, and q_rand_order
+    # whose CONTENT was always order-insensitively hashable)
     "q_knn_lsh",
     "q_knn_ivf",
     "q_approx_distinct",
+    "q_dedup_near",
+    "q_rand_order",
+    "q_sample_topk",
     # changed-this-round re-seats
     "q_percentiles_approx",
-    "q_dedup_near",
     "q_contrastive_pairs",
     "q_pdf_extract",
     # stale-proofing: every remaining r04-recorded green
@@ -109,8 +114,6 @@ DECLARED: tuple[str, ...] = (
     "q_hash_split",
     "q_join_asof",
     "q_join_auto",
-    "q_lm_score",
-    "q_merge_upsert",
 )
 
 

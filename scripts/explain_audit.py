@@ -41,7 +41,11 @@ EXCHANGE_BUDGET = {
     "q_lock_protocol": 4,  # the 4-row worker-dim broadcast, ONE
     # itemID-partitioned exchange resolving last-writer-wins, and the
     # two-phase final aggregate whose exchanged rows are W=4 partials
-    "q_dedup_near": 5,  # band self-join + dedup + verify
+    "q_dedup_near": 6,  # grouped band-bucket emission (one groupBy
+    # exchange + the always-planned skew-valve self-join) + pair
+    # dedup + the two verify join-backs; r09 adds the planted-mutant
+    # audit join, whose exchanged rows are (doc_id, flag) for the
+    # n/100 planted docs only
     "q_dedup_simhash": 7,  # sig-group collapse added two aggregates
     # (distinct sigs + the 64-bit-frequency balance model) on top of
     # the within-group join, block-pair self-join, and the two member

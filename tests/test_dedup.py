@@ -19,9 +19,11 @@ def _mutant_pairs(rows):
 
 
 def test_minhash_finds_all_planted_mutants(spark, sf_dir):
-    rows = QUERIES["q_dedup_near"](spark, sf_dir).collect()
-    docs = QUERIES["q_text_stats"]  # force registry import side effects
-    _ = docs
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.minhash import near_dup_pairs
+
+    semantics.ensure_views(spark, sf_dir)
+    rows = near_dup_pairs(spark).collect()
     planted = {
         (r.doc_id, r.doc_id + MUTANT_OFFSET)
         for r in spark.table("documents")
@@ -37,15 +39,48 @@ def test_minhash_finds_all_planted_mutants(spark, sf_dir):
 
 
 def test_minhash_deterministic(spark, sf_dir):
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.minhash import near_dup_pairs
+
+    semantics.ensure_views(spark, sf_dir)
     a = sorted(
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in QUERIES["q_dedup_near"](spark, sf_dir).collect()
+        for r in near_dup_pairs(spark).collect()
     )
     b = sorted(
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in QUERIES["q_dedup_near"](spark, sf_dir).collect()
+        for r in near_dup_pairs(spark).collect()
     )
     assert a == b
+
+
+def test_minhash_audit_certifies_and_catches_misses(spark, sf_dir):
+    """The declared q_dedup_near audit must (a) certify the fixture —
+    every planted mutant expected to match is found, found_ok all 1 —
+    and (b) actually flip when the pipeline misses a pair."""
+    rows = QUERIES["q_dedup_near"](spark, sf_dir).collect()
+    n_planted = (
+        spark.table("documents").filter("doc_id % 100 = 0").count()
+    )
+    assert len(rows) == n_planted
+    assert all(r.found_ok == 1 for r in rows)
+    assert any(r.expected_match == 1 for r in rows)
+    # sabotage: recompute the audit against an EMPTY pair table — all
+    # expected matches must now report found_ok = 0
+    import pyanamo_spark.dedup.minhash as mh
+
+    empty = spark.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    )
+    orig = mh.near_dup_pairs
+    mh.near_dup_pairs = lambda s: empty
+    try:
+        broken = QUERIES["q_dedup_near"].__wrapped__(spark, sf_dir).collect()
+    finally:
+        mh.near_dup_pairs = orig
+    assert all(
+        r.found_ok == (0 if r.expected_match else 1) for r in broken
+    )
 
 
 def test_simhash_finds_mutants_within_radius(spark, sf_dir):

@@ -237,3 +237,52 @@ def test_gini_matches_numpy_reference(spark, seed):
     assert r["gini"] == pytest.approx(gini, abs=1e-6)
     assert r["top_decile_share"] == pytest.approx(top, abs=1e-6)
     assert 0 <= r["gini"] < 1
+
+
+def test_rand_order_is_a_reproducible_permutation(spark, sf_dir):
+    """O1: the shuffled output is exactly the todo set (what the r09
+    oracle now hash-checks, order-insensitively) and the seeded
+    ORDERING — which no oracle can see — is a reproducible permutation,
+    not sorted order."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.registry import QUERIES
+
+    semantics.ensure_views(spark, sf_dir)
+    a = [tuple(r) for r in QUERIES["q_rand_order"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["q_rand_order"](spark, sf_dir).collect()]
+    assert a == b  # seeded: same order every run
+    todo = {
+        tuple(r)
+        for r in spark.table("tasks")
+        .filter("ItemState = 'todo'")
+        .select("itemID", "taskID")
+        .collect()
+    }
+    assert set(a) == todo and len(a) == len(todo)
+    assert a != sorted(a)  # actually shuffled
+
+
+def test_sample_topk_library_and_audit(spark, sf_dir):
+    """O4: the raw sample is a reproducible k-subset of tasks; the
+    declared audit certifies size/membership/distinctness (the r09
+    oracle's literal flags)."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.operators.read_path import SAMPLE_K, sample_topk
+    from pyanamo_spark.registry import QUERIES
+
+    semantics.ensure_views(spark, sf_dir)
+    s1 = sorted(tuple(r) for r in sample_topk(spark).collect())
+    s2 = sorted(tuple(r) for r in sample_topk(spark).collect())
+    assert s1 == s2
+    tasks = {
+        tuple(r)
+        for r in spark.table("tasks").select("itemID", "taskID").collect()
+    }
+    assert len(s1) == min(SAMPLE_K, len(tasks))
+    assert set(s1) <= tasks
+    audit = QUERIES["q_sample_topk"](spark, sf_dir).collect()
+    assert len(audit) == 1
+    r = audit[0]
+    assert (r.n_sampled, r.from_tasks_ok, r.distinct_ok) == (
+        min(SAMPLE_K, len(tasks)), 1, 1,
+    )

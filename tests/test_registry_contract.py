@@ -18,16 +18,17 @@ load_all()
 #: a sketch/codec algorithm DuckDB cannot replicate — engines cannot
 #: agree on a value hash. Each carries a documented reason
 #: (ROWS_ONLY_REASONS) plus the behavioral test SURVEY §2.10 names as
-#: its bar. r09 converted q_knn_lsh / q_knn_ivf / q_approx_distinct
-#: out of this set via in-engine audits (the q_percentiles_approx
-#: pattern), shrinking it 20 -> 17.
+#: its bar. r09 converted SIX ids out of this set: q_knn_lsh /
+#: q_knn_ivf / q_approx_distinct / q_dedup_near / q_sample_topk via
+#: in-engine audits (the q_percentiles_approx pattern), and
+#: q_rand_order whose shuffled CONTENT was always order-insensitively
+#: hashable. 20 -> 14 remain.
 ROWS_ONLY_IDS: set[str] = {
     "q_audio_features",
     "q_bpe_encode",
     "q_bpe_train",
     "q_compress_filter",
     "q_contrastive_pairs",
-    "q_dedup_near",
     "q_dedup_simhash",
     "q_knn_quantized",
     "q_multimodal_decode",
@@ -35,8 +36,6 @@ ROWS_ONLY_IDS: set[str] = {
     "q_overlap_estimate",
     "q_pack_sequences",
     "q_pca_project",
-    "q_rand_order",
-    "q_sample_topk",
     "q_semantic_prune",
     "q_video_frames",
 }
@@ -52,20 +51,26 @@ CANARIES = {
 
 #: rows-only -> oracle audit conversions seated at r09 (VERDICT r08
 #: item 3): each must now carry an oracle
-CONVERTED_R09 = {"q_knn_lsh", "q_knn_ivf", "q_approx_distinct"}
+CONVERTED_R09 = {
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_approx_distinct",
+    "q_dedup_near",
+    "q_rand_order",
+    "q_sample_topk",
+}
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
 #: r09 — a changed query must re-record or its cumulative row is stale
 CHANGED_R09 = {
     "q_percentiles_approx",  # null-safe audit population + oracle
-    "q_dedup_near",          # grouped band-bucket pair emission
-    "q_contrastive_pairs",   # shares candidate_pairs
+    "q_contrastive_pairs",   # shares the rewritten candidate_pairs
     "q_pdf_extract",         # glyph-name /Differences fallback
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 25 alphabetically-first r05 ids;
-#: the remaining 18 r05 ids rotate in r10
+#: (all 13 r04 survivors), plus the 23 alphabetically-first r05 ids;
+#: the remaining 20 r05 ids rotate in r10
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -77,7 +82,7 @@ STALE_R09 = {
     "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
     "q_equidepth", "q_funnel_latency", "q_global_ids", "q_group_sample",
     "q_group_split", "q_grouping_sets", "q_hash_split", "q_join_asof",
-    "q_join_auto", "q_lm_score", "q_merge_upsert",
+    "q_join_auto",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
