@@ -17,9 +17,17 @@ The encoder exists for fixture generation and round-trip tests
 (avih + strl 'vids' + movi '00dc' chunks + idx1).
 
 Supported frame codecs: MJPEG (baseline or progressive per-frame
-JPEG) and uncompressed DIB (bottom-up BGR rows, 4-byte aligned — the
-BI_RGB form). Inter-frame codecs (H.264…) remain a documented
-``NotImplementedError``; YUV4MPEG2 streams live in ``y4m.py``.
+JPEG), uncompressed DIB (bottom-up BGR rows, 4-byte aligned — the
+BI_RGB form), and — the INTER-FRAME path (r09) — Microsoft RLE8
+(``MRLE``/BI_RLE8, the documented Windows AVI delta codec): frames
+carry run/absolute pixel ops plus END-OF-LINE / END-OF-BITMAP /
+DELTA-SKIP escapes, and every pixel the ops don't touch RETAINS the
+previous frame's value — a real temporal-prediction chain, so frame
+sampling still walks every frame's ops to keep the framebuffer
+coherent and only materializes the selected ones (the intra-frame
+codecs skip un-sampled frames entirely). Modern motion-compensated
+codecs (H.264…) remain a documented ``NotImplementedError``;
+YUV4MPEG2 streams live in ``y4m.py``.
 """
 
 from __future__ import annotations
@@ -54,6 +62,7 @@ def probe_avi(payload: bytes) -> dict:
     meta = {
         "width": None, "height": None, "n_frames": None,
         "usec_per_frame": None, "codec": None, "frames": [],
+        "palette": None,
     }
 
     def walk(start: int, end: int) -> None:
@@ -73,6 +82,18 @@ def probe_avi(payload: bytes) -> dict:
                     meta["codec"] = payload[off + 4 : off + 8].decode(
                         "ascii", "replace"
                     )
+            elif fourcc == b"strf" and size >= 40:
+                # BITMAPINFOHEADER; palettized streams (RLE8) append
+                # biClrUsed (or 2^bpp) RGBQUADs after the 40 bytes
+                bpp, = struct.unpack("<H", payload[off + 14 : off + 16])
+                used, = struct.unpack("<I", payload[off + 32 : off + 36])
+                if bpp == 8:
+                    n = used or 256
+                    quads = np.frombuffer(
+                        payload[off + 40 : off + 40 + 4 * n],
+                        dtype=np.uint8,
+                    ).reshape(-1, 4)
+                    meta["palette"] = quads[:, 2::-1].copy()  # BGR0→RGB
             elif fourcc in (b"00dc", b"00db"):
                 meta["frames"].append((off, size))
 
@@ -82,18 +103,72 @@ def probe_avi(payload: bytes) -> dict:
     return meta
 
 
-def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) -> np.ndarray:
-    """MJPEG-AVI bytes → uint8 ndarray (T, H, W, C).
+def _apply_rle8(data: bytes, buf: np.ndarray) -> None:
+    """Apply one BI_RLE8 frame's ops onto the retained index
+    framebuffer (rows bottom-up, matching the BMP coordinate system).
+    Escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy
+    delta-skip (the inter-frame mechanism — skipped pixels keep the
+    previous frame's values), 00 n(≥3) absolute run (word-padded)."""
+    h, w = buf.shape
+    pos, x, y = 0, 0, 0
+    n = len(data)
+    while pos + 2 <= n:
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run: b0 copies of palette index b1
+            end = min(x + b0, w)
+            if y < h:
+                buf[y, x:end] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            return
+        elif b1 == 2:  # delta: skip right dx, up dy
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: b1 literal pixels, padded to word
+            end = min(x + b1, w)
+            if y < h:
+                buf[y, x:end] = np.frombuffer(
+                    data[pos : pos + (end - x)], dtype=np.uint8
+                )
+            x += b1
+            pos += b1 + (b1 & 1)
+    raise ValueError("RLE8 frame ended without an end-of-bitmap escape")
 
-    ``every`` samples every k-th frame; skipped frames are never
-    JPEG-decoded (their byte ranges come from the container index).
+
+def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) -> np.ndarray:
+    """AVI bytes → uint8 ndarray (T, H, W, C).
+
+    ``every`` samples every k-th frame. For the intra-frame codecs
+    (MJPEG/DIB) skipped frames are never decoded — their byte ranges
+    come from the container index. The inter-frame codec (MRLE) must
+    apply every frame's ops to keep the framebuffer chain coherent,
+    but only the SELECTED frames are materialized through the palette
+    into RGB output.
     """
     meta = probe_avi(payload)
     codec = meta["codec"].strip("\x00 ").upper()
     picks = meta["frames"][::every]
     if max_frames is not None:
         picks = picks[:max_frames]
-    if codec in ("MJPG", "MJPA"):
+    if codec in ("MRLE", "RLE8", "RLE "):
+        if meta["palette"] is None:
+            raise ValueError("RLE8 AVI stream carries no palette")
+        w, h = meta["width"], meta["height"]
+        pal = meta["palette"]
+        wanted = {off for off, _ in picks}
+        buf = np.zeros((h, w), dtype=np.uint8)
+        frames = []
+        for off, size in meta["frames"]:
+            _apply_rle8(payload[off : off + size], buf)
+            if off in wanted:
+                frames.append(pal[buf[::-1]])  # bottom-up → top-down
+                if max_frames is not None and len(frames) >= len(picks):
+                    break
+    elif codec in ("MJPG", "MJPA"):
         frames = [
             decode_jpeg(payload[off : off + size]) for off, size in picks
         ]
@@ -111,9 +186,10 @@ def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) ->
             frames.append(rows[::-1, :, ::-1])  # flip rows, BGR -> RGB
     else:
         raise NotImplementedError(
-            f"AVI codec {meta['codec']!r}: only MJPEG and uncompressed "
-            f"DIB have pure-Python routes; register an external decoder "
-            f"in CODECS for others"
+            f"AVI codec {meta['codec']!r}: MJPEG, uncompressed DIB and "
+            f"RLE8 delta frames have pure-Python routes; register an "
+            f"external decoder in CODECS for motion-compensated codecs "
+            f"(H.264…)"
         )
     if not frames:
         raise ValueError("AVI contains no video frames")
@@ -123,13 +199,54 @@ def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) ->
     return stack
 
 
+def _rle8_row(row: np.ndarray) -> bytearray:
+    """One row's pixels as encoded runs (no trailing escape)."""
+    out = bytearray()
+    i, w = 0, len(row)
+    while i < w:
+        v = row[i]
+        j = i + 1
+        while j < w and j - i < 255 and row[j] == v:
+            j += 1
+        out += bytes((j - i, int(v)))
+        i = j
+    return out
+
+
+def _encode_mrle_frame(
+    idx: np.ndarray, prev: np.ndarray | None
+) -> bytes:
+    """One BI_RLE8 frame over bottom-up index rows: the keyframe
+    (``prev is None``) encodes every row; delta frames emit DELTA-SKIP
+    escapes over unchanged rows so their pixels are simply retained —
+    the temporal prediction that makes mostly-static video cheap."""
+    h, _w = idx.shape
+    out = bytearray()
+    pending_skip = 0  # rows to jump without touching pixels
+    for y in range(h):
+        if prev is not None and np.array_equal(idx[y], prev[y]):
+            pending_skip += 1
+            continue
+        while pending_skip:
+            d = min(pending_skip, 255)
+            out += bytes((0, 2, 0, d))
+            pending_skip -= d
+        out += _rle8_row(idx[y])
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap (trailing skips implicit)
+    return bytes(out)
+
+
 def encode_avi(
     frames: np.ndarray, fps: int = 10, quality: int = 90,
     codec: str = "MJPG",
 ) -> bytes:
     """uint8 ndarray (T,H,W,3) or (T,H,W) → AVI bytes
     (``codec="MJPG"`` per-frame JPEG, ``codec="DIB"`` uncompressed
-    bottom-up BGR)."""
+    bottom-up BGR, ``codec="MRLE"`` palettized RLE8 with frame 0 as
+    the keyframe and row-skip delta frames after — needs ≤256
+    distinct colors across the clip, which synthetic/screen content
+    satisfies; quantize first otherwise)."""
     a = np.ascontiguousarray(frames, dtype=np.uint8)
     if a.ndim == 3:
         t, h, w = a.shape
@@ -137,6 +254,7 @@ def encode_avi(
         t, h, w, _ = a.shape
     else:
         raise ValueError(f"unsupported frame array shape {a.shape}")
+    palette = b""
     if codec == "MJPG":
         jpegs = [encode_jpeg(a[i], quality=quality) for i in range(t)]
     elif codec == "DIB":
@@ -148,6 +266,26 @@ def encode_avi(
             rows = np.zeros((h, stride), dtype=np.uint8)
             rows[:, : w * 3] = a[i, ::-1, :, ::-1].reshape(h, w * 3)
             jpegs.append(rows.tobytes())
+    elif codec == "MRLE":
+        rgb = a[..., None].repeat(3, -1) if a.ndim == 3 else a
+        flat = rgb.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"MRLE needs ≤256 distinct colors, clip has "
+                f"{len(colors)}; quantize before encoding"
+            )
+        idx_frames = inverse.astype(np.uint8).reshape(t, h, w)[
+            :, ::-1, :
+        ]  # bottom-up rows, BMP order
+        jpegs = []
+        prev = None
+        for i in range(t):
+            jpegs.append(_encode_mrle_frame(idx_frames[i], prev))
+            prev = idx_frames[i]
+        quads = np.zeros((len(colors), 4), dtype=np.uint8)
+        quads[:, :3] = colors[:, ::-1]  # RGB → BGR0
+        palette = quads.tobytes()
     else:
         raise ValueError(f"unsupported encode codec {codec!r}")
 
@@ -165,17 +303,27 @@ def encode_avi(
         usec, max_bytes * fps, 0, 0x10, t, 0, 1, max_bytes, w, h,
         0, 0, 0, 0,
     )
-    fourcc = b"MJPG" if codec == "MJPG" else b"DIB "
+    fourcc = {"MJPG": b"MJPG", "DIB": b"DIB ", "MRLE": b"MRLE"}[codec]
     strh = (
         b"vids" + fourcc
         + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, t,
                       max_bytes, 0xFFFFFFFF & (2**32 - 1), 0,
                       0, 0, w, h)
     )
-    # BITMAPINFOHEADER; biCompression = 'MJPG' or 0 (BI_RGB)
-    compression = b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00"
-    strf = struct.pack(
-        "<IiiHH4sIiiII", 40, w, h, 1, 24, compression, w * h * 3, 0, 0, 0, 0
+    # BITMAPINFOHEADER; biCompression = 'MJPG', 1 (BI_RLE8) or 0
+    # (BI_RGB); RLE8 streams append their RGBQUAD palette
+    if codec == "MRLE":
+        compression, bitcount, clr_used = b"\x01\x00\x00\x00", 8, len(palette) // 4
+    elif codec == "MJPG":
+        compression, bitcount, clr_used = b"MJPG", 24, 0
+    else:
+        compression, bitcount, clr_used = b"\x00\x00\x00\x00", 24, 0
+    strf = (
+        struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, bitcount, compression,
+            w * h * 3, 0, 0, clr_used, 0,
+        )
+        + palette
     )
     hdrl = lst(
         b"hdrl",

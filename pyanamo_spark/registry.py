@@ -233,3 +233,4 @@ def load_all() -> None:
     import pyanamo_spark.sources.warc  # noqa: F401
     import pyanamo_spark.sources.pdf  # noqa: F401
     import pyanamo_spark.executor.pipe  # noqa: F401
+    import pyanamo_spark.provisioning  # noqa: F401

@@ -75,6 +75,10 @@ EXCHANGE_BUDGET = {
     # final per-query window; the query-vocab semi-join prefilter
     # keeps every exchanged row a (doc, query-term) triple
     "q_video_frames": 2,
+    "q_capacity_plan": 20,  # one two-phase COUNT aggregate per base
+    # table (10 tables; each exchanges a single partial-count row) —
+    # the union of 10 single-row plans, not a data-sized shuffle
+    # anywhere
     "q_pagerank": 28,  # the damped fixpoint runs 5 FIXED rounds as
     # one lazy plan: each round is an edge⋈rank shuffle + a per-node
     # contribution aggregate (two-phase), and the static print repeats

@@ -121,3 +121,64 @@ def test_dib_avi_roundtrip_exact():
     gray = rng.integers(0, 256, size=(3, 9, 7), dtype=np.uint8)
     out = decode_avi(encode_avi(gray, codec="DIB"))
     assert np.array_equal(out, np.repeat(gray[..., None], 3, -1))
+
+
+def _static_clip(t=6, h=24, w=32):
+    """Mostly-static clip: fixed background, a square moving 4px per
+    frame — the shape inter-frame delta coding exists for."""
+    frames = np.full((t, h, w, 3), 40, dtype=np.uint8)
+    for i in range(t):
+        frames[i, 5:10, 3 + i * 4 : 8 + i * 4] = [200, 30, 90]
+    return frames
+
+
+def test_mrle_interframe_roundtrip_exact():
+    """MS-RLE8 (the inter-frame path): delta frames only carry ops for
+    changed rows, untouched pixels are retained from the previous
+    frame — and the decode chain reproduces every frame exactly."""
+    v = _static_clip()
+    blob = encode_avi(v, codec="MRLE")
+    meta = probe_avi(blob)
+    assert meta["codec"].strip() == "MRLE"
+    assert meta["palette"] is not None and len(meta["palette"]) <= 256
+    assert np.array_equal(decode_avi(blob), v)
+    # temporal prediction is real: every delta frame is smaller than
+    # the keyframe (unchanged rows cost a 4-byte skip escape)
+    sizes = [s for _, s in meta["frames"]]
+    assert all(s < sizes[0] for s in sizes[1:]), sizes
+
+
+def test_mrle_sampling_keeps_the_chain_coherent():
+    """Sampling an inter-frame stream must still walk every frame's
+    ops (a skipped delta frame would corrupt all later frames) while
+    materializing only the picked ones."""
+    v = _static_clip(t=7)
+    blob = encode_avi(v, codec="MRLE")
+    assert np.array_equal(decode_avi(blob, every=3), v[::3])
+    assert np.array_equal(decode_avi(blob, every=2, max_frames=2), v[::2][:2])
+
+
+def test_mrle_grayscale_and_color_bound():
+    g = np.zeros((4, 8, 8), dtype=np.uint8)
+    g[1:, 2:5, 2:5] = 77
+    out = decode_avi(encode_avi(g, codec="MRLE"))
+    assert np.array_equal(out, np.repeat(g[..., None], 3, -1))
+    # >256 distinct colors must refuse, not mis-palettize
+    many = np.zeros((1, 16, 17, 3), dtype=np.uint8)
+    many[0, :, :, 0] = np.arange(16)[:, None]
+    many[0, :, :, 1] = np.arange(17)[None, :]
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        encode_avi(many, codec="MRLE")
+
+
+def test_mrle_static_tail_rows_retained():
+    """A frame whose ops end (end-of-bitmap) before touching upper
+    rows keeps them from the previous frame — pin the retention
+    semantics, not just the happy roundtrip."""
+    t, h, w = 3, 10, 10
+    v = np.zeros((t, h, w, 3), dtype=np.uint8)
+    v[:, 0:2] = 9  # TOP rows (encoded last, bottom-up) never change
+    for i in range(t):
+        v[i, 8, i] = 200  # change only a BOTTOM row pixel per frame
+    blob = encode_avi(v, codec="MRLE")
+    assert np.array_equal(decode_avi(blob), v)

@@ -44,6 +44,8 @@ NONEMPTY_ON_EMPTY = {
     "q_autocorr",  # 1-row series readout: zero days, null acf
     "q_backtest",  # 1-row forecast scorecard: zero eval days, null MAE
     "q_token_budget",  # 1-row budget plan: null threshold, zero docs
+    "q_sample_topk",  # 1-row sample audit: n_sampled=0, flags pass
+    "q_capacity_plan",  # per-table plan: one zero-row entry per table
 }
 
 
