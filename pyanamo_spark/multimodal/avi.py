@@ -65,6 +65,8 @@ def probe_avi(payload: bytes) -> dict:
         "palette": None,
     }
 
+    cur_stream = [b""]  # fccType of the most recent strh in this strl
+
     def walk(start: int, end: int) -> None:
         for fourcc, off, size in _chunks(payload, start, end):
             if fourcc == b"LIST":
@@ -78,20 +80,26 @@ def probe_avi(payload: bytes) -> dict:
                     usec_per_frame=usec, n_frames=total, width=w, height=h
                 )
             elif fourcc == b"strh":
-                if payload[off : off + 4] == b"vids":
+                cur_stream[0] = payload[off : off + 4]
+                if cur_stream[0] == b"vids":
                     meta["codec"] = payload[off + 4 : off + 8].decode(
                         "ascii", "replace"
                     )
             elif fourcc == b"strf" and size >= 40:
-                # BITMAPINFOHEADER; palettized streams (RLE8) append
-                # biClrUsed (or 2^bpp) RGBQUADs after the 40 bytes
+                # only the VIDEO stream's strf is a BITMAPINFOHEADER —
+                # an audio strf (WAVEFORMATEX...) parsed as one reads
+                # garbage bpp/biClrUsed and clobbers/crashes the palette
+                if cur_stream[0] != b"vids":
+                    continue
+                # palettized streams (RLE8) append biClrUsed (or 2^bpp)
+                # RGBQUADs after the 40 header bytes
                 bpp, = struct.unpack("<H", payload[off + 14 : off + 16])
                 used, = struct.unpack("<I", payload[off + 32 : off + 36])
                 if bpp == 8:
-                    n = used or 256
+                    n = min(used or 256, 256)
+                    raw = payload[off + 40 : off + 40 + 4 * n]
                     quads = np.frombuffer(
-                        payload[off + 40 : off + 40 + 4 * n],
-                        dtype=np.uint8,
+                        raw[: len(raw) - len(raw) % 4], dtype=np.uint8
                     ).reshape(-1, 4)
                     meta["palette"] = quads[:, 2::-1].copy()  # BGR0→RGB
             elif fourcc in (b"00dc", b"00db"):
@@ -125,10 +133,14 @@ def _apply_rle8(data: bytes, buf: np.ndarray) -> None:
         elif b1 == 1:  # end of bitmap
             return
         elif b1 == 2:  # delta: skip right dx, up dy
+            if pos + 2 > n:
+                raise ValueError("RLE8 delta escape truncated")
             x += data[pos]
             y += data[pos + 1]
             pos += 2
         else:  # absolute mode: b1 literal pixels, padded to word
+            if pos + b1 > n:
+                raise ValueError("RLE8 absolute run truncated")
             end = min(x + b1, w)
             if y < h:
                 buf[y, x:end] = np.frombuffer(
@@ -166,8 +178,8 @@ def decode_avi(payload: bytes, every: int = 1, max_frames: int | None = None) ->
             _apply_rle8(payload[off : off + size], buf)
             if off in wanted:
                 frames.append(pal[buf[::-1]])  # bottom-up → top-down
-                if max_frames is not None and len(frames) >= len(picks):
-                    break
+                if len(frames) >= len(picks):
+                    break  # no later frame is wanted — skip the tail
     elif codec in ("MJPG", "MJPA"):
         frames = [
             decode_jpeg(payload[off : off + size]) for off, size in picks

@@ -177,32 +177,17 @@ def resolve_index_dir(index_dir: str) -> str:
     return index_dir if v is None else version_dir(index_dir, v)
 
 
-def _commit_version(
-    index_dir: str,
-    writer,
-) -> int:
-    """Run ``writer(concrete_dir)`` against the next unpublished
-    version directory, then publish it with the snapshots pointer
-    swap. The write never touches the live version."""
-    import os
-    import uuid
+def _commit_version(index_dir: str, writer) -> int:
+    """Publish ``writer``'s output as the next index version via the
+    shared snapshot-commit protocol (sources/snapshots.py) — one
+    implementation of the tmp-file/fsync/os.replace publish and of
+    crash-retry orphan clearing, not two that can drift. Index
+    MUTATIONS (write/append/rebuild) are single-writer by that
+    module's contract: production fences them with a lease; readers
+    need no coordination."""
+    from pyanamo_spark.sources.snapshots import commit_version
 
-    from pyanamo_spark.sources.snapshots import (
-        _pointer,
-        current_version,
-        version_dir,
-    )
-
-    os.makedirs(index_dir, exist_ok=True)
-    v = (current_version(index_dir) or 0) + 1
-    writer(version_dir(index_dir, v))
-    tmp = os.path.join(index_dir, f"._CURRENT.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer(index_dir))
-    return v
+    return commit_version(index_dir, writer)
 
 
 def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
@@ -307,7 +292,14 @@ def append_to_index(
     mean. This is the FAISS/IVF operational contract: cheap adds
     between periodic re-trains. Appends land INSIDE the current
     snapshot version (they extend it, which is the point — new
-    vectors become searchable without a commit)."""
+    vectors become searchable without a commit).
+
+    Single-writer contract (sources/snapshots.py): appends and
+    rebuilds must be serialized by the caller (production holds a
+    lease across mutations). An append racing a rebuild would write
+    into the version the rebuild is about to orphan — its vectors
+    would survive only in the old directory and vanish from new
+    searches once the pointer swings."""
     vdir = resolve_index_dir(index_dir)
     centroids = spark.read.parquet(f"{vdir}/centroids")
     v = vectors.withColumn(

@@ -73,6 +73,33 @@ def snapshot_read(
     return spark.read.parquet(version_dir(table_dir, v))
 
 
+def commit_version(table_dir: str, writer) -> int:
+    """Run ``writer(unpublished_version_dir)`` for the next version,
+    then publish it atomically (tmp file + fsync + ``os.replace`` of
+    the pointer). The generalized core of ``snapshot_commit`` for
+    callers whose version is more than one DataFrame (the IVF index
+    writes a lists/centroids PAIR per version).
+
+    Crash-retry safe: a previous attempt that died mid-write left an
+    UNPUBLISHED orphan directory at this same version number (the
+    pointer never moved), so it is cleared before writing — without
+    this, the retry's errorifexists write fails forever. Single-writer
+    by the module contract above."""
+    os.makedirs(table_dir, exist_ok=True)
+    v = (current_version(table_dir) or 0) + 1
+    vdir = version_dir(table_dir, v)
+    if os.path.isdir(vdir):
+        shutil.rmtree(vdir)  # orphan from a crashed, never-published try
+    writer(vdir)
+    tmp = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer(table_dir))
+    return v
+
+
 def snapshot_commit(
     spark: SparkSession, table_dir: str, df: DataFrame
 ) -> int:
@@ -83,18 +110,12 @@ def snapshot_commit(
     ``os.replace`` of a same-directory temp file — atomic on POSIX, so
     any concurrent ``snapshot_read`` resolves wholly to the old or
     wholly to the new version. A crash before the rename leaves an
-    orphan directory (cleaned by ``vacuum``), never a torn table.
-    Returns the committed version number."""
-    os.makedirs(table_dir, exist_ok=True)
-    v = (current_version(table_dir) or 0) + 1
-    df.write.mode("errorifexists").parquet(version_dir(table_dir, v))
-    tmp = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer(table_dir))
-    return v
+    orphan directory (cleared by the retry or by ``vacuum``), never a
+    torn table. Returns the committed version number."""
+    return commit_version(
+        table_dir,
+        lambda vdir: df.write.mode("errorifexists").parquet(vdir),
+    )
 
 
 def vacuum(table_dir: str, keep: int = 2) -> int:

@@ -182,3 +182,50 @@ def test_mrle_static_tail_rows_retained():
         v[i, 8, i] = 200  # change only a BOTTOM row pixel per frame
     blob = encode_avi(v, codec="MRLE")
     assert np.array_equal(decode_avi(blob), v)
+
+
+def test_probe_ignores_audio_stream_strf():
+    """An audio stream's strf (WAVEFORMATEX) parsed as a
+    BITMAPINFOHEADER reads garbage bpp/biClrUsed — the probe must key
+    strf parsing on the preceding strh's fccType, or an audio+video
+    AVI crashes/clobbers the palette for every codec."""
+    import struct
+
+    v = _static_clip(t=2)
+    blob = encode_avi(v, codec="MRLE")
+    pal = probe_avi(blob)["palette"]
+
+    # splice an auds strl (strh + 40-byte strf whose byte 14 reads 8)
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    strh = b"auds" + b"\x00" * 52
+    fake_wave = bytearray(40)
+    struct.pack_into("<H", fake_wave, 14, 8)      # wBitsPerSample-ish
+    struct.pack_into("<I", fake_wave, 32, 2**31)  # GUID garbage
+    strl = chunk(
+        b"LIST",
+        b"strl" + chunk(b"strh", strh) + chunk(b"strf", bytes(fake_wave)),
+    )
+    out = bytearray(blob)
+    movi = out.find(b"LIST", 12)
+    while out[movi + 8 : movi + 12] != b"movi":
+        movi = out.find(b"LIST", movi + 1)
+    out[movi:movi] = strl
+    struct.pack_into("<I", out, 4, len(out) - 8)  # fix RIFF size
+    meta = probe_avi(bytes(out))
+    assert (meta["palette"] == pal).all()  # video palette untouched
+    assert np.array_equal(decode_avi(bytes(out)), v)
+
+
+def test_rle8_truncated_escapes_raise_value_error():
+    from pyanamo_spark.multimodal.avi import _apply_rle8
+
+    buf = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="delta escape truncated"):
+        _apply_rle8(b"\x00\x02", buf)
+    with pytest.raises(ValueError, match="absolute run truncated"):
+        _apply_rle8(b"\x00\x04\x01\x02", buf)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _apply_rle8(b"\x02\x07", buf)

@@ -170,3 +170,32 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
     # identical versions diff to nothing
     assert snapshot_commit(spark, table, v2) == 3
     assert snapshot_diff(spark, table, ["k"], 2, 3).count() == 0
+
+
+def test_commit_retry_after_crash_clears_orphan(spark, tmp_path):
+    """A commit that died mid-write leaves an unpublished orphan at
+    the NEXT version number; the retry must clear and reuse it instead
+    of failing errorifexists forever."""
+    import os
+
+    from pyanamo_spark.sources.snapshots import (
+        commit_version,
+        current_version,
+        snapshot_commit,
+        snapshot_read,
+        version_dir,
+    )
+
+    table = str(tmp_path / "tbl")
+    snapshot_commit(spark, table, spark.range(3))
+    # simulate the crash: v=2 exists with partial data, pointer at 1
+    orphan = version_dir(table, 2)
+    spark.range(1).write.parquet(orphan)
+    assert current_version(table) == 1
+    v = commit_version(
+        table,
+        lambda d: spark.range(7).write.mode("errorifexists").parquet(d),
+    )
+    assert v == 2
+    assert snapshot_read(spark, table).count() == 7
+    assert not os.path.exists(orphan + ".bak")
