@@ -70,6 +70,11 @@ def probe_avi(payload: bytes) -> dict:
     def walk(start: int, end: int) -> None:
         for fourcc, off, size in _chunks(payload, start, end):
             if fourcc == b"LIST":
+                if payload[off : off + 4] == b"strl":
+                    # each stream list re-establishes its type: a strl
+                    # missing its strh must NOT inherit the previous
+                    # stream's 'vids' and get its strf palette-parsed
+                    cur_stream[0] = b""
                 walk(off + 4, off + size)  # skip the list-type fourcc
             elif fourcc == b"avih":
                 usec, _rate, _pad, _flags, total = struct.unpack(

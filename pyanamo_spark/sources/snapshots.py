@@ -48,12 +48,28 @@ def _pointer(table_dir: str) -> str:
 
 
 def current_version(table_dir: str) -> int | None:
-    """The committed version, or None for an empty/uninitialized table."""
+    """The committed version, or None for an empty/uninitialized table.
+
+    ONLY a missing pointer means uninitialized. Any other read failure
+    (corrupt contents, EACCES/EIO) raises: commit_version keys its
+    orphan-clearing rmtree off this value, and mapping a transient
+    pointer-read error to "uninitialized" would let a retry delete the
+    PUBLISHED v=1 directory and re-point to fresh data — silent loss
+    where the old errorifexists path failed loudly."""
     try:
         with open(_pointer(table_dir)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+            raw = f.read().strip()
+    except FileNotFoundError:
         return None
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt snapshot pointer {_pointer(table_dir)!r}: "
+            f"{raw[:40]!r} is not a version number — refusing to treat "
+            f"the table as uninitialized; restore the pointer from the "
+            f"highest complete v= directory"
+        ) from e
 
 
 def version_dir(table_dir: str, version: int) -> str:

@@ -208,15 +208,31 @@ def test_probe_ignores_audio_stream_strf():
         b"LIST",
         b"strl" + chunk(b"strh", strh) + chunk(b"strf", bytes(fake_wave)),
     )
+    # splice INSIDE the hdrl LIST (the spec-mandated strl location),
+    # growing hdrl's and RIFF's sizes
     out = bytearray(blob)
-    movi = out.find(b"LIST", 12)
-    while out[movi + 8 : movi + 12] != b"movi":
-        movi = out.find(b"LIST", movi + 1)
-    out[movi:movi] = strl
+    hdrl = out.find(b"LIST", 12)
+    assert out[hdrl + 8 : hdrl + 12] == b"hdrl"
+    (hdrl_size,) = struct.unpack_from("<I", out, hdrl + 4)
+    insert_at = hdrl + 8 + hdrl_size  # end of hdrl's body
+    out[insert_at:insert_at] = strl
+    struct.pack_into("<I", out, hdrl + 4, hdrl_size + len(strl))
     struct.pack_into("<I", out, 4, len(out) - 8)  # fix RIFF size
     meta = probe_avi(bytes(out))
     assert (meta["palette"] == pal).all()  # video palette untouched
     assert np.array_equal(decode_avi(bytes(out)), v)
+
+    # a malformed strl carrying an strf but NO strh must not inherit
+    # the video stream's 'vids' type either
+    orphan_strl = chunk(b"LIST", b"strl" + chunk(b"strf", bytes(fake_wave)))
+    out2 = bytearray(blob)
+    (hdrl_size2,) = struct.unpack_from("<I", out2, hdrl + 4)
+    out2[insert_at:insert_at] = orphan_strl
+    struct.pack_into("<I", out2, hdrl + 4, hdrl_size2 + len(orphan_strl))
+    struct.pack_into("<I", out2, 4, len(out2) - 8)
+    meta2 = probe_avi(bytes(out2))
+    assert (meta2["palette"] == pal).all()
+    assert np.array_equal(decode_avi(bytes(out2)), v)
 
 
 def test_rle8_truncated_escapes_raise_value_error():

@@ -198,4 +198,33 @@ def test_commit_retry_after_crash_clears_orphan(spark, tmp_path):
     )
     assert v == 2
     assert snapshot_read(spark, table).count() == 7
-    assert not os.path.exists(orphan + ".bak")
+    # the orphan's partial 1-row data really was replaced, not merged
+    assert spark.read.parquet(orphan).count() == 7
+    assert os.path.isdir(version_dir(table, 1))  # published v1 untouched
+
+
+def test_corrupt_pointer_refuses_to_reinitialize(spark, tmp_path):
+    """A pointer that EXISTS but cannot be read as a version must fail
+    loudly: treating it as 'uninitialized' would let commit_version
+    rmtree the PUBLISHED v=1 directory and silently re-point."""
+    import os
+
+    import pytest
+
+    from pyanamo_spark.sources.snapshots import (
+        _pointer,
+        current_version,
+        snapshot_commit,
+        version_dir,
+    )
+
+    table = str(tmp_path / "tbl")
+    snapshot_commit(spark, table, spark.range(5))
+    with open(_pointer(table), "w") as f:
+        f.write("garbage")
+    with pytest.raises(ValueError, match="corrupt snapshot pointer"):
+        current_version(table)
+    with pytest.raises(ValueError, match="corrupt snapshot pointer"):
+        snapshot_commit(spark, table, spark.range(9))
+    # the published version directory survived the refused commit
+    assert os.path.isdir(version_dir(table, 1))
