@@ -218,6 +218,18 @@ def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
     _commit_version(index_dir, writer)
 
 
+def vacuum_index(index_dir: str, keep: int = 2) -> int:
+    """Prune old index versions (and crash orphans) beyond the last
+    ``keep`` — rebuilds create a full copy per version, so an index
+    that re-trains on a cadence grows without this. Same retention
+    contract as the snapshots module: readers must not hold a search
+    plan across more than ``keep`` rebuilds. Returns directories
+    removed; a legacy flat store has no versions to prune."""
+    from pyanamo_spark.sources.snapshots import vacuum
+
+    return vacuum(index_dir, keep=keep)
+
+
 #: rebuild when the largest inverted list exceeds this multiple of the
 #: mean list size — frozen-centroid appends degrade probes by
 #: imbalance first (append_to_index docstring), so imbalance IS the

@@ -417,3 +417,36 @@ def test_rebuild_index_fires_on_imbalance_and_swaps_atomically(
 
     # (d) the pre-rebuild handle still reads version 1, untouched
     assert sorted(map(tuple, pre_handle.collect())) == pre_rows
+
+
+def test_vacuum_index_prunes_old_rebuild_versions(spark, sf_dir, tmp_path):
+    """Rebuilds copy the whole index per version; vacuum_index must
+    drop all but the last keep versions while the live one keeps
+    serving (and a legacy flat store is a no-op)."""
+    import os
+
+    from pyanamo_spark import semantics
+    from pyanamo_spark.similarity.ivf import (
+        rebuild_index,
+        resolve_index_dir,
+        search_index,
+        vacuum_index,
+        write_index,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    index_dir = str(tmp_path / "ivf_vac")
+    write_index(spark, index_dir, iters=2)
+    # force two rebuilds regardless of balance by dropping the bound
+    assert rebuild_index(spark, index_dir, imbalance_threshold=0.0) == 2
+    assert rebuild_index(spark, index_dir, imbalance_threshold=0.0) == 3
+    versions = [d for d in os.listdir(index_dir) if d.startswith("v=")]
+    assert len(versions) == 3
+    removed = vacuum_index(index_dir, keep=1)
+    assert removed == 2
+    assert resolve_index_dir(index_dir).endswith("v=00000003")
+    queries = spark.table("embeddings").filter(F.col("vec_id") < 3)
+    rows = search_index(spark, index_dir, queries).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    # flat legacy stores have nothing to prune
+    assert vacuum_index(str(tmp_path / "nothing")) == 0
