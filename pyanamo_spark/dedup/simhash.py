@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from pyanamo_spark.dedup import corpus_with_mutants
+from pyanamo_spark.dedup import (
+    MUTANT_OFFSET,
+    MUTANT_SUFFIX,
+    corpus_with_mutants,
+)
 from pyanamo_spark.registry import register
 from pyanamo_spark.session import spread
 
@@ -217,18 +221,13 @@ def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
     ).select(sig_col, "k.pair_idx", "k.key_val")
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=None,
-    rows_only_reason=(
-    "64-bit SimHash signatures are xxhash64-derived (no DuckDB"
-    " equivalent); planted-mutant tests pin recall at Hamming<=7 and"
-    " blocking completeness"
-    ),
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star SimHash dedup: all pairs within Hamming distance 7
-    over the mutant corpus.
+def simhash_pairs(
+    spark: SparkSession, corpus: DataFrame | None = None
+) -> DataFrame:
+    """North-star SimHash dedup (library form): all pairs within
+    Hamming distance {HAMMING_MAX} over the mutant corpus (or a
+    caller-supplied one) — the raw pair output q_dedup_simhash's
+    audit certifies.
 
     Scale shape (the part that must stay linear-ish at 100 TB):
 
@@ -256,11 +255,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of step 2 makes that linear when pair enumeration isn't
     required downstream.
     """
+    if corpus is None:
+        corpus = corpus_with_mutants(spark)
     sigs = (
         # spread() the Arrow-batched signature UDF across cores instead
         # of the scan's few splits (session.spread)
         spread(
-            corpus_with_mutants(spark).where(F.col("text").isNotNull()),
+            corpus.where(F.col("text").isNotNull()),
             "doc_id",
             "text",
         )
@@ -321,3 +322,146 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return within.unionByName(cross)
+
+
+@F.pandas_udf(LongType())
+def _reference_hamming(text: pd.Series, mut: pd.Series) -> pd.Series:
+    """Hamming distance between the pure-Python reference simhashes of
+    (text, mutant text) — deliberately the slow scalar `_simhash64`,
+    NOT the vectorized production UDF, so the audit's ground truth is
+    an independent implementation (only ever run over the planted
+    rows, corpus/100)."""
+    return pd.Series(
+        [
+            bin((_simhash64(t) ^ _simhash64(m)) & ((1 << 64) - 1)).count("1")
+            for t, m in zip(text, mut)
+        ],
+        dtype="int64",
+    )
+
+
+#: verbatim copies planted into the AUDIT corpus (q_dedup_exact's
+#: precedent — the fixture has no natural duplicates at small sf), so
+#: the Hamming-0 guarantee is always exercised; offset distinct from
+#: MUTANT_OFFSET so copy and mutant ids never collide
+_COPY_OFFSET = 2_000_000
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTANT_OFFSET}, text || '{MUTANT_SUFFIX}'
+  FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, text
+  FROM documents WHERE doc_id % 100 = 0
+),
+dups AS (
+  SELECT 'dup' AS kind, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus a JOIN corpus b
+    ON a.text = b.text AND a.doc_id < b.doc_id
+),
+mutants AS (
+  SELECT 'mutant' AS kind, doc_id AS id_a,
+         doc_id + {MUTANT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % 100 = 0
+)
+SELECT kind, id_a, id_b, CAST(1 AS INTEGER) AS ok
+FROM (SELECT * FROM dups UNION ALL SELECT * FROM mutants)
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash dedup, audited: the full signature + pigeonhole
+    blocking + bit_count-verify pipeline runs (``simhash_pairs``), then
+    the DECLARED output certifies it against ground truth on two
+    SQL-re-derivable row sets —
+
+    - ``kind='dup'``: every exact-duplicate text pair in the audit
+      corpus — the mutant corpus plus planted verbatim copies of every
+      100th doc (q_dedup_exact's precedent; the fixture has no natural
+      duplicates at small sf). DuckDB re-derives these by text
+      equality. Identical
+      text ⇒ identical signature ⇒ Hamming 0, so the pipeline MUST
+      report each such pair at distance 0; ``ok`` certifies it did.
+      A within-group join or signature-determinism regression flips it.
+    - ``kind='mutant'``: every planted (text, text+suffix) pair.
+      DuckDB cannot replay md5 bit votes, but the audit recomputes
+      each pair's Hamming through the INDEPENDENT pure-Python
+      reference `_simhash64` (_reference_hamming — the scalar
+      implementation tests pin the vectorized UDF against) and ``ok``
+      certifies the pipeline's verdict agrees: found iff reference
+      Hamming ≤ {HAMMING_MAX}. A blocking-completeness regression
+      (a ≤{HAMMING_MAX} pair the pigeonhole misses) or a verify
+      regression (a beyond-radius pair let through) flips it.
+
+    Precision beyond the planted set is exact by construction (the
+    verify stage filters on bit_count of the true signatures); radius
+    guarantees and full-corpus recall stay pinned in tests/test_dedup.py.
+    """
+    copies = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "lang")
+    )
+    audit_corpus = corpus_with_mutants(spark).unionByName(copies)
+    pairs = simhash_pairs(spark, audit_corpus).persist()
+    # exact-duplicate ground truth: text-equality pairs must be found
+    # at hamming 0
+    docs = audit_corpus.where(F.col("text").isNotNull())
+    t1, t2 = docs.alias("t1"), docs.alias("t2")
+    dup_truth = t1.join(
+        t2,
+        (F.col("t1.text") == F.col("t2.text"))
+        & (F.col("t1.doc_id") < F.col("t2.doc_id")),
+    ).select(
+        F.col("t1.doc_id").alias("id_a"), F.col("t2.doc_id").alias("id_b")
+    )
+    found0 = pairs.filter(F.col("hamming") == 0).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(1).alias("_found"),
+    )
+    dup_audit = (
+        dup_truth.join(found0, ["id_a", "id_b"], "left")
+        .select(
+            F.lit("dup").alias("kind"),
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("_found"), F.lit(0)).cast("int").alias("ok"),
+        )
+    )
+    # planted-mutant ground truth: reference-implementation hamming
+    planted = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + MUTANT_OFFSET).alias("id_b"),
+            _reference_hamming(
+                F.col("text"), F.concat(F.col("text"), F.lit(MUTANT_SUFFIX))
+            ).alias("ref_hamming"),
+        )
+    )
+    found_m = pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(1).alias("_found"),
+    )
+    mut_audit = (
+        planted.join(found_m, ["id_a", "id_b"], "left")
+        .select(
+            F.lit("mutant").alias("kind"),
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("_found"), F.lit(0))
+                == (F.col("ref_hamming") <= HAMMING_MAX).cast("int")
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+    return dup_audit.unionByName(mut_audit)

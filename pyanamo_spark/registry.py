@@ -42,17 +42,20 @@ DECLARED: tuple[str, ...] = (
     # round — only the official recording rotates.
     #
     # r09 window (VERDICT r08: deepening round — contract saturated at
-    # 194/194 cumulative): 5 canaries + the 3 rows-only → oracle audit
-    # conversions (q_knn_lsh / q_knn_ivf gain the ann_audit
-    # certification, q_approx_distinct the exact-vocabulary HLL audit;
-    # VERDICT item 3) + 4 semantics/plan-changed re-seats
-    # (q_percentiles_approx's oracle went null-safe, q_dedup_near and
-    # q_contrastive_pairs ride the rewritten grouped LSH pair emission,
-    # q_pdf_extract gains the glyph-name /Differences fallback; a
-    # changed query must re-record or its cumulative row goes stale) +
-    # the 36 stalest greens (all 13 remaining r04-recorded ids, the 23
-    # alphabetically-first r05 ids; the remaining 20 r05 ids rotate in
-    # r10).
+    # 194/194 cumulative): 5 canaries + 12 rows-only → oracle audit
+    # conversions (q_knn_lsh / q_knn_ivf / q_knn_quantized gain the
+    # ann_audit certification, q_approx_distinct the exact-vocabulary
+    # HLL audit, q_overlap_estimate the exact-matrix tolerance audit,
+    # q_pack_sequences / q_pca_project / q_compress_filter /
+    # q_bpe_encode their contract audits, q_dedup_simhash the planted
+    # copy/mutant ground-truth audit; VERDICT item 3 pushed to 7
+    # remaining rows-only) + 3 semantics/plan-changed re-seats
+    # (q_percentiles_approx's oracle went null-safe, q_contrastive_pairs
+    # rides the rewritten grouped LSH pair emission, q_pdf_extract gains
+    # the glyph-name /Differences fallback; a changed query must
+    # re-record or its cumulative row goes stale) + the 29 stalest
+    # greens (all 13 remaining r04-recorded ids, the 16 alphabetically-
+    # first r05 ids; the remaining r05/r06 ids rotate in r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -72,6 +75,17 @@ DECLARED: tuple[str, ...] = (
     "q_dedup_near",
     "q_rand_order",
     "q_sample_topk",
+    # second conversion wave (same audit pattern): quantize-rescore
+    # recall certification, HLL overlap vs the exact matrix, packing /
+    # whitening / deflate / BPE contract audits — each changed the
+    # declared output, so each must re-record this round
+    "q_knn_quantized",
+    "q_overlap_estimate",
+    "q_pack_sequences",
+    "q_pca_project",
+    "q_compress_filter",
+    "q_bpe_encode",
+    "q_dedup_simhash",
     # changed-this-round re-seats
     "q_percentiles_approx",
     "q_contrastive_pairs",
@@ -107,13 +121,8 @@ DECLARED: tuple[str, ...] = (
     "q_embed_covariance",
     "q_equidepth",
     "q_funnel_latency",
-    "q_global_ids",
-    "q_group_sample",
-    "q_group_split",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_join_asof",
-    "q_join_auto",
+    # (q_global_ids..q_join_auto and the remaining r05 greens rotate
+    # in r10 — the second conversion wave took their seven r09 seats)
 )
 
 

@@ -46,12 +46,14 @@ EXCHANGE_BUDGET = {
     # dedup + the two verify join-backs; r09 adds the planted-mutant
     # audit join, whose exchanged rows are (doc_id, flag) for the
     # n/100 planted docs only
-    "q_dedup_simhash": 7,  # sig-group collapse added two aggregates
+    "q_dedup_simhash": 12,  # sig-group collapse added two aggregates
     # (distinct sigs + the 64-bit-frequency balance model) on top of
     # the within-group join, block-pair self-join, and the two member
     # expansion joins; every exchanged row is (sig) or (sig, key) —
     # 16 bytes — and the r05 sf1 gate shows the result: 3.6x cost at
-    # 10x data where the 2-exchange form was 98x
+    # 10x data where the 2-exchange form was 98x. r09's audit adds the
+    # dup-truth text-equality join and the two found-agreement joins
+    # (flag-sized rows over the planted set)
     "q_dedup_ngram": 8,  # prefix-filter form (r06): prefix self-join,
     # candidate distinct, and the two verify join-backs; rows are
     # (doc, hash) ids except the verify joins. The price bought the
@@ -125,6 +127,19 @@ EXCHANGE_BUDGET = {
     "q_session_stats": 4,  # ONE user-partitioned sort powers gap
     # flags and running session ids; the session aggregate reuses the
     # user exchange and the daily readout is DAYS-sized
+    # --- r09 second conversion wave: each declared query now runs its
+    # production pipeline PLUS an in-engine certification pass, so the
+    # static exchange counts include the audit's (metadata-sized) side
+    # — every added exchange carries flags/counts, never corpus text
+    "q_pca_project": 8,  # two BLAS moment passes (fit + projected
+    # audit), each a posexplode groupBy over a 73-row partial table,
+    # plus the tiny cell joins
+    "q_pack_sequences": 12,  # FFD bucket shuffle (persisted), bin
+    # totals, bucket fills, and the per-doc flag joins — all over the
+    # skinny assignment frame
+    "q_knn_quantized": 10,  # int8 stage-1 + rescore windows plus
+    # ann_audit's exact brute-force ranking and the query-set-sized
+    # agreement join
     "q_token_budget": 8,  # (score, tokens) grid aggregation
     # (two-phase); the ≤101-bucket cumulative window, the 1-row
     # total (its subtree printed per consumer), and the single-row
@@ -374,11 +389,14 @@ EXCHANGE_BUDGET = {
     # rows), shingle join-backs on doc_id (2), rank-table range
     # exchange, negative-rank join, accidental-positive anti-join —
     # each exchanged row is ids/digests, never document text
-    "q_overlap_estimate": 4,  # the per-source sketch subtree is
+    "q_overlap_estimate": 12,  # the per-source sketch subtree is
     # PRINTED twice (sketch + its own cardinality estimate) and the
     # cross-join sides canonicalize identically (ReuseExchange dedups
     # at runtime); live: one corpus-pass sketch aggregation, then a
-    # C(n,2) pair matrix over the SOURCES-sized sketch table
+    # C(n,2) pair matrix over the SOURCES-sized sketch table. r09's
+    # audit adds two more corpus-derived legs (the exact shared-gram
+    # matrix it certifies against + per-source word counts for the
+    # tolerance) feeding a sources-sized flag join
     "q_snapshot_diff": 4,  # CDC's full-outer join cannot broadcast
     # either side by semantics — its two key exchanges are the plan;
     # the derived "new" state is a union read off the same scan (the

