@@ -41,9 +41,19 @@ from pyanamo_spark.functions.vectors import (
 from pyanamo_spark.registry import register
 
 THRESHOLD = 0.35
-# wider than both float64 reassociation noise (~1e-13 for 64-dim unit
-# vectors) and the 5e-7 half-step of ROUND(x, 6) at the boundary
-CAND_MARGIN = 2e-6
+# the candidate matmul runs in FLOAT32 (2x the flops/byte of float64,
+# half the sims-matrix memory): measured |cos32 − cos64| ≤ 3.6e-7 on
+# the fixture, theoretical ~1e-6 for 64-dim unit vectors — the margin
+# keeps ~100x headroom over that AND over the 5e-7 half-step of
+# ROUND(x, 6) at the boundary, so float32 can only ADD candidates the
+# exact float64 verify stage then rejects, never drop a true pair
+CAND_MARGIN = 1e-4
+
+#: candidate-matmul row-chunk: keeps the (chunk × block) sims slab
+#: cache-resident and bounds memory to chunk·|block|·4 bytes — the
+#: monolithic |block|² matrix measured 15x slower at sf1 block sizes
+#: (2 000 rows) from cache misses + the full lower triangle it wasted
+_CAND_CHUNK = 512
 
 _DOT = duckdb_dot_sql("a.embedding", "b.embedding")
 _COS = f"({_DOT} / (a.nrm * b.nrm))"
@@ -58,17 +68,33 @@ def _block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def block_candidates(pdf: pd.DataFrame, lo: float) -> pd.DataFrame:
-    """Candidate (vec_a, vec_b) pairs by full-matrix cosine in
-    float64; pairs at or above ``lo`` survive."""
+    """Candidate (vec_a, vec_b) pairs by chunked upper-triangle cosine
+    in float32; pairs at or above ``lo`` survive (see CAND_MARGIN for
+    why float32 selection is safe under the exact float64 verify)."""
     pdf = pdf[pdf["embedding"].notna()]  # null vectors match nothing
     if len(pdf) < 2:
         return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
     ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    nrm = np.linalg.norm(mat, axis=1)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    nrm = np.linalg.norm(mat, axis=1).astype(np.float32)
     nrm[nrm == 0.0] = 1.0  # zero vectors match nothing either way
-    sims = (mat @ mat.T) / np.outer(nrm, nrm)
-    ai, bi = np.nonzero(np.triu(sims >= lo, k=1))
+    n = len(ids)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for i0 in range(0, n, _CAND_CHUNK):
+        i1 = min(i0 + _CAND_CHUNK, n)
+        # columns start at the chunk's own row offset: the strictly
+        # lower triangle is never computed, halving the flops
+        sims = (mat[i0:i1] @ mat[i0:].T) / np.outer(
+            nrm[i0:i1], nrm[i0:]
+        )
+        ai, bi = np.nonzero(sims >= lo)
+        ga, gb = ai + i0, bi + i0
+        keep = gb > ga
+        out_a.append(ga[keep])
+        out_b.append(gb[keep])
+    ai = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    bi = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
     return pd.DataFrame(
         {
             "vec_a": np.minimum(ids[ai], ids[bi]),

@@ -149,19 +149,109 @@ def semantic_prune(
     )
 
 
+#: identical-embedding copies planted into the AUDIT corpus (the
+#: q_dedup_exact / q_dedup_simhash precedent): an exact copy has
+#: identical distances to every centroid (same block under the
+#: deterministic argmin tie-break) and within-block cosine exactly
+#: 1.0, so SemDeDup MUST prune it against its source — a guarantee
+#: DuckDB can re-derive without replaying k-means
+_COPY_OFFSET = 1_000_000
+
+
 @register(
     "q_semantic_prune",
-    oracle=None,
-    rows_only_reason=(
-    "k-means block assignment depends on seeded init and float"
-    " iteration; tests pin keeper semantics and prune-rate bounds on"
-    " planted clusters"
-    ),
+    oracle=f"""
+SELECT 'copy' AS kind, vec_id AS id, CAST(1 AS INTEGER) AS ok
+FROM embeddings
+WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+UNION ALL
+SELECT 'structure', CAST(-1 AS BIGINT), CAST(1 AS INTEGER)
+""",
 )
 def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: k-means blocks via the IVF
-    quantizer, per-cluster BLAS cosine pairs, connected-component
-    keeper selection."""
-    return semantic_prune(
-        spark.table("embeddings").select("vec_id", "embedding")
+    """SemDeDup over the embeddings table, audited: k-means blocks via
+    the IVF quantizer, per-block BLAS cosine pairs, connected-component
+    keeper selection (``semantic_prune``), certified in-engine on two
+    fronts the oracle re-derives —
+
+    - ``kind='copy'``: one row per planted identical-embedding copy
+      (every 100th vector, replanted at +{_COPY_OFFSET}). A copy is
+      guaranteed prunable — same block by the deterministic argmin
+      tie-break, cosine exactly 1.0 ≥ {THRESHOLD} — so ``ok``
+      certifies source and copy both appear, share a cluster, and at
+      most one of them is the keeper. A block-assignment,
+      thresholding, or union-find regression flips it.
+    - ``kind='structure'``: one global row certifying the duplicate
+      groups are well-formed — every cluster has ≥ 2 members, exactly
+      one keeper, and its label/keeper is the min member vec_id.
+
+    Block membership itself is seeded-k-means-specific (why this seat
+    was rows-only); planted-cluster prune-rate bounds stay pinned in
+    tests/test_semantic.py."""
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
     )
+    out = semantic_prune(emb.unionByName(copies)).persist()
+    planted = emb.filter(
+        (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("id"))
+    orig = out.select(
+        F.col("vec_id").alias("id"),
+        F.col("cluster_id").alias("c_a"),
+        F.col("is_keeper").alias("k_a"),
+    )
+    copy = out.select(
+        (F.col("vec_id") - _COPY_OFFSET).alias("id"),
+        F.col("cluster_id").alias("c_b"),
+        F.col("is_keeper").alias("k_b"),
+    ).filter(F.col("id") >= 0)
+    copy_audit = (
+        planted.join(orig, "id", "left")
+        .join(copy, "id", "left")
+        .select(
+            F.lit("copy").alias("kind"),
+            "id",
+            (
+                F.col("c_a").isNotNull()
+                & F.col("c_b").isNotNull()
+                & (F.col("c_a") == F.col("c_b"))
+                & ~(
+                    F.coalesce(F.col("k_a"), F.lit(False))
+                    & F.coalesce(F.col("k_b"), F.lit(False))
+                )
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+    structure = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_keeper").cast("int")).alias("n_keep"),
+            F.min("vec_id").alias("min_id"),
+            F.max(
+                F.when(F.col("is_keeper"), F.col("vec_id"))
+            ).alias("keeper_id"),
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    (
+                        (F.col("n") >= 2)
+                        & (F.col("n_keep") == 1)
+                        & (F.col("min_id") == F.col("cluster_id"))
+                        & (F.col("keeper_id") == F.col("cluster_id"))
+                    ).cast("int")
+                ),
+                F.lit(0),
+            ).alias("ok")
+        )
+        .select(
+            F.lit("structure").alias("kind"),
+            F.lit(-1).cast("long").alias("id"),
+            F.col("ok").cast("int"),
+        )
+    )
+    return copy_audit.unionByName(structure)

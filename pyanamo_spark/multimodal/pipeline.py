@@ -706,94 +706,164 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_audio_features, schema=AUDIO_FEATURE_SCHEMA)
 
 
+#: the audit queries take the N lowest doc_ids (ORDER BY, not bare
+#: LIMIT — the row set must be deterministic for the oracle compare)
+_AUDIT_IDS_SQL = (
+    "doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n})"
+)
+
+
+def _audit_ids(spark: SparkSession, n: int) -> DataFrame:
+    return (
+        spark.table("documents").select("doc_id").orderBy("doc_id").limit(n)
+    )
+
+
 @register(
     "q_audio_features",
-    oracle=None,
-    rows_only_reason=(
-    "features come from decoding generated binary audio through"
-    " pure-Python codecs DuckDB cannot run; codec roundtrip tests pin"
-    " every decoder against its encoder"
-    ),
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER)
+         AS channels,
+       CAST(400 + (doc_id % 8) * 160 AS BIGINT) AS n_samples,
+       ROUND((400 + (doc_id % 8) * 160) / 8000.0, 6) AS duration,
+       CAST(1 AS INTEGER) AS features_ok
+FROM documents
+WHERE {_AUDIT_IDS_SQL.format(n=64)}
+""",
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end audio path on REAL samples: one generated tone per
-    document row, rotated across PCM16/24, G.711 μ-law/A-law, IEEE
-    float and AIFF → pure-Python decode → RMS/peak/zero-crossing
-    features. Rows-only (sample math is not SQL-expressible);
-    determinism, silent-asset zeros, stereo handling, and the codec
+    """End-to-end audio path on REAL samples, audited: one generated
+    tone per document row, rotated across PCM16/24, G.711 μ-law/A-law,
+    IEEE float and AIFF → pure-Python decode → RMS/peak/zero-crossing
+    features (``audio_features``). The asset generator is a
+    deterministic function of the id, so DuckDB re-derives the
+    CONTAINER contract exactly — channel count, sample count, duration
+    — certifying the encode → header-probe round-trip per codec; the
+    sample math is certified in-engine by ``features_ok``: a silent
+    asset (id % 7 == 3) must report rms = peak = zcr = 0, every other
+    tone must report 0 < rms ≤ peak ≤ 1 and a positive crossing rate.
+    Raw feature rows stay available as ``audio_features``; exact codec
     round-trips are pinned in tests/test_codec_properties.py and
     tests/test_audio_codecs.py."""
-    ids = spark.table("documents").select("doc_id").limit(64)
-    return audio_features(synthetic_wav_assets(spark, ids=ids))
+    feats = audio_features(
+        synthetic_wav_assets(spark, ids=_audit_ids(spark, 64))
+    )
+    silent = F.col("asset_id") % 7 == 3
+    # A-law cannot represent exact zero — silence decodes to a constant
+    # ±1/4096 (~0.000244), so the silent bound is the A-law floor, and
+    # the constant sign still yields zero crossings
+    ok = F.when(
+        silent,
+        (F.col("peak") <= 1.0 / 4096 + 1e-9)
+        & (F.col("rms") <= F.col("peak"))
+        & (F.col("zcr") == 0),
+    ).otherwise(
+        (F.col("rms") > 0)
+        & (F.col("rms") <= F.col("peak"))
+        & (F.col("peak") <= 1.0)
+        & (F.col("zcr") > 0)
+    )
+    return feats.select(
+        "asset_id",
+        "channels",
+        "n_samples",
+        "duration",
+        ok.cast("int").alias("features_ok"),
+    )
 
 
 @register(
     "q_multimodal_decode",
-    oracle=None,
-    rows_only_reason=(
-    "image decode (PNG/JPEG/GIF/BMP/TIFF) is not SQL-expressible;"
-    " codec roundtrip tests pin decoders bit-exactly"
-    ),
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 9 AS INTEGER) AS height,
+       CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(1 AS INTEGER) AS decode_ok
+FROM documents
+WHERE {_AUDIT_IDS_SQL.format(n=64)}
+""",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image path on REAL pixels: one generated image per
-    document row (PNG, with every 3rd asset baseline JPEG in both
-    4:4:4 and 4:2:0) → pure-Python decode → nearest-neighbor resize →
-    channel/thumbnail features. Asset ids come from the documents
-    table so the pipeline's volume tracks the corpus (and an empty
-    corpus decodes nothing). Rows-only (pixel math is not
-    SQL-expressible); determinism and numpy parity are pinned in
-    tests/test_multimodal.py and tests/test_jpeg.py.
-
-    The declared output serializes channel_mean/thumb to CSV strings:
-    the driver canonicalizes through pandas, which cannot sort list
-    cells (the r05/r07 red-seat failure mode). ``image_features()``
-    keeps the real array columns for library callers."""
-    ids = spark.table("documents").select("doc_id").limit(64)
-    feats = image_features(synthetic_image_assets(spark, ids=ids))
-    as_csv = lambda c: F.concat_ws(  # noqa: E731
-        ",", F.transform(c, lambda x: F.round(x, 6).cast("string"))
-    ).alias(c)
+    """End-to-end image path on REAL pixels, audited: one generated
+    image per document row, rotated through all five real codecs (PNG
+    every filter type, baseline+progressive JPEG in 4:4:4/4:2:0, GIF,
+    BMP, TIFF) → pure-Python decode → nearest-neighbor resize →
+    channel/thumbnail features (``image_features``). The generator is
+    a deterministic function of the id, so DuckDB re-derives the
+    DIMENSION contract exactly — height 8 + id % 9, width
+    8 + 3·id % 9, 3 channels out of every codec — certifying each
+    encode → decode round-trip got the geometry right; the pixel math
+    is certified in-engine by ``decode_ok``: channel_mean must carry
+    one in-range [0, 255] value per channel and the thumbnail exactly
+    {THUMB}² in-range cells. Raw array features stay available as
+    ``image_features``; bit-exact codec parity is pinned in
+    tests/test_multimodal.py and tests/test_jpeg.py."""
+    feats = image_features(
+        synthetic_image_assets(spark, ids=_audit_ids(spark, 64))
+    )
+    in_range = lambda c: F.forall(  # noqa: E731
+        F.col(c), lambda x: (x >= 0) & (x <= 255)
+    )
+    ok = (
+        (F.size("channel_mean") == F.col("channels"))
+        & in_range("channel_mean")
+        & (F.size("thumb") == THUMB * THUMB)
+        & in_range("thumb")
+    )
     return feats.select(
         "asset_id",
         "height",
         "width",
         "channels",
-        as_csv("channel_mean"),
-        as_csv("thumb"),
+        ok.cast("int").alias("decode_ok"),
     )
 
 
 @register(
     "q_multimodal_features",
-    oracle=None,
-    rows_only_reason=(
-    "byte-level feature extraction over binary assets; deterministic"
-    " but only computable in the Arrow batch path, semantics pinned by"
-    " tests"
-    ),
+    oracle="""
+SELECT doc_id AS asset_id,
+       'application/x-fixture' AS mime,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(1 AS INTEGER) AS hist_ok,
+       CAST(1 AS INTEGER) AS entropy_ok
+FROM documents
+WHERE text IS NOT NULL
+""",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star multimodal pipeline: binary assets → Arrow-batched
-    byte-feature extraction. Rows-only (byte histograms are not
-    practically SQL-expressible in the oracle); determinism and schema
-    are asserted in tests/test_multimodal.py.
+    """North-star multimodal pipeline, audited: binary assets →
+    Arrow-batched byte-feature extraction (``extract_features``).
+    DuckDB re-derives the asset inventory and exact payload byte
+    counts (the fixture payload is the document's utf-8 bytes); the
+    batch-path math is certified in-engine —
 
-    The declared output unpacks the 4-bucket byte histogram into four
-    scalar columns: the driver canonicalizes through pandas, which
-    cannot sort list cells (the r05/r07 red-seat failure mode).
-    ``extract_features()`` keeps the array column for library
-    callers."""
+    - ``hist_ok``: the 4-bucket byte histogram is a probability
+      vector: every bucket in [0, 1] and the buckets sum to 1 within
+      the declared per-bucket rounding (4 × 5e-7);
+    - ``entropy_ok``: Shannon entropy within its hard bounds
+      [0, 8] bits for byte-valued symbols.
+
+    Raw histogram arrays stay available as ``extract_features``;
+    determinism and schema are asserted in tests/test_multimodal.py."""
     feats = extract_features(synthetic_assets(spark))
+    hist_sum = F.aggregate(
+        "byte_hist", F.lit(0.0), lambda acc, x: acc + x
+    )
+    hist_ok = (
+        (F.size("byte_hist") == 4)
+        & F.forall("byte_hist", lambda x: (x >= 0) & (x <= 1))
+        & (F.abs(hist_sum - 1.0) <= 4 * 5e-7)
+    )
+    entropy_ok = (F.col("entropy") >= 0) & (F.col("entropy") <= 8)
     return feats.select(
         "asset_id",
         "mime",
         "n_bytes",
-        *[
-            F.element_at("byte_hist", i + 1).alias(f"hist_q{i}")
-            for i in range(4)
-        ],
-        "entropy",
+        hist_ok.cast("int").alias("hist_ok"),
+        entropy_ok.cast("int").alias("entropy_ok"),
     )
 
 
@@ -910,17 +980,49 @@ def video_features(assets: DataFrame) -> DataFrame:
 
 @register(
     "q_video_frames",
-    oracle=None,
-    rows_only_reason=(
-    "MJPEG-AVI container probing and frame decode are not"
-    " SQL-expressible; codec roundtrip tests pin the decoder"
-    ),
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       CAST(4 + doc_id % 7 AS INTEGER) AS n_frames,
+       CAST(CEIL((4 + doc_id % 7) / {float(_FRAME_STRIDE)}) AS INTEGER)
+         AS sampled,
+       CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+       CAST(16 + ((doc_id * 5) % 3) * 8 AS INTEGER) AS width,
+       CAST(5 + doc_id % 10 AS DOUBLE) AS fps,
+       CAST(1 AS INTEGER) AS decode_ok
+FROM documents
+WHERE {_AUDIT_IDS_SQL.format(n=16)}
+""",
 )
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end video path on REAL frames: one generated MJPEG-AVI
-    clip per document row → container probe → strided frame decode
-    (skipped frames never touch the JPEG decoder) → brightness/motion
-    features. Rows-only (pixel math is not SQL-expressible);
-    determinism and sampling behavior are pinned in tests/test_avi.py."""
-    ids = spark.table("documents").select("doc_id").limit(16)
-    return video_features(synthetic_video_assets(spark, ids=ids))
+    """End-to-end video path on REAL frames, audited: one generated
+    MJPEG-AVI clip per document row → container probe → strided frame
+    decode (skipped frames never touch the JPEG decoder) →
+    brightness/motion features (``video_features``). The generator is
+    a deterministic function of the id, so DuckDB re-derives the
+    CONTAINER contract exactly — frame count 4 + id % 7, the
+    every-{_FRAME_STRIDE}rd sampling count, geometry, and the header
+    fps — certifying the AVI encode → probe round-trip; the pixel
+    math is certified in-engine by ``decode_ok``: brightness within
+    [0, 255] and, because every clip is a MOVING gradient, strictly
+    positive motion whenever ≥ 2 frames were sampled. Raw
+    brightness/motion rows stay available as ``video_features``;
+    frame-exact decode parity is pinned in tests/test_avi.py."""
+    feats = video_features(
+        synthetic_video_assets(spark, ids=_audit_ids(spark, 16))
+    )
+    ok = (
+        (F.col("brightness") >= 0)
+        & (F.col("brightness") <= 255)
+        & F.when(F.col("sampled") >= 2, F.col("motion") > 0).otherwise(
+            F.col("motion") == 0
+        )
+    )
+    return feats.select(
+        "asset_id",
+        "n_frames",
+        "sampled",
+        "height",
+        "width",
+        "fps",
+        ok.cast("int").alias("decode_ok"),
+    )

@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanamo_spark.dedup.minhash import candidate_pairs
+from pyanamo_spark.dedup import MUTANT_SUFFIX
+from pyanamo_spark.dedup.minhash import _SH_SQL, candidate_pairs
 from pyanamo_spark.operators.windows import global_rank_frame
 from pyanamo_spark.registry import register
 
@@ -128,16 +129,144 @@ def mine_contrastive(
 
 @register(
     "q_contrastive_pairs",
-    oracle=None,
-    rows_only_reason=(
-    "positives come from LSH candidate buckets and negatives from"
-    " seeded hashing — both engine-specific; test_contrastive.py pins"
-    " triplet structure and anchor/positive similarity floors"
-    ),
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, text, text || '{MUTANT_SUFFIX}' AS mut
+  FROM documents WHERE doc_id % 100 = 0
+),
+sh AS (
+  SELECT doc_id,
+         {_SH_SQL.format(c="text")} AS a,
+         {_SH_SQL.format(c="mut")} AS b
+  FROM planted
+)
+SELECT 'planted' AS kind, doc_id AS id,
+       CAST(ROUND(CAST(len(list_intersect(a, b)) AS DOUBLE)
+                  / (len(a) + len(b) - len(list_intersect(a, b))), 6)
+            >= {JACCARD_MIN} AS INTEGER) AS expected_match,
+       CAST(1 AS INTEGER) AS ok
+FROM sh
+UNION ALL
+SELECT 'structure', CAST(-1 AS BIGINT), CAST(1 AS INTEGER),
+       CAST(1 AS INTEGER)
+""",
 )
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive triplets over the documents fixture. Rows-only
-    (LSH banding is engine-hash-specific); planted-duplicate recall,
-    negative determinism, and false-negative exclusion are pinned in
-    tests/test_contrastive.py."""
-    return mine_contrastive(spark, spark.table("documents"))
+    """Contrastive triplet mining, audited: the full LSH-positive +
+    hash-negative pipeline runs over the mutant corpus
+    (``mine_contrastive``), then the DECLARED output certifies it
+    against ground truth the oracle re-derives —
+
+    - ``kind='planted'``: one row per planted mutant source.
+      ``expected_match`` is the exact 3-shingle Jaccard verdict of
+      (text, text+suffix) at the {JACCARD_MIN} positive floor, which
+      DuckDB recomputes exactly (the q_dedup_near machinery); ``ok``
+      certifies the miner agreed — anchor/positive triplets present
+      when expected (with ≥ 1 surviving negative slot), absent when
+      not.
+    - ``kind='structure'``: one global row certifying the triplet
+      contract over the WHOLE output: negatives never equal their
+      anchor or positive, no negative is a verified near-dup of its
+      anchor in either orientation (the no-false-negative guarantee),
+      and slots are distinct within each (anchor, positive) pair.
+
+    Negative ids themselves are seeded-hash-specific (why this seat
+    was rows-only); negative determinism and planted recall stay
+    pinned in tests/test_contrastive.py."""
+    from pyanamo_spark.dedup import (
+        MUTANT_OFFSET,
+        corpus_with_mutants,
+        shingles,
+    )
+
+    corpus = corpus_with_mutants(spark)
+    trips = mine_contrastive(spark, corpus).persist()
+
+    def hs(col_sql: str):
+        return F.array_distinct(
+            F.transform(shingles(col_sql), lambda s: F.xxhash64(s))
+        )
+
+    planted = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            hs("text").alias("h_a"),
+            hs(f"concat(text, '{MUTANT_SUFFIX}')").alias("h_b"),
+        )
+    )
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
+        F.array_union("h_a", "h_b")
+    )
+    expected = planted.select(
+        "id",
+        (F.round(jac, 6) >= JACCARD_MIN).cast("int").alias("expected_match"),
+    )
+    found = (
+        trips.filter(
+            F.col("positive_id") - F.col("anchor_id") == MUTANT_OFFSET
+        )
+        .select(F.col("anchor_id").alias("id"))
+        .distinct()
+        .withColumn("_found", F.lit(1))
+    )
+    planted_audit = expected.join(found, "id", "left").select(
+        F.lit("planted").alias("kind"),
+        "id",
+        "expected_match",
+        (F.coalesce(F.col("_found"), F.lit(0)) == F.col("expected_match"))
+        .cast("int")
+        .alias("ok"),
+    )
+    pair_set = trips.select("anchor_id", "positive_id").distinct()
+    false_negs = trips.join(
+        pair_set.select(
+            F.col("anchor_id").alias("a"),
+            F.col("positive_id").alias("n"),
+        ).unionByName(
+            pair_set.select(
+                F.col("positive_id").alias("a"),
+                F.col("anchor_id").alias("n"),
+            )
+        ),
+        (F.col("anchor_id") == F.col("a"))
+        & (F.col("negative_id") == F.col("n")),
+        "left_semi",
+    )
+    struct_flags = trips.agg(
+        F.coalesce(
+            F.min(
+                (
+                    (F.col("negative_id") != F.col("anchor_id"))
+                    & (F.col("negative_id") != F.col("positive_id"))
+                ).cast("int")
+            ),
+            F.lit(1),
+        ).alias("neg_distinct_ok"),
+    ).crossJoin(
+        false_negs.agg(
+            (F.count("*") == 0).cast("int").alias("no_false_neg_ok")
+        )
+    ).crossJoin(
+        trips.groupBy("anchor_id", "positive_id")
+        .agg(
+            (F.count_distinct("slot") == F.count("slot"))
+            .cast("int")
+            .alias("s_ok")
+        )
+        .agg(F.coalesce(F.min("s_ok"), F.lit(1)).alias("slots_ok"))
+    )
+    structure = struct_flags.select(
+        F.lit("structure").alias("kind"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(1).cast("int").alias("expected_match"),
+        (
+            (F.col("neg_distinct_ok") == 1)
+            & (F.col("no_false_neg_ok") == 1)
+            & (F.col("slots_ok") == 1)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    return planted_audit.unionByName(structure)

@@ -71,10 +71,16 @@ def pack_sequences(spark: SparkSession) -> DataFrame:
     get their own bin). Bin ids depend on first-fit-decreasing
     iteration order — consume through q_pack_sequences' audit when an
     engine-independent contract is needed."""
-    docs = spark.table("documents").select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).alias("bucket"),
+    # null-text docs drop at the stage boundary (the null-row
+    # contract): a null split would reach _pack_bucket as NaN
+    docs = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)).alias("bucket"),
+        )
     )
     return docs.groupBy("bucket").applyInPandas(
         _pack_bucket, "doc_id long, n_tokens long, bin_id long"
@@ -89,6 +95,7 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS bin_ok,
        CAST(1 AS INTEGER) AS fill_ok
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,19 +42,22 @@ DECLARED: tuple[str, ...] = (
     # round — only the official recording rotates.
     #
     # r09 window (VERDICT r08: deepening round — contract saturated at
-    # 194/194 cumulative): 5 canaries + 12 rows-only → oracle audit
+    # 194/194 cumulative): 5 canaries + 18 rows-only → oracle audit
     # conversions (q_knn_lsh / q_knn_ivf / q_knn_quantized gain the
     # ann_audit certification, q_approx_distinct the exact-vocabulary
     # HLL audit, q_overlap_estimate the exact-matrix tolerance audit,
     # q_pack_sequences / q_pca_project / q_compress_filter /
-    # q_bpe_encode their contract audits, q_dedup_simhash the planted
-    # copy/mutant ground-truth audit; VERDICT item 3 pushed to 7
-    # remaining rows-only) + 3 semantics/plan-changed re-seats
+    # q_bpe_encode their contract audits, q_dedup_simhash and
+    # q_semantic_prune planted copy/mutant ground-truth audits, the
+    # four multimodal paths deterministic-generator contract audits,
+    # q_contrastive_pairs the planted ground-truth + triplet-contract
+    # audit; VERDICT item 3 pushed to ONE remaining rows-only seat,
+    # q_bpe_train) + 3 semantics/plan-changed re-seats
     # (q_percentiles_approx's oracle went null-safe, q_contrastive_pairs
     # rides the rewritten grouped LSH pair emission, q_pdf_extract gains
     # the glyph-name /Differences fallback; a changed query must
-    # re-record or its cumulative row goes stale) + the 29 stalest
-    # greens (all 13 remaining r04-recorded ids, the 16 alphabetically-
+    # re-record or its cumulative row goes stale) + the 24 stalest
+    # greens (all 13 remaining r04-recorded ids, the 11 alphabetically-
     # first r05 ids; the remaining r05/r06 ids rotate in r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
@@ -86,6 +89,11 @@ DECLARED: tuple[str, ...] = (
     "q_compress_filter",
     "q_bpe_encode",
     "q_dedup_simhash",
+    "q_semantic_prune",
+    "q_multimodal_features",
+    "q_multimodal_decode",
+    "q_audio_features",
+    "q_video_frames",
     # changed-this-round re-seats
     "q_percentiles_approx",
     "q_contrastive_pairs",
@@ -116,13 +124,8 @@ DECLARED: tuple[str, ...] = (
     "q_dedup_embed",
     "q_dedup_incremental",
     "q_dedup_ngram",
-    "q_dedup_stats",
-    "q_dup_passages",
-    "q_embed_covariance",
-    "q_equidepth",
-    "q_funnel_latency",
-    # (q_global_ids..q_join_auto and the remaining r05 greens rotate
-    # in r10 — the second conversion wave took their seven r09 seats)
+    # (q_dedup_stats..q_join_auto and the remaining r05 greens rotate
+    # in r10 — the second conversion wave took their twelve r09 seats)
 )
 
 

@@ -131,6 +131,11 @@ EXCHANGE_BUDGET = {
     # production pipeline PLUS an in-engine certification pass, so the
     # static exchange counts include the audit's (metadata-sized) side
     # — every added exchange carries flags/counts, never corpus text
+    "q_semantic_prune": 13,  # the IVF quantizer fit (Lloyd assignment
+    # aggregates), the centroid-block shuffle feeding the per-block
+    # BLAS prune, and r09's audit consumers over the persisted prune
+    # output: two copy-agreement joins and the cluster-shape
+    # aggregate — all id/flag-sized
     "q_pca_project": 8,  # two BLAS moment passes (fit + projected
     # audit), each a posexplode groupBy over a 73-row partial table,
     # plus the tiny cell joins
@@ -383,12 +388,16 @@ EXCHANGE_BUDGET = {
     "q_retention": 6,  # user-keyed first-seen agg (checkpointed
     # users-sized, feeds both consumers), (user, day) distinct
     # two-phase, cohort×offset agg; cohort sizes broadcast back
-    "q_contrastive_pairs": 10,  # checkpointed positive pairs feed the
+    "q_contrastive_pairs": 25,  # checkpointed positive pairs feed the
     # slot fan-out + both anti-join orientations without re-running
     # the LSH pipeline; live shuffles: band self-join (2, band-id
     # rows), shingle join-backs on doc_id (2), rank-table range
     # exchange, negative-rank join, accidental-positive anti-join —
-    # each exchanged row is ids/digests, never document text
+    # each exchanged row is ids/digests, never document text. r09's
+    # audit adds the persisted-triplet consumers: the planted exact-
+    # shingle verdict join, the no-false-negative self-semi-join (both
+    # orientations), and the slot-distinctness aggregate — all over
+    # the triplets/planted frames (ids + flags), never corpus text
     "q_overlap_estimate": 12,  # the per-source sketch subtree is
     # PRINTED twice (sketch + its own cardinality estimate) and the
     # cross-join sides canonicalize identically (ReuseExchange dedups

@@ -52,3 +52,32 @@ def test_planted_pair_becomes_triplets(spark, corpus):
 def test_empty_corpus_yields_no_triplets(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert mine_contrastive(spark, empty).count() == 0
+
+
+def test_contrastive_audit_flags_green_and_catch_regressions(spark, sf_dir):
+    """The declared audit certifies the fixture (planted verdicts
+    agree, triplet structure sound), and a sabotaged miner (drops all
+    triplets) must flip the flags of expected planted pairs."""
+    from pyanamo_spark import operators
+    from pyanamo_spark.registry import QUERIES
+
+    rows = QUERIES["q_contrastive_pairs"](spark, sf_dir).collect()
+    assert rows and all(r.ok == 1 for r in rows)
+    assert {r.kind for r in rows} == {"planted", "structure"}
+    assert any(
+        r.expected_match == 1 for r in rows if r.kind == "planted"
+    ), "fixture must contain in-threshold planted pairs"
+    mod = operators.contrastive
+    orig = mod.mine_contrastive
+    try:
+        mod.mine_contrastive = lambda spark, corpus, **kw: orig(
+            spark, corpus, **kw
+        ).filter("anchor_id < 0")
+        broken = QUERIES["q_contrastive_pairs"](spark, sf_dir).collect()
+    finally:
+        mod.mine_contrastive = orig
+    assert all(
+        r.ok == (0 if r.expected_match else 1)
+        for r in broken
+        if r.kind == "planted"
+    )

@@ -37,6 +37,9 @@ NONEMPTY_ON_EMPTY = {
     "q_table_stats",  # ANALYZE report: one zero-count row per column
     "q_validate",  # constraint report: one all-pass row per rule
     "q_funnel_latency",  # 1-row report: zero conversions, null p50/p90
+    "q_contrastive_pairs",  # audit report: the structure row certifies
+    # the (vacuously sound) triplet contract on empty input, exactly as
+    # its oracle's literal UNION row does
     "q_join_cardinality",  # 1-row pre-flight: zero predicted rows
     "q_zipf",  # 1-row corpus report: zero vocab, null slope/r2
     "q_ab_test",  # 1-row experiment readout: null counts/means

@@ -368,3 +368,28 @@ def test_safe_decode_never_escapes_on_fuzzed_bytes():
                 blob = magics[mime] + blob  # valid magic, garbage body
             _, status = safe_decode(blob, mime)
             assert status in ("ok", "error"), (mime, status)
+
+
+def test_multimodal_audit_queries_certify_fixture(spark, sf_dir):
+    """The four r09 multimodal audit conversions must certify the
+    fixture — every declared flag 1 (what each oracle asserts as a
+    literal), with the row inventory the generators promise."""
+    from pyanamo_spark.registry import QUERIES
+
+    feats = QUERIES["q_multimodal_features"](spark, sf_dir).collect()
+    assert feats and all(
+        r.hist_ok == 1 and r.entropy_ok == 1 for r in feats
+    )
+    dec = QUERIES["q_multimodal_decode"](spark, sf_dir).collect()
+    assert len(dec) == 64
+    for r in dec:
+        assert r.decode_ok == 1, r
+        assert (r.height, r.width, r.channels) == (
+            8 + r.asset_id % 9,
+            8 + (r.asset_id * 3) % 9,
+            3,
+        )
+    aud = QUERIES["q_audio_features"](spark, sf_dir).collect()
+    assert len(aud) == 64 and all(r.features_ok == 1 for r in aud)
+    vid = QUERIES["q_video_frames"](spark, sf_dir).collect()
+    assert len(vid) == 16 and all(r.decode_ok == 1 for r in vid)

@@ -22,15 +22,11 @@ load_all()
 #: q_knn_ivf / q_approx_distinct / q_dedup_near / q_sample_topk via
 #: in-engine audits (the q_percentiles_approx pattern), and
 #: q_rand_order whose shuffled CONTENT was always order-insensitively
-#: hashable. 20 -> 14 -> 7 remain after the second conversion wave.
+#: hashable. 20 -> 14 -> 1 remains after the second conversion wave
+#: (the BPE merge loop: iterative, stateful, pinned by pure-Python
+#: parity tests — the one genuinely oracle-less seat).
 ROWS_ONLY_IDS: set[str] = {
-    "q_audio_features",
     "q_bpe_train",
-    "q_contrastive_pairs",
-    "q_multimodal_decode",
-    "q_multimodal_features",
-    "q_semantic_prune",
-    "q_video_frames",
 }
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
@@ -60,19 +56,25 @@ CONVERTED_R09 = {
     "q_compress_filter",
     "q_bpe_encode",
     "q_dedup_simhash",
+    "q_semantic_prune",
+    "q_multimodal_features",
+    "q_multimodal_decode",
+    "q_audio_features",
+    "q_video_frames",
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
 #: r09 — a changed query must re-record or its cumulative row is stale
 CHANGED_R09 = {
     "q_percentiles_approx",  # null-safe audit population + oracle
-    "q_contrastive_pairs",   # shares the rewritten candidate_pairs
+    "q_contrastive_pairs",   # rewritten candidate_pairs + the planted
+    # ground-truth audit conversion (now oracle-checked)
     "q_pdf_extract",         # glyph-name /Differences fallback
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 17 alphabetically-first r05 ids;
-#: the rest rotate in r10 (the second conversion wave took six seats)
+#: (all 13 r04 survivors), plus the 11 alphabetically-first r05 ids;
+#: the rest rotate in r10 (the second conversion wave took twelve seats)
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -81,8 +83,6 @@ STALE_R09 = {
     "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
     "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
     "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
-    "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
-    "q_equidepth", "q_funnel_latency",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —

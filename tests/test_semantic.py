@@ -47,3 +47,27 @@ def test_null_embedding_ignored(spark):
     )
     out = semantic_prune(df).collect()
     assert all(r["vec_id"] != 99 for r in out)
+
+
+def test_semantic_audit_flags_green_and_catch_regressions(spark, sf_dir):
+    """The declared audit certifies the fixture (planted identical
+    copies pruned against their sources, well-formed clusters), and a
+    sabotaged pruner (drops every group) must flip the copy flags."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup import semantic as sem
+    from pyanamo_spark.registry import QUERIES
+
+    semantics.ensure_views(spark, sf_dir)
+    rows = QUERIES["q_semantic_prune"](spark, sf_dir).collect()
+    assert rows and all(r.ok == 1 for r in rows)
+    kinds = {r.kind for r in rows}
+    assert kinds == {"copy", "structure"}
+    orig = sem.semantic_prune
+    try:
+        sem.semantic_prune = lambda vectors, **kw: orig(vectors, **kw).filter(
+            "vec_id < 0"
+        )
+        broken = QUERIES["q_semantic_prune"](spark, sf_dir).collect()
+    finally:
+        sem.semantic_prune = orig
+    assert all(r.ok == 0 for r in broken if r.kind == "copy")
