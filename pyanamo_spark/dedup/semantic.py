@@ -28,8 +28,11 @@ clusters is never compared — is inherent to the method, not this
 implementation; raising ``iters`` tightens clusters and shrinks the
 boundary loss.
 
-Rows-only (k-means + argmin tie-breaks are not worth mirroring in
-SQL); planted-duplicate behavior is pinned in tests/test_semantic.py.
+Oracle-checked via the planted identical-copy audit (r09): k-means +
+argmin tie-breaks are not worth mirroring in SQL, but an exact copy is
+GUARANTEED prunable (same block, cosine exactly 1), so the declared
+query certifies that plus cluster well-formedness; planted-cluster
+behavior stays pinned in tests/test_semantic.py.
 """
 
 from __future__ import annotations

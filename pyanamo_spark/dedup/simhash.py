@@ -16,7 +16,11 @@ can't do cheaply); everything downstream is DataFrame ops:
 Token hashes use md5 (stable across workers/runs — never Python's
 builtin hash(), which is salted per process).
 
-Rows-only: DuckDB has no SimHash; Spark-side determinism is asserted in
+Oracle-checked via the planted copy/mutant audit (r09): DuckDB has no
+SimHash, but it CAN re-derive every exact-duplicate text pair (which
+MUST surface at Hamming 0) and the planted-mutant row set, whose
+verdicts the audit certifies against the independent pure-Python
+reference `_simhash64`; Spark-side determinism stays asserted in
 tests/test_dedup.py.
 """
 

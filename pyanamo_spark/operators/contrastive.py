@@ -24,9 +24,12 @@ triplets as one more query:
   both orientations — at corpus scale the loss is ~|dups|/n per slot,
   and dropping beats silently training on a false negative
 
-Rows-only: LSH banding is seeded-hash-specific (xxhash64), not
-oracle-expressible; tests pin planted positives, negative determinism,
-and the no-false-negative guarantee.
+Oracle-checked via the planted ground-truth audit (r09): LSH banding
+is seeded-hash-specific (xxhash64), but DuckDB recomputes the exact
+shingle-Jaccard verdict of every planted mutant pair and the declared
+query certifies the miner agreed, plus the triplet contract (negatives
+distinct, no false negatives, slots unique); negative determinism
+stays pinned in tests/test_contrastive.py.
 """
 
 from __future__ import annotations

@@ -16,10 +16,11 @@ and order-dependent), so the scale shape is the standard compromise:
 Packing loss vs a global pack is O(1) bins per bucket (the last bin of
 each), negligible when the bucket's token mass is many times the bin
 capacity — at 100 TB each bucket packs millions of tokens against a
-~10^4 budget. Declared rows-only: greedy packing is not
-SQL-expressible; the invariants (capacity respected, every doc placed
-exactly once, determinism, fill efficiency) are pinned in
-tests/test_packing.py.
+~10^4 budget. Oracle-checked via the packing-contract audit (r09):
+greedy bin ids are not SQL-expressible, but the invariants a consumer
+relies on ARE — capacity respected, every doc placed exactly once,
+the first-fit fill guarantee — so the declared query certifies them
+per document; determinism stays pinned in tests/test_packing.py.
 """
 
 from __future__ import annotations
