@@ -234,7 +234,7 @@ _SH_SQL = (
     oracle=f"""
 WITH planted AS (
   SELECT doc_id, text, text || '{MUTANT_SUFFIX}' AS mut
-  FROM documents WHERE doc_id % 100 = 0
+  FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL
 ),
 sh AS (
   SELECT doc_id,
@@ -276,7 +276,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planted = (
         spark.table("documents")
-        .filter(F.col("doc_id") % 100 == 0)
+        # null text drops on BOTH sides (the null-row contract): the
+        # shingle expressions would null-propagate into a NULL verdict
+        # against the oracle's literal ok=1
+        .filter((F.col("doc_id") % 100 == 0) & F.col("text").isNotNull())
         .select(
             "doc_id",
             hs("text").alias("h_a"),

@@ -239,6 +239,9 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keeper_id"),
         )
         .agg(
+            # vacuous no-clusters case coalesces to 1 (the contract is
+            # sound over zero groups — the contrastive precedent); the
+            # oracle asserts the same literal 1
             F.coalesce(
                 F.min(
                     (
@@ -248,7 +251,7 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("keeper_id") == F.col("cluster_id"))
                     ).cast("int")
                 ),
-                F.lit(0),
+                F.lit(1),
             ).alias("ok")
         )
         .select(

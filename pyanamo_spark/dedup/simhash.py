@@ -371,7 +371,7 @@ dups AS (
 mutants AS (
   SELECT 'mutant' AS kind, doc_id AS id_a,
          doc_id + {MUTANT_OFFSET} AS id_b
-  FROM documents WHERE doc_id % 100 = 0
+  FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL
 )
 SELECT kind, id_a, id_b, CAST(1 AS INTEGER) AS ok
 FROM (SELECT * FROM dups UNION ALL SELECT * FROM mutants)
@@ -413,12 +413,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit_corpus = corpus_with_mutants(spark).unionByName(copies)
     pairs = simhash_pairs(spark, audit_corpus).persist()
     # exact-duplicate ground truth: text-equality pairs must be found
-    # at hamming 0
-    docs = audit_corpus.where(F.col("text").isNotNull())
-    t1, t2 = docs.alias("t1"), docs.alias("t2")
+    # at hamming 0. The self-join keys on md5 fingerprints
+    # (q_dedup_exact's pattern) so the exchange ships 16-byte digests,
+    # never document text — equality modulo a ~1e-38 md5 collision,
+    # same tolerance the exact-dedup operator declares
+    fps = audit_corpus.where(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    t1, t2 = fps.alias("t1"), fps.alias("t2")
     dup_truth = t1.join(
         t2,
-        (F.col("t1.text") == F.col("t2.text"))
+        (F.col("t1.fp") == F.col("t2.fp"))
         & (F.col("t1.doc_id") < F.col("t2.doc_id")),
     ).select(
         F.col("t1.doc_id").alias("id_a"), F.col("t2.doc_id").alias("id_b")
@@ -437,10 +442,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_found"), F.lit(0)).cast("int").alias("ok"),
         )
     )
-    # planted-mutant ground truth: reference-implementation hamming
+    # planted-mutant ground truth: reference-implementation hamming.
+    # Null text drops on BOTH sides (the null-row contract): the
+    # reference UDF cannot hash None and the pipeline never saw the doc
     planted = (
         spark.table("documents")
-        .filter(F.col("doc_id") % 100 == 0)
+        .filter((F.col("doc_id") % 100 == 0) & F.col("text").isNotNull())
         .select(
             F.col("doc_id").alias("id_a"),
             (F.col("doc_id") + MUTANT_OFFSET).alias("id_b"),

@@ -73,12 +73,11 @@ def moment_sums(df: DataFrame, col: str, d: int) -> DataFrame:
     )
 
 
-def covariance_df(df: DataFrame, col: str, d: int) -> DataFrame:
-    """Upper-triangle sample covariance (i, j, cov), 1-based dims.
-
-    Pure DataFrame algebra over the (1+d+d²)-row moment table —
-    oracle-checkable and exactly the textbook (ΣXᵀX − ΣxΣxᵀ/n)/(n−1).
-    """
+def moment_cells(df: DataFrame, col: str, d: int) -> DataFrame:
+    """Upper-triangle moment cells (di, dj, sxy, sx, sy, n), 0-based —
+    the ONE decode of moment_sums' flat layout (idx 0 = n, 1..d = Σx,
+    d+1.. = row-major ΣXᵀX), shared by the covariance operator and the
+    q_pca_project whitening audit so the layout lives in one place."""
     m = moment_sums(df, col, d)
     n_row = m.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
     s = m.filter((F.col("idx") >= 1) & (F.col("idx") <= d)).select(
@@ -96,6 +95,17 @@ def covariance_df(df: DataFrame, col: str, d: int) -> DataFrame:
         .join(F.broadcast(si), "di")
         .join(F.broadcast(sj), "dj")
         .crossJoin(F.broadcast(n_row))
+    )
+
+
+def covariance_df(df: DataFrame, col: str, d: int) -> DataFrame:
+    """Upper-triangle sample covariance (i, j, cov), 1-based dims.
+
+    Pure DataFrame algebra over the (1+d+d²)-row moment table —
+    oracle-checkable and exactly the textbook (ΣXᵀX − ΣxΣxᵀ/n)/(n−1).
+    """
+    return (
+        moment_cells(df, col, d)
         .select(
             (F.col("di") + 1).cast("long").alias("i"),
             (F.col("dj") + 1).cast("long").alias("j"),
@@ -265,19 +275,6 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM aggregate over the fold-dot projections measured ~3x slower
     from expression compilation alone."""
     out = pca_project(spark)
-    k = TOP_K
-    m = moment_sums(out.select("proj"), "proj", k)
-    n_row = m.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
-    s = m.filter((F.col("idx") >= 1) & (F.col("idx") <= k)).select(
-        (F.col("idx") - 1).alias("dim"), F.col("v").alias("s")
-    )
-    xtx = m.filter(F.col("idx") > k).select(
-        ((F.col("idx") - 1 - k) / k).cast("long").alias("di"),
-        ((F.col("idx") - 1 - k) % k).alias("dj"),
-        F.col("v").alias("sxy"),
-    )
-    si = s.select(F.col("dim").alias("di"), F.col("s").alias("sx"))
-    sj = s.select(F.col("dim").alias("dj"), F.col("s").alias("sy"))
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
         F.col("n") - 1
     )
@@ -285,10 +282,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     return (
-        xtx.filter(F.col("di") <= F.col("dj"))
-        .join(F.broadcast(si), "di")
-        .join(F.broadcast(sj), "dj")
-        .crossJoin(F.broadcast(n_row))
+        moment_cells(out.select("proj"), "proj", TOP_K)
         .select(
             (F.col("di") + 1).cast("long").alias("i"),
             (F.col("dj") + 1).cast("long").alias("j"),

@@ -855,7 +855,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_ok = (
         (F.size("byte_hist") == 4)
         & F.forall("byte_hist", lambda x: (x >= 0) & (x <= 1))
-        & (F.abs(hist_sum - 1.0) <= 4 * 5e-7)
+        # an empty payload legitimately histograms to all-zero buckets
+        # (the n = max(len, 1) divisor guard); otherwise a probability
+        # vector within the declared per-bucket rounding
+        & (
+            (F.col("n_bytes") == 0)
+            | (F.abs(hist_sum - 1.0) <= 4 * 5e-7)
+        )
     )
     entropy_ok = (F.col("entropy") >= 0) & (F.col("entropy") <= 8)
     return feats.select(

@@ -135,7 +135,7 @@ def mine_contrastive(
     oracle=f"""
 WITH planted AS (
   SELECT doc_id, text, text || '{MUTANT_SUFFIX}' AS mut
-  FROM documents WHERE doc_id % 100 = 0
+  FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL
 ),
 sh AS (
   SELECT doc_id,
@@ -192,7 +192,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planted = (
         spark.table("documents")
-        .filter(F.col("doc_id") % 100 == 0)
+        # null text drops on BOTH sides (the null-row contract): the
+        # shingle expressions would null-propagate into a NULL verdict
+        .filter((F.col("doc_id") % 100 == 0) & F.col("text").isNotNull())
         .select(
             F.col("doc_id").alias("id"),
             hs("text").alias("h_a"),

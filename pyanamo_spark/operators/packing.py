@@ -129,10 +129,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin_tokens") <= BIN_CAPACITY)
         | ((F.col("bin_docs") == 1) & (F.col("n_tokens") > BIN_CAPACITY))
     ).cast("int")
-    under_half = F.when(
-        (F.col("bin_tokens") < BIN_CAPACITY / 2) & (F.col("bin_docs") >= 1),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    under_half = (F.col("bin_tokens") < BIN_CAPACITY / 2).cast("int")
     fills = (
         bins.withColumn("bucket", (F.col("bin_id") / _BIN_STRIDE).cast("long"))
         .groupBy("bucket")

@@ -13,10 +13,27 @@ from pyanamo_spark.registry import QUERIES
 
 def test_audit_flags_green_and_catch_regressions(spark, sf_dir):
     """The declared audit certifies the fixture (all flags 1), and a
-    sabotaged packing (two bins merged past capacity) flips bin_ok —
-    otherwise the oracle seat proves nothing."""
+    sabotaged packing (every doc crammed into one bucket-wide bin —
+    capacity blown AND every other bin gone) flips bin_ok — otherwise
+    the oracle seat proves nothing."""
+    from pyanamo_spark import operators
+
     rows = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
     assert rows and all(r.bin_ok == 1 and r.fill_ok == 1 for r in rows)
+    mod = operators.packing
+    orig = mod.pack_sequences
+    try:
+        mod.pack_sequences = lambda spark: orig(spark).withColumn(
+            "bin_id",
+            (F.col("bin_id") / mod._BIN_STRIDE).cast("long")
+            * mod._BIN_STRIDE,
+        )
+        broken = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    finally:
+        mod.pack_sequences = orig
+    # merging a bucket's bins into its bin 0 blows the capacity bound
+    # for every multi-bin bucket; at least the merged docs must flip
+    assert any(r.bin_ok == 0 for r in broken)
 
 
 def test_every_doc_packed_exactly_once(spark, sf_dir):
