@@ -204,12 +204,49 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     return pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
 
 
-def near_dup_pairs(spark: SparkSession) -> DataFrame:
+#: one live mutant-corpus candidate table per (application, fixture
+#: dir) — q_dedup_near AND q_contrastive_pairs consume the identical
+#: banded candidates (candidate generation is threshold-independent;
+#: only their verify floors differ), so the signature + banding +
+#: join-back pipeline runs once per corpus instead of twice per suite
+#: (the ngram_index precedent). Guarded like ngram_index: only real
+#: fixture dirs cache (tests plant ad-hoc views under sentinel dirs),
+#: stale keys evict on insert, and a clearCache-unpersisted frame is
+#: rebuilt rather than silently recomputed per action.
+_MUTANT_CANDIDATES: dict[tuple[str, str], DataFrame] = {}
+
+
+def mutant_candidate_pairs(
+    spark: SparkSession, sf_dir: str | None
+) -> DataFrame:
+    """candidate_pairs over the mutant corpus, persisted + memoized
+    per (application, fixture dir)."""
+    import os
+
+    cacheable = bool(sf_dir) and os.path.isdir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir or "")
+    if cacheable and key in _MUTANT_CANDIDATES:
+        cached = _MUTANT_CANDIDATES[key]
+        lvl = cached.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return cached
+        _MUTANT_CANDIDATES.pop(key)
+    pairs = candidate_pairs(spark, corpus_with_mutants(spark))
+    if cacheable:
+        for k in [k for k in _MUTANT_CANDIDATES if k != key]:
+            _MUTANT_CANDIDATES.pop(k).unpersist()
+        pairs = pairs.persist()
+        _MUTANT_CANDIDATES[key] = pairs
+    return pairs
+
+
+def near_dup_pairs(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
     """X2 near-dup dedup (library form): MinHash-LSH candidates
     verified by exact shingle Jaccard ≥ 0.5 over the mutant corpus —
     the raw pair output q_dedup_near's audit certifies."""
-    corpus = corpus_with_mutants(spark)
-    pairs = candidate_pairs(spark, corpus)
+    pairs = mutant_candidate_pairs(spark, sf_dir)
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -267,7 +304,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the planted set is enforced by the verify stage's exact
     filter by construction; full recall beyond it is the planted-
     mutant test's job (tests/test_dedup.py)."""
-    pairs = near_dup_pairs(spark)
+    pairs = near_dup_pairs(spark, sf_dir)
 
     def hs(col_sql: str):  # shingles() takes a SQL expression string
         return F.array_distinct(

@@ -62,9 +62,16 @@ def mine_contrastive(
     corpus: DataFrame,
     jaccard_min: float = JACCARD_MIN,
     n_negatives: int = N_NEGATIVES,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """(anchor_id, positive_id, jaccard, slot, negative_id) triplets."""
-    pairs = candidate_pairs(spark, corpus)
+    """(anchor_id, positive_id, jaccard, slot, negative_id) triplets.
+
+    ``pairs`` lets the declared query hand in the memoized
+    mutant-corpus candidate table (minhash.mutant_candidate_pairs) so
+    the LSH pipeline is shared with q_dedup_near; ad-hoc corpora
+    (tests) compute their own candidates."""
+    if pairs is None:
+        pairs = candidate_pairs(spark, corpus)
     positives = (
         pairs.withColumn(
             "jaccard",
@@ -182,8 +189,12 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
 
+    from pyanamo_spark.dedup.minhash import mutant_candidate_pairs
+
     corpus = corpus_with_mutants(spark)
-    trips = mine_contrastive(spark, corpus).persist()
+    trips = mine_contrastive(
+        spark, corpus, pairs=mutant_candidate_pairs(spark, sf_dir)
+    ).persist()
 
     def hs(col_sql: str):
         return F.array_distinct(

@@ -73,7 +73,7 @@ def test_minhash_audit_certifies_and_catches_misses(spark, sf_dir):
         [], "doc_a long, doc_b long, jaccard double"
     )
     orig = mh.near_dup_pairs
-    mh.near_dup_pairs = lambda s: empty
+    mh.near_dup_pairs = lambda s, sf_dir=None: empty
     try:
         broken = QUERIES["q_dedup_near"].__wrapped__(spark, sf_dir).collect()
     finally:
