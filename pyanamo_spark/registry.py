@@ -42,7 +42,7 @@ DECLARED: tuple[str, ...] = (
     # round — only the official recording rotates.
     #
     # r09 window (VERDICT r08: deepening round — contract saturated at
-    # 194/194 cumulative): 5 canaries + 18 rows-only → oracle audit
+    # 194/194 cumulative): 5 canaries + 19 rows-only → oracle audit
     # conversions (q_knn_lsh / q_knn_ivf / q_knn_quantized gain the
     # ann_audit certification, q_approx_distinct the exact-vocabulary
     # HLL audit, q_overlap_estimate the exact-matrix tolerance audit,
@@ -51,13 +51,15 @@ DECLARED: tuple[str, ...] = (
     # q_semantic_prune planted copy/mutant ground-truth audits, the
     # four multimodal paths deterministic-generator contract audits,
     # q_contrastive_pairs the planted ground-truth + triplet-contract
-    # audit; VERDICT item 3 pushed to ONE remaining rows-only seat,
-    # q_bpe_train) + 3 semantics/plan-changed re-seats
+    # audit, and finally q_bpe_train (rank-1 merge checked exactly,
+    # later ranks certified buildable) — VERDICT item 3 driven to ZERO
+    # rows-only seats: all 195 queries now oracle-checked) + 3
+    # semantics/plan-changed re-seats
     # (q_percentiles_approx's oracle went null-safe, q_contrastive_pairs
     # rides the rewritten grouped LSH pair emission, q_pdf_extract gains
     # the glyph-name /Differences fallback; a changed query must
-    # re-record or its cumulative row goes stale) + the 24 stalest
-    # greens (all 13 remaining r04-recorded ids, the 11 alphabetically-
+    # re-record or its cumulative row goes stale) + the 23 stalest
+    # greens (all 13 remaining r04-recorded ids, the 10 alphabetically-
     # first r05 ids; the remaining r05/r06 ids rotate in r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
@@ -94,6 +96,7 @@ DECLARED: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_audio_features",
     "q_video_frames",
+    "q_bpe_train",
     # changed-this-round re-seats
     "q_percentiles_approx",
     "q_contrastive_pairs",
@@ -123,9 +126,8 @@ DECLARED: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_embed",
     "q_dedup_incremental",
-    "q_dedup_ngram",
-    # (q_dedup_stats..q_join_auto and the remaining r05 greens rotate
-    # in r10 — the second conversion wave took their twelve r09 seats)
+    # (q_dedup_ngram..q_join_auto and the remaining r05 greens rotate
+    # in r10 — the second conversion wave took their 13 r09 seats)
 )
 
 

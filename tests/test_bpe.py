@@ -144,3 +144,23 @@ def test_encode_no_merges_is_char_count(spark):
     )
     r = encode_bpe(docs, []).collect()[0]
     assert (r.n_tokens, r.n_words, r.mean_token_len) == (5, 2, 1.0)
+
+
+def test_bpe_train_audit_rank1_exact_and_flags_green(spark, sf_dir):
+    """The declared q_bpe_train audit: rank 1 carries the exact first
+    merge (left, right, weighted count — what the oracle re-derives
+    from raw adjacent-char counts), later ranks NULL their symbols but
+    certify buildability; all flags green on the fixture."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.functions.bpe import N_MERGES, train_bpe
+    from pyanamo_spark.registry import QUERIES
+
+    semantics.ensure_views(spark, sf_dir)
+    rows = {r.rank: r for r in QUERIES["q_bpe_train"](spark, sf_dir).collect()}
+    merges = train_bpe(spark.table("documents"))
+    assert len(rows) == len(merges) == N_MERGES
+    assert all(r.ok == 1 for r in rows.values())
+    r1, (rank1, a, b, n) = rows[1], merges[0]
+    assert (r1.left, r1.right, r1.n_pairs) == (a, b, n)
+    for rank in range(2, N_MERGES + 1):
+        assert rows[rank].left is None and rows[rank].n_pairs is None

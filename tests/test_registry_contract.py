@@ -22,12 +22,12 @@ load_all()
 #: q_knn_ivf / q_approx_distinct / q_dedup_near / q_sample_topk via
 #: in-engine audits (the q_percentiles_approx pattern), and
 #: q_rand_order whose shuffled CONTENT was always order-insensitively
-#: hashable. 20 -> 14 -> 1 remains after the second conversion wave
-#: (the BPE merge loop: iterative, stateful, pinned by pure-Python
-#: parity tests — the one genuinely oracle-less seat).
-ROWS_ONLY_IDS: set[str] = {
-    "q_bpe_train",
-}
+#: hashable. 20 -> 14 -> 0: the second conversion wave ended with
+#: q_bpe_train (rank-1 merge checked exactly, later ranks certified
+#: buildable), so every declared query now carries an oracle. The set
+#: stays as the contract hook should a future operator genuinely need
+#: the weaker check.
+ROWS_ONLY_IDS: set[str] = set()
 
 #: never-rotated seats: the entry() smoke plus one canary per §2 family
 CANARIES = {
@@ -61,6 +61,7 @@ CONVERTED_R09 = {
     "q_multimodal_decode",
     "q_audio_features",
     "q_video_frames",
+    "q_bpe_train",
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
@@ -73,8 +74,8 @@ CHANGED_R09 = {
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 11 alphabetically-first r05 ids;
-#: the rest rotate in r10 (the second conversion wave took twelve seats)
+#: (all 13 r04 survivors), plus the 10 alphabetically-first r05 ids;
+#: the rest rotate in r10 (the second conversion wave took 13 seats)
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -82,7 +83,7 @@ STALE_R09 = {
     "q_window_rank",
     "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
     "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
-    "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
+    "q_dedup_embed", "q_dedup_incremental",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
