@@ -304,3 +304,72 @@ def test_minhash_mega_bucket_routes_through_skew_join(spark):
     }
     want = {(a, b) for a in range(n) for b in range(n) if a < b}
     assert got == want  # all k(k-1)/2 identical-doc pairs, nothing else
+
+
+def test_mutant_candidate_cache_semantics(spark, sf_dir):
+    """The shared mutant-corpus LSH candidate table caches per
+    (app, sf_dir) for real fixture dirs (q_dedup_near and
+    q_contrastive_pairs consume one pipeline run), bypasses the cache
+    for sentinel sf_dirs, and rebuilds after a session clearCache
+    unpersists the memoized frame."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup.minhash import (
+        _MUTANT_CANDIDATES,
+        mutant_candidate_pairs,
+    )
+
+    semantics.ensure_views(spark, sf_dir)
+    p1 = mutant_candidate_pairs(spark, sf_dir)
+    assert mutant_candidate_pairs(spark, sf_dir) is p1  # cache hit
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _MUTANT_CANDIDATES
+    # sentinel dirs never cache and never evict the real entry
+    adhoc = mutant_candidate_pairs(spark, "planted-sentinel")
+    assert adhoc is not p1
+    assert _MUTANT_CANDIDATES[key] is p1
+    # clearCache eviction: the memo must detect the lost storage and
+    # rebuild rather than serve a silently-recomputing frame
+    spark.catalog.clearCache()
+    p2 = mutant_candidate_pairs(spark, sf_dir)
+    assert p2 is not p1
+    lvl = p2.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+
+
+def test_embed_float32_candidates_superset_of_float64(spark):
+    """The float32 chunked candidate stage may only ADD candidates
+    relative to exact float64 selection at the tight margin — never
+    drop one (the margin proof in dedup/embedding.py). Random blocks,
+    including sizes that straddle the chunk boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from pyanamo_spark.dedup.embedding import (
+        CAND_MARGIN,
+        THRESHOLD,
+        block_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (3, 65, 513, 1030):
+        base = rng.normal(size=(max((n + 3) // 4, 2), 64))
+        # near-duplicate structure: jittered copies so pairs exist at
+        # the threshold boundary region
+        mat = np.concatenate(
+            [base + rng.normal(0, 0.15, base.shape) for _ in range(4)]
+        )[:n]
+        ids = np.arange(n)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        ai, bi = np.nonzero(np.triu(sims >= THRESHOLD - 2e-6, k=1))
+        exact64 = set(zip(ai.tolist(), bi.tolist()))
+        pdf = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "embedding": pd.Series(list(mat), dtype=object),
+            }
+        )
+        got = block_candidates(pdf, THRESHOLD - CAND_MARGIN)
+        got_pairs = set(zip(got["vec_a"].tolist(), got["vec_b"].tolist()))
+        assert exact64 <= got_pairs, (n, exact64 - got_pairs)
