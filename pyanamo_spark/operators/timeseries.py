@@ -47,7 +47,7 @@ STEP_SQL = "INTERVAL 15 MINUTE"
 WITH obs AS (
   SELECT event_type,
          time_bucket({STEP_SQL}, ts) AS slot,
-         AVG(value) AS avg_value,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents,
          COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -60,29 +60,50 @@ grid AS (
   FROM bounds
 ),
 joined AS (
-  SELECT g.event_type, g.slot, o.avg_value,
+  SELECT g.event_type, g.slot, o.sum_cents,
          COALESCE(o.n_events, 0) AS n_events
   FROM grid g
   LEFT JOIN obs o ON o.event_type = g.event_type AND o.slot = g.slot
+),
+filled AS (
+  SELECT event_type, slot, n_events, sum_cents,
+         last_value(sum_cents IGNORE NULLS) OVER w AS f_sum,
+         last_value(CASE WHEN sum_cents IS NOT NULL THEN n_events END
+                    IGNORE NULLS) OVER w AS f_n
+  FROM joined
+  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, slot, n_events,
-       ROUND(COALESCE(avg_value, 0.0), 4) AS avg_raw,
-       ROUND(COALESCE(last_value(avg_value IGNORE NULLS) OVER (
-         PARTITION BY event_type ORDER BY slot
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
-         AS avg_filled
-FROM joined
+       COALESCE(CAST(sum_cents * 100 // n_events AS BIGINT), 0)
+         AS avg_raw_e4,
+       COALESCE(CAST(f_sum * 100 // f_n AS BIGINT), 0) AS avg_filled_e4
+FROM filled
 """,
 )
 def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample per-type event values onto a 15-minute grid between
     each series' first and last observation, carrying the last observed
-    average forward across empty slots (LOCF; 0.0 before the first
+    bucket forward across empty slots (LOCF; 0 before the first
     observation, matching the oracle's COALESCE).
 
     ``F.window(ts, step).start`` and DuckDB's ``time_bucket`` both
     align 15-minute buckets to the Unix epoch, so the slot sets agree
-    exactly; averages are rounded on both sides."""
+    exactly.
+
+    Averages are emitted as EXACT fixed-point integers
+    (``avg_*_e4`` = floor(bucket sum · 10⁴ / bucket count), i.e. the
+    mean in 10⁻⁴ value units): the fixture's values are 2-decimal
+    currency, so a bucket mean is an exact 5+-decimal rational that
+    lands PRECISELY on the ROUND(x, 4) half-way boundary whenever the
+    bucket count is a power of two — and Spark (string-based HALF_UP
+    via BigDecimal) and DuckDB (numeric rounding) resolve that
+    boundary in opposite directions for the same double (63 of 14 400
+    buckets at sf0.1 — found by the r09 cross-scale oracle sweep; the
+    sf0.01 gate never hits a boundary). Summing to integer cents and
+    floor-dividing keeps every compared value in exact integer
+    arithmetic on both engines at any scale; clients divide by 10⁴
+    for display."""
     ts = F.col("ts").cast("timestamp")
     obs = (
         spark.table("events")
@@ -91,7 +112,12 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window(ts, STEP)["start"].alias("slot"),
         )
         .agg(
-            F.avg("value").alias("avg_value"),
+            # exact integer cents: the true sum is an integral number
+            # of cents, float error << 0.5, so both engines round to
+            # the same integer
+            F.round(F.sum("value") * 100)
+            .cast("long")
+            .alias("sum_cents"),
             F.count("*").alias("n_events"),
         )
         # grid-sized (series × slots); checkpointing it makes BOTH
@@ -119,24 +145,33 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_type").alias("event_type"),
         F.col("g_slot").alias("slot"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "avg_value",
+        "sum_cents",
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("slot")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    # LOCF carries the (sum, count) PAIR so the filled mean is the
+    # last observed bucket's exact mean, not a re-rounded echo
+    f_sum = F.last("sum_cents", ignorenulls=True).over(w)
+    f_n = F.last(
+        F.when(F.col("sum_cents").isNotNull(), F.col("n_events")),
+        ignorenulls=True,
+    ).over(w)
+    filled = joined.select(
+        "*", f_sum.alias("f_sum"), f_n.alias("f_n")
+    )
+    return filled.select(
         "event_type",
         "slot",
         "n_events",
-        F.round(F.coalesce("avg_value", F.lit(0.0)), 4).alias("avg_raw"),
-        F.round(
-            F.coalesce(
-                F.last("avg_value", ignorenulls=True).over(w), F.lit(0.0)
-            ),
-            4,
-        ).alias("avg_filled"),
+        F.coalesce(
+            F.expr("(sum_cents * 100) div n_events"), F.lit(0)
+        ).alias("avg_raw_e4"),
+        F.coalesce(
+            F.expr("(f_sum * 100) div f_n"), F.lit(0)
+        ).alias("avg_filled_e4"),
     )
 
 

@@ -71,11 +71,14 @@ CHANGED_R09 = {
     "q_contrastive_pairs",   # rewritten candidate_pairs + the planted
     # ground-truth audit conversion (now oracle-checked)
     "q_pdf_extract",         # glyph-name /Differences fallback
+    "q_resample",            # exact fixed-point means: the r09
+    # cross-scale sweep caught Spark/DuckDB resolving the ROUND(x,4)
+    # half-way boundary in opposite directions at sf0.1
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 10 alphabetically-first r05 ids;
-#: the rest rotate in r10 (the second conversion wave took 13 seats)
+#: (all 13 r04 survivors), plus the 9 alphabetically-first r05 ids;
+#: the rest rotate in r10 (the conversion wave + q_resample took them)
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -83,7 +86,7 @@ STALE_R09 = {
     "q_window_rank",
     "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
     "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
-    "q_dedup_embed", "q_dedup_incremental",
+    "q_dedup_embed",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —

@@ -30,12 +30,13 @@ def test_locf_fills_interior_gap(spark):
     # __wrapped__ = raw body: run against the ad-hoc events view
     # without the wrapper re-registering the fixture views
     got = {
-        (r["slot"].minute): (r["n_events"], r["avg_raw"], r["avg_filled"])
+        (r["slot"].minute): (r["n_events"], r["avg_raw_e4"], r["avg_filled_e4"])
         for r in q_resample.__wrapped__(spark, "")
         .orderBy("slot")
         .collect()
     }
-    assert got[0] == (2, 20.0, 20.0)  # 15:00 bucket: avg(10,30)
-    assert got[15] == (0, 0.0, 20.0)  # gap carries 20.0 forward
-    assert got[30] == (0, 0.0, 20.0)
-    assert got[45] == (1, 7.0, 7.0)
+    # fixed-point means: value units x 10^4 (20.0 -> 200000)
+    assert got[0] == (2, 200000, 200000)  # 15:00 bucket: avg(10,30)
+    assert got[15] == (0, 0, 200000)  # gap carries 20.0 forward
+    assert got[30] == (0, 0, 200000)
+    assert got[45] == (1, 70000, 70000)
