@@ -289,13 +289,14 @@ WITH cell AS (
   SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
          CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
          COUNT(*) AS n_events,
-         SUM(value) AS s
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_cents
   FROM events GROUP BY dow, hr
 ),
 tot AS (SELECT SUM(n_events) AS tn FROM cell)
 SELECT dow, hr, n_events,
-       ROUND(s / n_events, 4) AS avg_value,
-       ROUND(n_events * 168.0 / (SELECT tn FROM tot), 4) AS load_index
+       CAST(sum_cents * 100 // n_events AS BIGINT) AS avg_value_e4,
+       CAST(n_events * 168 * 10000 // (SELECT tn FROM tot) AS BIGINT)
+         AS load_index_e4
 FROM cell
 """,
 )
@@ -309,20 +310,28 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalizing total is a 1-row broadcast scalar. Day-of-week
     numbering is aligned across engines (Spark's dayofweek is
     1=Sunday, DuckDB's dow is 0=Sunday — the Spark side shifts).
+
+    Means and load index are exact fixed-point integers (×10⁴), the
+    q_resample pattern: the fixture's 2-decimal values make cell means
+    exact rationals that can sit precisely on a ROUND(x, 4) half-way
+    boundary (ONE sf0.1 cell does today), where Spark and DuckDB round
+    the same double in opposite directions; integer floor-division
+    never consults a boundary. Clients divide by 10⁴ for display.
     """
     cell = spark.table("events").groupBy(
         (F.dayofweek("ts") - 1).alias("dow"),
         F.hour("ts").alias("hr"),
-    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("s"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("sum_cents"),
+    )
     tot = cell.agg(F.sum("n_events").alias("tn"))
     return cell.join(F.broadcast(tot)).select(
         "dow",
         "hr",
         "n_events",
-        F.round(F.col("s") / F.col("n_events"), 4).alias("avg_value"),
-        F.round(F.col("n_events") * 168.0 / F.col("tn"), 4).alias(
-            "load_index"
-        ),
+        F.expr("(sum_cents * 100) div n_events").alias("avg_value_e4"),
+        F.expr("(n_events * 168 * 10000) div tn").alias("load_index_e4"),
     )
 
 

@@ -53,17 +53,18 @@ DECLARED: tuple[str, ...] = (
     # q_contrastive_pairs the planted ground-truth + triplet-contract
     # audit, and finally q_bpe_train (rank-1 merge checked exactly,
     # later ranks certified buildable) — VERDICT item 3 driven to ZERO
-    # rows-only seats: all 195 queries now oracle-checked) + 4
+    # rows-only seats: all 195 queries now oracle-checked) + 5
     # semantics/plan-changed re-seats
     # (see the changed-this-round list: q_percentiles_approx's oracle
     # went null-safe, q_contrastive_pairs
     # rides the rewritten grouped LSH pair emission, q_pdf_extract gains
-    # the glyph-name /Differences fallback, q_resample moves to exact
-    # fixed-point means after the cross-scale sweep caught a rounding-
-    # boundary divergence; a changed query must re-record or its
-    # cumulative row goes stale) + the 22 stalest greens (all 13
-    # remaining r04-recorded ids, the 9 alphabetically-first r05 ids;
-    # the remaining r05/r06 ids rotate in r10).
+    # the glyph-name /Differences fallback, q_resample and
+    # q_seasonality move to exact fixed-point means after the
+    # cross-scale sweep caught / pre-empted rounding-boundary
+    # divergences; a changed query must re-record or its cumulative
+    # row goes stale) + the 21 stalest greens (all 13 remaining
+    # r04-recorded ids, the 8 alphabetically-first r05 ids; the
+    # remaining r05/r06 ids rotate in r10).
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -105,6 +106,7 @@ DECLARED: tuple[str, ...] = (
     "q_contrastive_pairs",
     "q_pdf_extract",
     "q_resample",
+    "q_seasonality",
     # stale-proofing: every remaining r04-recorded green
     "q_nest_filter",
     "q_partition_split",
@@ -128,10 +130,9 @@ DECLARED: tuple[str, ...] = (
     "q_curation_funnel",
     "q_decontaminate",
     "q_dedup_clusters",
-    "q_dedup_embed",
-    # (q_dedup_incremental..q_join_auto and the remaining r05 greens
-    # rotate in r10 — the conversion wave + q_resample took their
-    # r09 seats)
+    # (q_dedup_embed..q_join_auto and the remaining r05 greens rotate
+    # in r10 — the conversion wave + the fixed-point re-seats took
+    # their r09 seats)
 )
 
 

@@ -77,7 +77,8 @@ def test_seasonality_load_index_uniform(spark):
     out = q_seasonality.__wrapped__(spark, "").collect()
     assert len(out) == 2
     for r in out:
-        assert r["load_index"] == pytest.approx(84.0, abs=1e-6)
+        # fixed-point x 10^4: load 84.0 -> 840000
+        assert r["load_index_e4"] == 840000
         assert 0 <= r["dow"] <= 6 and 0 <= r["hr"] <= 23
 
 

@@ -74,11 +74,13 @@ CHANGED_R09 = {
     "q_resample",            # exact fixed-point means: the r09
     # cross-scale sweep caught Spark/DuckDB resolving the ROUND(x,4)
     # half-way boundary in opposite directions at sf0.1
+    "q_seasonality",         # same class, pre-empted: one sf0.1 cell
+    # sits exactly on the boundary (rational-arithmetic audit)
 }
 
 #: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 9 alphabetically-first r05 ids;
-#: the rest rotate in r10 (the conversion wave + q_resample took them)
+#: (all 13 r04 survivors), plus the 8 alphabetically-first r05 ids;
+#: the rest rotate in r10 (the conversion wave + fixed-point re-seats)
 STALE_R09 = {
     "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
     "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
@@ -86,7 +88,6 @@ STALE_R09 = {
     "q_window_rank",
     "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
     "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
-    "q_dedup_embed",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
