@@ -125,26 +125,84 @@ def verified_ngram_pairs(idx) -> DataFrame:
     # prefix length |A| - ceil(t|A|) + 1; the per-doc window shuffle is
     # doc-length-bounded (SortExec spills on pathological docs)
     prefix = idx.prefix(THRESHOLD)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size-ratio prefilter: jaccard ≥ t ⟹ min ≥ t·max
-            & (
-                F.least("a.n_sh", "b.n_sh")
-                >= F.lit(THRESHOLD).cast("double")
-                * F.greatest("a.n_sh", "b.n_sh")
-            ),
+    # grouped bucket pair-emission (the minhash.candidate_pairs pattern,
+    # r10): the prefix postings shuffle ONCE into their (h, lang,
+    # size_bucket) bucket as (doc_id, n_sh) structs — never any text —
+    # and each bucket emits its combinations with an in-task two-level
+    # explode. The previous a/b prefix self-join shuffled the posting
+    # table TWICE and probed a postings-sized hash relation; recall is
+    # untouched (every pair the join produced shares a bucket, and the
+    # in-task emission enumerates exactly the same combinations). The
+    # size-ratio prune (jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|))
+    # now runs in-task on the carried n_sh, BEFORE the dedup exchange.
+    #
+    # Skew valve: a bucket's pair count is quadratic in its size and
+    # the grouped explode pins a bucket to one task. df-ranked prefixes
+    # keep buckets small on real corpora, but a boilerplate shingle
+    # rare enough to sit in thousands of prefixes is realistic at crawl
+    # scale; buckets above MAX_COMBO_BUCKET re-explode to rows and pair
+    # via the old self-join, whose skewed key AQE splits across tasks.
+    from pyanamo_spark.dedup.minhash import MAX_COMBO_BUCKET
+
+    buckets = (
+        prefix.groupBy("h", "lang", "size_bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_sh"))
+            ).alias("ms")
         )
+        .filter(F.size("ms") > 1)
+        .persist()
+    )
+    ratio_ok = F.least("a.n_sh", "b.n_sh") >= F.lit(THRESHOLD).cast(
+        "double"
+    ) * F.greatest("a.n_sh", "b.n_sh")
+    # struct sort is by doc_id first, so slicing past position i yields
+    # strictly larger doc_ids: doc_a < doc_b by construction
+    small = (
+        buckets.filter(F.size("ms") <= MAX_COMBO_BUCKET)
+        .select("ms", F.posexplode("ms").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"),
+        )
+        .filter(ratio_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+    )
+    over = buckets.filter(F.size("ms") > MAX_COMBO_BUCKET).select(
+        "h",
+        "lang",
+        "size_bucket",
+        F.explode("ms").alias("m"),
+    )
+    big = (
+        over.alias("ea")
+        .select(
+            "h",
+            "lang",
+            "size_bucket",
+            F.col("m").alias("a"),
+        )
+        .join(
+            over.alias("eb").select(
+                "h",
+                "lang",
+                "size_bucket",
+                F.col("m").alias("b"),
+            ),
+            ["h", "lang", "size_bucket"],
+        )
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & ratio_ok)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    candidates = small.unionByName(big).dropDuplicates(
+        ["doc_a", "doc_b"]
     )
     # exact verification on full shingle sets — prune-independent
     full_a = prepped.select(
