@@ -842,11 +842,28 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.orderBy(F.col("pmi").desc(), "wa", "wb")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= PMI_TOP)
-        .select("wa", "wb", "df_ab", "df_a", "df_b", "pmi", "rnk")
+    # top-k first (TakeOrdered: distributed partial top-N, no global
+    # window), then contiguous ranks over the k surviving rows via the
+    # range-exchange helper — no unpartitioned window at any size
+    from pyanamo_spark.operators.windows import global_rank_frame
+
+    top = scored.orderBy(F.col("pmi").desc(), "wa", "wb").limit(PMI_TOP)
+    ranked = global_rank_frame(
+        top.withColumn("npmi", -F.col("pmi")),
+        "npmi",
+        "wa",
+        "wb",
+        base=1,
+        extra=("df_ab", "df_a", "df_b", "pmi"),
+    )
+    return ranked.select(
+        "wa",
+        "wb",
+        "df_ab",
+        "df_a",
+        "df_b",
+        "pmi",
+        F.col("rank").cast("long").alias("rnk"),
     )
 
 
@@ -876,18 +893,25 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-frequency on log-rank plus R² — natural language sits near
     slope −1 with high R², so the report is the cheap corpus-
     naturalness check (synthetic/templated/spam-heavy crawls bend the
-    curve). One token aggregation; the vocabulary-sized rank window
-    orders by (freq, w) so ranks are engine-identical; the fit is the
-    exact regr_* closed form on vocab-sized data."""
+    curve). One token aggregation; the full-vocabulary ranking runs
+    through :func:`global_rank_frame` (range exchange +
+    per-partition row_number + broadcast offsets) instead of a
+    single-partition window, so a billion-token vocabulary ranks
+    across the cluster; (freq desc, w) is a total order so ranks are
+    engine-identical, and the fit is the exact regr_* closed form."""
+    from pyanamo_spark.operators.windows import global_rank_frame
+
     counts = (
         spark.table("documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
+        # the helper ranks ascending; negating the integer count is
+        # exact and flips to the required (freq DESC, w ASC) order
+        .withColumn("nfreq", -F.col("freq"))
     )
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.col("freq").desc(), "w")),
+    ranked = global_rank_frame(
+        counts, "nfreq", "w", base=1, extra=("freq",)
     )
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rank").cast("double"))
@@ -1281,13 +1305,14 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").alias("t"))
+    from pyanamo_spark.operators.windows import global_rank_frame
+
     top = tf.orderBy(F.col("n").desc(), "tok").limit(max(_CURVE_KS))
-    vocab = top.select(
-        "n",
-        F.row_number()
-        .over(W.orderBy(F.col("n").desc(), "tok"))
-        .alias("r"),
-    )
+    # ranks over the bounded top-1024 via the range-exchange helper —
+    # keeps even the bounded frame off a single-partition window
+    vocab = global_rank_frame(
+        top.withColumn("nn", -F.col("n")), "nn", "tok", base=1
+    ).select((-F.col("nn")).alias("n"), F.col("rank").alias("r"))
     ks = spark.createDataFrame([(k,) for k in _CURVE_KS], "k int")
     return (
         F.broadcast(ks)

@@ -38,11 +38,19 @@ def rank_width(df: DataFrame) -> int:
     return max(df.rdd.getNumPartitions(), shuffle, 1)
 
 
-def global_rank_frame(df: DataFrame, *keys: str, base: int = 0) -> DataFrame:
-    """(keys…, rank): contiguous global ranks of ``keys``, ``base``-based.
+def global_rank_frame(
+    df: DataFrame,
+    *keys: str,
+    base: int = 0,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(keys…, extra…, rank): contiguous global ranks of ``keys``,
+    ``base``-based; ``extra`` columns ride along unexamined.
 
     Accepts a compound order key (e.g. score with a unique tiebreak);
-    ranks follow the lexicographic order of ``keys``.
+    ranks follow the lexicographic order of ``keys``. Descending
+    orders negate the key on the way in (callers re-negate on the way
+    out) — exact for counts and all finite doubles.
 
     The scale shape for global numbering (the naive ``row_number()``
     over an unpartitioned window collapses the table into ONE task):
@@ -62,7 +70,7 @@ def global_rank_frame(df: DataFrame, *keys: str, base: int = 0) -> DataFrame:
     """
     spark = df.sparkSession
     ranged = (
-        df.select(*keys)
+        df.select(*keys, *extra)
         .repartitionByRange(rank_width(df), *keys)
         .withColumn("pid", F.spark_partition_id())
     )
@@ -87,6 +95,7 @@ def global_rank_frame(df: DataFrame, *keys: str, base: int = 0) -> DataFrame:
         .withColumn("local", F.row_number().over(w))
         .select(
             *keys,
+            *extra,
             (F.col("offset") + F.col("local") - 1 + F.lit(base))
             .cast("long")
             .alias("rank"),

@@ -113,10 +113,12 @@ EXCHANGE_BUDGET = {
     # (copies canonicalize; ReuseExchange dedups) — live profile is
     # one (fp) aggregation, a digest-keyed join, and a SOURCES-sized
     # rollup; text never shuffles
-    "q_coverage_curve": 6,  # ONE token-stream scan → VOCAB-sized
+    "q_coverage_curve": 8,  # ONE token-stream scan → VOCAB-sized
     # term frequencies (two-phase); total is the sum of that table
-    # (subtree printed per consumer), the top-1024 is TakeOrdered +
-    # a bounded row_number, and the curve is a 5×1024 range join
+    # (subtree printed per consumer), the top-1024 is TakeOrdered fed
+    # into global_rank_frame (range exchange + broadcast offsets —
+    # r10, no single-partition window), and the curve is a 5×1024
+    # range join
     "q_anomaly_seasonal": 6,  # corpus → date×hour observation grid
     # (map-combined two-phase); the 168-cell profile aggregates from
     # the grid (its subtree printed per consumer) and joins back
@@ -244,9 +246,10 @@ EXCHANGE_BUDGET = {
     # runtime. Live: distinct-words agg, df agg, the doc_id pair
     # join, pair-count agg, and the top-k sort — every wide row is a
     # (doc, frequent-word) pair or smaller
-    "q_zipf": 4,  # token-count agg (two-phase) + the vocabulary-sized
-    # global rank window + the single-row regr fit; only the first
-    # exchange carries corpus-derived rows (the distinct vocabulary)
+    "q_zipf": 4,  # token-count agg (two-phase) + global_rank_frame's
+    # range exchange over the vocabulary (r10: replaced the single-
+    # partition rank window; offsets ride back broadcast) + the
+    # single-row regr fit
     "q_ab_test": 4,  # variant aggregation (two-phase) + the 2-row
     # pivot-to-scalars aggregation; everything after the scan is ≤ 2
     # rows
@@ -588,6 +591,95 @@ def text_hash_exchanges(plan: str) -> list[int]:
     return bad
 
 
+#: queries allowed an UNPARTITIONED window (empty partition spec —
+#: WindowExec funnels the frame through ONE task): each entry must
+#: run the window over a frame BOUNDED BY CONSTRUCTION (an aggregate
+#: grid, a top-k result, a domain-sized matrix), never a data-sized
+#: one. A name lands here only with the boundedness argument written
+#: next to it; anything else is a flag (VERDICT r09 item 4).
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "q_autocorr": "lag window over the DAYS-sized daily aggregate "
+    "(date-domain-bounded, not data-sized)",
+    "q_backtest": "same shape as q_autocorr: lag + error fold over "
+    "the DAYS-sized series",
+    "q_changepoint": "cusum running window over the DAYS-sized "
+    "daily series",
+    "q_dataset_card": "histogram_percentiles cumulative-rank window "
+    "over the DISTINCT-VALUE histogram of a bounded measure (score "
+    "buckets; the helper's documented precondition, "
+    "functions/quantiles.py:62)",
+    "q_quality_filter": "histogram_percentiles over bounded-"
+    "cardinality quality scores (functions/quantiles.py:62)",
+    "q_mixture_weights": "cumulative window over the SOURCES-sized "
+    "per-source aggregate",
+    "q_survival": "at-risk/exhaustion windows over the DURATIONS-"
+    "sized death table (day-granular tenure domain)",
+    "q_token_budget": "cumulative window over <=101 rounded "
+    "stopword-ratio buckets (ratio in [0,1] rounded to 2 decimals)",
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group bodies in a Window Arguments line."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_unpartitioned(groups: list[str]) -> bool:
+    """Formatted Window Arguments print [exprs] then, when present,
+    [partitionSpec] then [orderSpec] — either trailing group may be
+    absent. A partition spec never carries sort direction markers; an
+    order spec always does, one per column."""
+    if len(groups) >= 3:
+        return not groups[1].strip()
+    if len(groups) == 2:
+        # the second group is an ORDER spec (no partition) iff it
+        # reads as sort expressions
+        return bool(re.search(r"\b(ASC|DESC) NULLS", groups[1]))
+    return True  # exprs only: no partition, no order
+
+
+def global_window_nodes(plan: str) -> list[int]:
+    """Node ids of non-cached Window operators with an EMPTY partition
+    spec."""
+    ranges = cached_node_ranges(plan)
+
+    def cached(k: int) -> bool:
+        return any(lo < k <= hi for lo, hi in ranges)
+
+    bad: list[int] = []
+    # plain Window nodes only: WindowGroupLimit prints two bracket
+    # groups whether or not it partitions, and the real Window node
+    # always follows it anyway
+    for m in re.finditer(
+        r"\((\d+)\) Window\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        node, block = int(m.group(1)), m.group(2)
+        if cached(node):
+            continue
+        arg = re.search(r"Arguments: (.*)", block)
+        if arg and _is_unpartitioned(_top_level_groups(arg.group(1))):
+            bad.append(node)
+    return bad
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     if name not in TEXT_HASH_EXCHANGE_OK:
@@ -596,6 +688,15 @@ def audit_plan(name: str, plan: str) -> list[str]:
             flags.append(
                 f"FLAG: raw text hash-shuffled at Exchange node(s) "
                 f"{leaky} — candidate shuffles must carry digests/ids"
+            )
+    if name not in GLOBAL_WINDOW_OK:
+        gw = global_window_nodes(plan)
+        if gw:
+            flags.append(
+                f"FLAG: unpartitioned window at node(s) {gw} — the "
+                f"frame funnels through one task; two-level rank "
+                f"(global_rank_frame) or a written boundedness "
+                f"argument in GLOBAL_WINDOW_OK required"
             )
     n_exchange = count_exchanges(plan)
     budget = EXCHANGE_BUDGET.get(name, 2)
