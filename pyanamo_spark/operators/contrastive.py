@@ -70,6 +70,24 @@ def mine_contrastive(
     mutant-corpus candidate table (minhash.mutant_candidate_pairs) so
     the LSH pipeline is shared with q_dedup_near; ad-hoc corpora
     (tests) compute their own candidates."""
+    return mine_contrastive_parts(
+        spark, corpus, jaccard_min, n_negatives, pairs
+    )[1]
+
+
+def mine_contrastive_parts(
+    spark: SparkSession,
+    corpus: DataFrame,
+    jaccard_min: float = JACCARD_MIN,
+    n_negatives: int = N_NEGATIVES,
+    pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(positives, triplets): the verified positive PAIR set plus the
+    mined triplets. The audit consumes both — recall is judged on the
+    pair set BEFORE negative fan-out, so a planted pair whose every
+    negative slot drops as an accidental positive still counts as
+    found (the miner did find it; slot survival is a separate
+    contract)."""
     if pairs is None:
         pairs = candidate_pairs(spark, corpus)
     positives = (
@@ -92,9 +110,10 @@ def mine_contrastive(
     ranks = global_ranks(corpus.select("doc_id"), "doc_id")
     n_docs = ranks.count()
     if n_docs == 0:
-        return positives.withColumns(
+        empty = positives.withColumns(
             {"slot": F.lit(0), "negative_id": F.lit(None).cast("long")}
         ).limit(0)
+        return positives, empty
     slots = positives.select(
         "*",
         F.explode(
@@ -120,7 +139,7 @@ def mine_contrastive(
             F.col("anchor_id").alias("positive_id"),
         )
     )
-    return (
+    triplets = (
         neg.filter(
             (F.col("negative_id") != F.col("anchor_id"))
             & (F.col("negative_id") != F.col("positive_id"))
@@ -135,6 +154,7 @@ def mine_contrastive(
         )
         .select("anchor_id", "positive_id", "jaccard", "slot", "negative_id")
     )
+    return positives, triplets
 
 
 @register(
@@ -171,14 +191,21 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``expected_match`` is the exact 3-shingle Jaccard verdict of
       (text, text+suffix) at the {JACCARD_MIN} positive floor, which
       DuckDB recomputes exactly (the q_dedup_near machinery); ``ok``
-      certifies the miner agreed — anchor/positive triplets present
-      when expected (with ≥ 1 surviving negative slot), absent when
-      not.
+      certifies the miner agreed — the anchor/positive PAIR mined
+      when expected, absent when not. Recall is judged on the
+      verified pair set BEFORE negative fan-out (r10, ADVICE fix):
+      a pair whose every negative slot drops as an accidental
+      positive was still FOUND; slot survival is the structure leg's
+      business.
     - ``kind='structure'``: one global row certifying the triplet
       contract over the WHOLE output: negatives never equal their
       anchor or positive, no negative is a verified near-dup of its
       anchor in either orientation (the no-false-negative guarantee),
-      and slots are distinct within each (anchor, positive) pair.
+      and slots are distinct within each (anchor, positive) pair —
+      all three flags from ONE aggregation pass over the triplets
+      (slot distinctness as count_distinct(anchor, positive, slot) ==
+      count(*); the false-negative probe rides a left-join marker),
+      replacing r09's three crossJoined audit legs.
 
     Negative ids themselves are seeded-hash-specific (why this seat
     was rows-only); negative determinism and planted recall stay
@@ -192,9 +219,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyanamo_spark.dedup.minhash import mutant_candidate_pairs
 
     corpus = corpus_with_mutants(spark)
-    trips = mine_contrastive(
+    positives, trips = mine_contrastive_parts(
         spark, corpus, pairs=mutant_candidate_pairs(spark, sf_dir)
-    ).persist()
+    )
 
     def hs(col_sql: str):
         return F.array_distinct(
@@ -219,8 +246,12 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         (F.round(jac, 6) >= JACCARD_MIN).cast("int").alias("expected_match"),
     )
+    # recall judged on the checkpointed positive PAIR set, not the
+    # post-fan-out triplets (ADVICE r09: a pair losing all its
+    # negative slots to the accidental-positive anti-join is still
+    # FOUND)
     found = (
-        trips.filter(
+        positives.filter(
             F.col("positive_id") - F.col("anchor_id") == MUTANT_OFFSET
         )
         .select(F.col("anchor_id").alias("id"))
@@ -235,22 +266,36 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ok"),
     )
-    pair_set = trips.select("anchor_id", "positive_id").distinct()
-    false_negs = trips.join(
-        pair_set.select(
-            F.col("anchor_id").alias("a"),
-            F.col("positive_id").alias("n"),
-        ).unionByName(
-            pair_set.select(
+    # the VERIFIED near-dup set (both orientations) the no-false-
+    # negative guarantee is stated against — from the checkpointed
+    # positives, so deriving it re-runs nothing
+    sym_pairs = (
+        positives.select(
+            F.col("anchor_id").alias("a"), F.col("positive_id").alias("n")
+        )
+        .unionByName(
+            positives.select(
                 F.col("positive_id").alias("a"),
                 F.col("anchor_id").alias("n"),
             )
-        ),
+        )
+        .distinct()  # at most one match per triplet row: the join
+        # marker below must not duplicate rows under the fused counts
+        .withColumn("_fn", F.lit(1))
+    )
+    # ONE aggregation pass computes all three structure flags (r09 ran
+    # three crossJoined legs over the persisted triplets):
+    #   - neg_distinct_ok: min over rows of the inequality predicate
+    #   - no_false_neg_ok: no triplet carries the sym-pair marker
+    #   - slots_ok: slots distinct within every (anchor, positive)
+    #     pair <=> no duplicate (anchor, positive, slot) triple
+    enriched = trips.join(
+        sym_pairs,
         (F.col("anchor_id") == F.col("a"))
         & (F.col("negative_id") == F.col("n")),
-        "left_semi",
+        "left",
     )
-    struct_flags = trips.agg(
+    struct_flags = enriched.agg(
         F.coalesce(
             F.min(
                 (
@@ -260,18 +305,13 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(1),
         ).alias("neg_distinct_ok"),
-    ).crossJoin(
-        false_negs.agg(
-            (F.count("*") == 0).cast("int").alias("no_false_neg_ok")
+        (F.count(F.col("_fn")) == 0).cast("int").alias("no_false_neg_ok"),
+        (
+            F.count_distinct("anchor_id", "positive_id", "slot")
+            == F.count("*")
         )
-    ).crossJoin(
-        trips.groupBy("anchor_id", "positive_id")
-        .agg(
-            (F.count_distinct("slot") == F.count("slot"))
-            .cast("int")
-            .alias("s_ok")
-        )
-        .agg(F.coalesce(F.min("s_ok"), F.lit(1)).alias("slots_ok"))
+        .cast("int")
+        .alias("slots_ok"),
     )
     structure = struct_flags.select(
         F.lit("structure").alias("kind"),

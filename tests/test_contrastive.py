@@ -68,14 +68,17 @@ def test_contrastive_audit_flags_green_and_catch_regressions(spark, sf_dir):
         r.expected_match == 1 for r in rows if r.kind == "planted"
     ), "fixture must contain in-threshold planted pairs"
     mod = operators.contrastive
-    orig = mod.mine_contrastive
+    orig = mod.mine_contrastive_parts
     try:
-        mod.mine_contrastive = lambda spark, corpus, **kw: orig(
-            spark, corpus, **kw
-        ).filter("anchor_id < 0")
+        # sabotage: the miner returns nothing (positives AND triplets)
+        # — every expected planted pair must flip to ok=0
+        mod.mine_contrastive_parts = lambda spark, corpus, **kw: tuple(
+            df.filter("anchor_id < 0")
+            for df in orig(spark, corpus, **kw)
+        )
         broken = QUERIES["q_contrastive_pairs"](spark, sf_dir).collect()
     finally:
-        mod.mine_contrastive = orig
+        mod.mine_contrastive_parts = orig
     assert all(
         r.ok == (0 if r.expected_match else 1)
         for r in broken
