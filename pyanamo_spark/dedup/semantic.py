@@ -192,6 +192,17 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     was rows-only); planted-cluster prune-rate bounds stay pinned in
     tests/test_semantic.py."""
     emb = spark.table("embeddings").select("vec_id", "embedding")
+    # planted ids must clear the natural domain: the copy audit maps
+    # out-rows back via vec_id - _COPY_OFFSET with only an id >= 0
+    # filter, so a natural vec_id >= the offset would produce spurious
+    # join rows and corrupt verdicts silently — fail loudly instead
+    # (ADVICE r09)
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    assert max_id is None or max_id < _COPY_OFFSET, (
+        f"audit-corpus id collision: max natural vec_id {max_id} >= "
+        f"planted offset {_COPY_OFFSET}; raise the offset above the "
+        f"id domain before trusting the audit verdicts"
+    )
     copies = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
     )

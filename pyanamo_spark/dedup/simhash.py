@@ -405,6 +405,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage filters on bit_count of the true signatures); radius
     guarantees and full-corpus recall stay pinned in tests/test_dedup.py.
     """
+    # planted ids must clear the natural id domain, or copies/mutants
+    # collide with real docs and the audit verdicts corrupt SILENTLY
+    # (a natural doc_id >= 1M would alias a mutant id) — fail loudly
+    # instead (ADVICE r09); fixture corpora stay far below the offsets
+    max_id = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    min_offset = min(MUTANT_OFFSET, _COPY_OFFSET)
+    assert max_id is None or max_id < min_offset, (
+        f"audit-corpus id collision: max natural doc_id {max_id} >= "
+        f"planted offset {min_offset}; raise the offsets above the id "
+        f"domain before trusting the audit verdicts"
+    )
     copies = (
         spark.table("documents")
         .filter(F.col("doc_id") % 100 == 0)

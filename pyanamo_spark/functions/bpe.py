@@ -370,6 +370,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token-by-token parity of the full sequence against a pure-Python
     trainer, including tie-breaks, stays pinned in tests/test_bpe.py."""
     merges = train_bpe(spark.table("documents"))
+    # the oracle emits ranks 2..N_MERGES unconditionally whenever a
+    # rank-1 merge exists, but train_bpe stops early when no adjacent
+    # pair remains — on a degenerate corpus (too few distinct pairs)
+    # the row counts would diverge and the driver compare would fail
+    # SPURIOUSLY. Surface that precondition as a clear error instead
+    # (ADVICE r09): the fixture corpora all satisfy it.
+    if merges:
+        assert len(merges) == N_MERGES, (
+            f"train_bpe stopped early ({len(merges)} of {N_MERGES} "
+            f"merges) — the q_bpe_train oracle emits a fixed "
+            f"{N_MERGES}-row table, so this corpus cannot be "
+            f"oracle-compared; a row-count mismatch here is the "
+            f"degenerate-corpus precondition, not a trainer bug"
+        )
     # the merge table is an N_MERGES-row driver model (the same bounded
     # contract as the fit collects elsewhere); the audit flags are
     # metadata post-processing over it
