@@ -41,30 +41,19 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r09 window (VERDICT r08: deepening round — contract saturated at
-    # 194/194 cumulative): 5 canaries + 19 rows-only → oracle audit
-    # conversions (q_knn_lsh / q_knn_ivf / q_knn_quantized gain the
-    # ann_audit certification, q_approx_distinct the exact-vocabulary
-    # HLL audit, q_overlap_estimate the exact-matrix tolerance audit,
-    # q_pack_sequences / q_pca_project / q_compress_filter /
-    # q_bpe_encode their contract audits, q_dedup_simhash and
-    # q_semantic_prune planted copy/mutant ground-truth audits, the
-    # four multimodal paths deterministic-generator contract audits,
-    # q_contrastive_pairs the planted ground-truth + triplet-contract
-    # audit, and finally q_bpe_train (rank-1 merge checked exactly,
-    # later ranks certified buildable) — VERDICT item 3 driven to ZERO
-    # rows-only seats: all 195 queries now oracle-checked) + 5
-    # semantics/plan-changed re-seats
-    # (see the changed-this-round list: q_percentiles_approx's oracle
-    # went null-safe, q_contrastive_pairs
-    # rides the rewritten grouped LSH pair emission, q_pdf_extract gains
-    # the glyph-name /Differences fallback, q_resample and
-    # q_seasonality move to exact fixed-point means after the
-    # cross-scale sweep caught / pre-empted rounding-boundary
-    # divergences; a changed query must re-record or its cumulative
-    # row goes stale) + the 21 stalest greens (all 13 remaining
-    # r04-recorded ids, the 8 alphabetically-first r05 ids; the
-    # remaining r05/r06 ids rotate in r10).
+    # r10 window (VERDICT r09: polish round): 5 canaries + the 2 ids
+    # with NO driver record yet (q_capacity_plan — the one declared
+    # query of 195 without a CORRECTNESS row, VERDICT item 1 — and
+    # q_index_lifecycle, new this round certifying the stored-IVF
+    # rebuild/vacuum/reader-isolation contract, VERDICT item 6) + 4
+    # changed-this-round re-seats (q_zipf / q_pmi / q_coverage_curve
+    # moved their global ranks onto global_rank_frame, and
+    # q_contrastive_pairs fused its audit legs into one aggregation
+    # pass — plans changed, outputs re-certified) + the 34 stalest
+    # greens (every remaining r05-recorded id, incl. q_dedup_ngram
+    # whose candidate stage moved to grouped bucket emission) + the 5
+    # alphabetically-first r06 ids. The remaining r06 greens rotate
+    # in r11.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -74,65 +63,55 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # rows-only → oracle audit conversions (VERDICT r08 item 3, then
-    # the same pattern pushed further: q_dedup_near's planted-mutant
-    # audit, q_sample_topk's size/membership audit, and q_rand_order
-    # whose CONTENT was always order-insensitively hashable)
-    "q_knn_lsh",
-    "q_knn_ivf",
-    "q_approx_distinct",
-    "q_dedup_near",
-    "q_rand_order",
-    "q_sample_topk",
-    # second conversion wave (same audit pattern): quantize-rescore
-    # recall certification, HLL overlap vs the exact matrix, packing /
-    # whitening / deflate / BPE contract audits — each changed the
-    # declared output, so each must re-record this round
-    "q_knn_quantized",
-    "q_overlap_estimate",
-    "q_pack_sequences",
-    "q_pca_project",
-    "q_compress_filter",
-    "q_bpe_encode",
-    "q_dedup_simhash",
-    "q_semantic_prune",
-    "q_multimodal_features",
-    "q_multimodal_decode",
-    "q_audio_features",
-    "q_video_frames",
-    "q_bpe_train",
+    # never driver-recorded
+    "q_capacity_plan",
+    "q_index_lifecycle",
     # changed-this-round re-seats
-    "q_percentiles_approx",
+    "q_zipf",
+    "q_pmi",
+    "q_coverage_curve",
     "q_contrastive_pairs",
-    "q_pdf_extract",
-    "q_resample",
-    "q_seasonality",
-    # stale-proofing: every remaining r04-recorded green
-    "q_nest_filter",
-    "q_partition_split",
-    "q_pipe_exec",
-    "q_rollup",
-    "q_sessionize",
-    "q_setops",
-    "q_state_counts",
-    "q_tag_extract",
-    "q_text_stats",
-    "q_vector_math",
-    "q_width_profile",
-    "q_window_lag",
-    "q_window_rank",
-    # oldest r05 greens (alphabetical; the rest rotate in r10)
-    "q_anomaly",
-    "q_bloom_join",
-    "q_bpe_pairs",
-    "q_chunk_documents",
-    "q_cube",
-    "q_curation_funnel",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    # (q_dedup_embed..q_join_auto and the remaining r05 greens rotate
-    # in r10 — the conversion wave + the fixed-point re-seats took
-    # their r09 seats)
+    # stale-proofing: every remaining r05-recorded green
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_ngram",
+    "q_dedup_stats",
+    "q_dup_passages",
+    "q_embed_covariance",
+    "q_equidepth",
+    "q_funnel_latency",
+    "q_global_ids",
+    "q_group_sample",
+    "q_group_split",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_join_asof",
+    "q_join_auto",
+    "q_lm_score",
+    "q_merge_upsert",
+    "q_mixture_weights",
+    "q_model_score",
+    "q_percentiles",
+    "q_retention",
+    "q_salted_join",
+    "q_scd2",
+    "q_scrub",
+    "q_setops_fused",
+    "q_skew_profile",
+    "q_snapshot_diff",
+    "q_source_overlap",
+    "q_source_similarity",
+    "q_stratified_sample",
+    "q_table_stats",
+    "q_tfidf",
+    "q_validate",
+    "q_weighted_sample",
+    # oldest r06 greens (alphabetical; the rest rotate in r11)
+    "q_basket_rules",
+    "q_big_orders",
+    "q_bm25",
+    "q_brand_revenue",
+    "q_crossval",
 )
 
 

@@ -731,6 +731,11 @@ def audit_plan(name: str, plan: str) -> list[str]:
         not has_codegen
         and "InPandas" not in plan
         and "AdaptiveSparkPlan" not in plan
+        # a driver-model readout (eager lifecycle/audit flags emitted
+        # as a local relation) has no data-sized operators to codegen;
+        # any plan that also touches real data wraps in
+        # AdaptiveSparkPlan and is judged above
+        and "LocalTableScan" not in plan
     ):
         flags.append("FLAG: no whole-stage-codegen operators")
     return flags

@@ -38,56 +38,42 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: rows-only -> oracle audit conversions seated at r09 (VERDICT r08
-#: item 3): each must now carry an oracle
-CONVERTED_R09 = {
-    "q_knn_lsh",
-    "q_knn_ivf",
-    "q_approx_distinct",
-    "q_dedup_near",
-    "q_rand_order",
-    "q_sample_topk",
-    # second wave: contract audits over the raw (still-available)
-    # engine-specific outputs
-    "q_knn_quantized",
-    "q_overlap_estimate",
-    "q_pack_sequences",
-    "q_pca_project",
-    "q_compress_filter",
-    "q_bpe_encode",
-    "q_dedup_simhash",
-    "q_semantic_prune",
-    "q_multimodal_features",
-    "q_multimodal_decode",
-    "q_audio_features",
-    "q_video_frames",
-    "q_bpe_train",
+#: ids with NO driver record before r10: q_capacity_plan (the one
+#: declared query of 195 lacking a CORRECTNESS row — VERDICT r09 item
+#: 1) and q_index_lifecycle (new this round — the stored-IVF
+#: rebuild/vacuum/reader-isolation certification, VERDICT item 6)
+NEVER_RECORDED_R10 = {
+    "q_capacity_plan",
+    "q_index_lifecycle",
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
-#: r09 — a changed query must re-record or its cumulative row is stale
-CHANGED_R09 = {
-    "q_percentiles_approx",  # null-safe audit population + oracle
-    "q_contrastive_pairs",   # rewritten candidate_pairs + the planted
-    # ground-truth audit conversion (now oracle-checked)
-    "q_pdf_extract",         # glyph-name /Differences fallback
-    "q_resample",            # exact fixed-point means: the r09
-    # cross-scale sweep caught Spark/DuckDB resolving the ROUND(x,4)
-    # half-way boundary in opposite directions at sf0.1
-    "q_seasonality",         # same class, pre-empted: one sf0.1 cell
-    # sits exactly on the boundary (rational-arithmetic audit)
+#: r10 — a changed query must re-record or its cumulative row is stale
+CHANGED_R10 = {
+    "q_zipf",             # full-vocab rank moved onto global_rank_frame
+    "q_pmi",              # top-k + bounded rank via global_rank_frame
+    "q_coverage_curve",   # same two-level rank swap
+    "q_contrastive_pairs",  # audit legs fused into one aggregation
+    # pass; recall judged on the pre-fan-out positive pair set
 }
 
-#: stale-proof re-seats: every id whose last driver record predates r05
-#: (all 13 r04 survivors), plus the 8 alphabetically-first r05 ids;
-#: the rest rotate in r10 (the conversion wave + fixed-point re-seats)
-STALE_R09 = {
-    "q_nest_filter", "q_partition_split", "q_pipe_exec", "q_rollup",
-    "q_sessionize", "q_setops", "q_state_counts", "q_tag_extract",
-    "q_text_stats", "q_vector_math", "q_width_profile", "q_window_lag",
-    "q_window_rank",
-    "q_anomaly", "q_bloom_join", "q_bpe_pairs", "q_chunk_documents",
-    "q_cube", "q_curation_funnel", "q_decontaminate", "q_dedup_clusters",
+#: stale-proof re-seats: every id whose last driver record is r05
+#: (all 34 survivors, incl. q_dedup_ngram whose candidate stage moved
+#: to grouped bucket emission this round), plus the 5 alphabetically-
+#: first r06 ids; the remaining r06 greens rotate in r11
+STALE_R10 = {
+    "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
+    "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
+    "q_equidepth", "q_funnel_latency", "q_global_ids",
+    "q_group_sample", "q_group_split", "q_grouping_sets",
+    "q_hash_split", "q_join_asof", "q_join_auto", "q_lm_score",
+    "q_merge_upsert", "q_mixture_weights", "q_model_score",
+    "q_percentiles", "q_retention", "q_salted_join", "q_scd2",
+    "q_scrub", "q_setops_fused", "q_skew_profile", "q_snapshot_diff",
+    "q_source_overlap", "q_source_similarity", "q_stratified_sample",
+    "q_table_stats", "q_tfidf", "q_validate", "q_weighted_sample",
+    "q_basket_rules", "q_big_orders", "q_bm25", "q_brand_revenue",
+    "q_crossval",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
@@ -165,13 +151,17 @@ def test_canaries_hold_their_seats():
         assert n in DECLARED, n
 
 
-def test_r09_window_composition():
-    # the conversions really did gain oracles (VERDICT r08 item 3)
-    for n in CONVERTED_R09:
+def test_r10_window_composition():
+    # the never-recorded seats carry oracles (both are audit-recipe
+    # queries with pinned-flag oracles)
+    for n in NEVER_RECORDED_R10:
         assert n in ORACLES, n
-    # window is exactly canaries + conversions + changed re-seats +
+    # window is exactly canaries + never-recorded + changed re-seats +
     # the stale-proof cohort
-    assert set(DECLARED) == CANARIES | CONVERTED_R09 | CHANGED_R09 | STALE_R09
+    assert (
+        set(DECLARED)
+        == CANARIES | NEVER_RECORDED_R10 | CHANGED_R10 | STALE_R10
+    )
 
 
 def test_declared_ids_all_registered():
