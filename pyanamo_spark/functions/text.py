@@ -842,28 +842,18 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # top-k first (TakeOrdered: distributed partial top-N, no global
-    # window), then contiguous ranks over the k surviving rows via the
-    # range-exchange helper — no unpartitioned window at any size
-    from pyanamo_spark.operators.windows import global_rank_frame
-
+    # top-k first (TakeOrdered: distributed partial top-N — the old
+    # plan ranked the whole pair table through one window task), then
+    # number the PMI_TOP surviving rows. The trailing window IS
+    # single-partition, but over a frame bounded by the limit — the
+    # declared top-N contract (GLOBAL_WINDOW_OK in the plan audit);
+    # the global_rank_frame machinery would add an eager checkpoint +
+    # offsets collect (~0.8 s at sf0.1) to rank 20 rows.
     top = scored.orderBy(F.col("pmi").desc(), "wa", "wb").limit(PMI_TOP)
-    ranked = global_rank_frame(
-        top.withColumn("npmi", -F.col("pmi")),
-        "npmi",
-        "wa",
-        "wb",
-        base=1,
-        extra=("df_ab", "df_a", "df_b", "pmi"),
-    )
-    return ranked.select(
-        "wa",
-        "wb",
-        "df_ab",
-        "df_a",
-        "df_b",
-        "pmi",
-        F.col("rank").cast("long").alias("rnk"),
+    w = W.orderBy(F.col("pmi").desc(), "wa", "wb")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("wa", "wb", "df_ab", "df_a", "df_b", "pmi", "rnk")
     )
 
 
@@ -909,9 +899,20 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the helper ranks ascending; negating the integer count is
         # exact and flips to the required (freq DESC, w ASC) order
         .withColumn("nfreq", -F.col("freq"))
+        # persisted so the range partitioner's sampling pass reads the
+        # cache instead of re-running the corpus aggregation (the
+        # helper's documented caveat); vocab-sized, worth
+        # materializing at any scale before ranking it
+        .persist()
     )
     ranked = global_rank_frame(
-        counts, "nfreq", "w", base=1, extra=("freq",)
+        counts,
+        "nfreq",
+        "w",
+        base=1,
+        extra=("freq",),
+        # counts is an aggregate output: at most shuffle-width wide
+        width=int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
     )
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rank").cast("double"))
@@ -1305,14 +1306,18 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").alias("t"))
-    from pyanamo_spark.operators.windows import global_rank_frame
-
     top = tf.orderBy(F.col("n").desc(), "tok").limit(max(_CURVE_KS))
-    # ranks over the bounded top-1024 via the range-exchange helper —
-    # keeps even the bounded frame off a single-partition window
-    vocab = global_rank_frame(
-        top.withColumn("nn", -F.col("n")), "nn", "tok", base=1
-    ).select((-F.col("nn")).alias("n"), F.col("rank").alias("r"))
+    # number the top-1024 survivors: the window is single-partition
+    # but limit-bounded by construction (the declared top-N contract,
+    # GLOBAL_WINDOW_OK in the plan audit) — TakeOrdered did the
+    # distributed work, and the global_rank_frame machinery costs an
+    # eager checkpoint + offsets collect to rank 1024 rows
+    vocab = top.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "tok"))
+        .alias("r"),
+    )
     ks = spark.createDataFrame([(k,) for k in _CURVE_KS], "k int")
     return (
         F.broadcast(ks)

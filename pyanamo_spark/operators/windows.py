@@ -43,6 +43,7 @@ def global_rank_frame(
     *keys: str,
     base: int = 0,
     extra: tuple[str, ...] = (),
+    width: int | None = None,
 ) -> DataFrame:
     """(keys…, extra…, rank): contiguous global ranks of ``keys``,
     ``base``-based; ``extra`` columns ride along unexamined.
@@ -60,38 +61,65 @@ def global_rank_frame(
          from :func:`rank_width`, never a constant
       2. per-partition ``row_number`` (partitioned by
          ``spark_partition_id``, so every window sort fits one task)
-      3. per-partition row counts — #partitions integers — cumsum'd on
-         the driver into offsets, joined back as a broadcast
+      3. per-partition row counts — #partitions integers — cumulated
+         into offsets by a triangular self-join over that tiny frame
+         and broadcast back
 
     rank = offset(p) + local row_number − 1 + base. Deterministic for
     a unique key, hence oracle-exact against ``ROW_NUMBER() OVER
     (ORDER BY key)``. Nothing leaves its partition after the single
     range exchange.
+
+    The whole thing is ONE lazy plan (r10 — the r07 form ran an eager
+    ``localCheckpoint`` plus a driver ``collect`` of the counts: two
+    extra job rounds, ~0.8 s per call at sf0.1). Both consumers of the
+    range exchange — the pid-count aggregate and the ranking pass —
+    canonicalize identically, so runtime ReuseExchange reads ONE
+    shuffle and ``spark_partition_id`` is trivially consistent between
+    them; even recomputed, an explicit-width repartitionByRange of the
+    same input re-samples the same deterministic boundaries (and AQE
+    never coalesces a user-specified width, so pids are stable).
+    ``tests/test_views.py::test_global_rank_single_range_exchange``
+    pins the reuse.
+
+    ``width``: callers ranking an AGGREGATE output should pass the
+    session shuffle width — an agg's output is at most that wide by
+    construction, and :func:`rank_width`'s ``df.rdd`` probe compiles
+    the whole physical plan (~0.3 s of pure planning per call at
+    sf0.1) just to learn it. Leave None for data-sized inputs (scans),
+    where the probe's input tracking is the point.
+
+    Range-partitioner caveat: ``repartitionByRange`` runs a SAMPLING
+    pass over its child before the shuffle, so an expensive lineage
+    (a corpus aggregation) computes twice per action — callers should
+    ``persist()`` such inputs first (the sampling job then populates
+    the cache and the main job reads it; q_zipf does this). At 100 TB
+    the vocabulary you are ranking is worth materializing anyway.
     """
-    spark = df.sparkSession
     ranged = (
         df.select(*keys, *extra)
-        .repartitionByRange(rank_width(df), *keys)
+        .repartitionByRange(width or rank_width(df), *keys)
         .withColumn("pid", F.spark_partition_id())
     )
-    # localCheckpoint pins the partitioning: pid must mean the same
-    # physical partition in both the counting pass and the ranking
-    # pass, which re-planning from lineage does not guarantee
-    ranged = ranged.localCheckpoint()
-    counts = [
-        (r.pid, r.n)
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    ]
-    offsets, acc = {}, 0
-    for pid, n in sorted(counts):
-        offsets[pid] = acc
-        acc += n
-    offset_df = F.broadcast(
-        spark.createDataFrame(sorted(offsets.items()), "pid int, offset long")
+    pidc = ranged.groupBy("pid").agg(F.count("*").alias("n"))
+    # offsets via a triangular join on the #partitions-sized count
+    # frame: offset(p) = sum of counts of partitions before p — no
+    # driver round-trip, no unpartitioned window
+    offsets = (
+        pidc.alias("x")
+        .join(
+            pidc.select(
+                F.col("pid").alias("ypid"), F.col("n").alias("yn")
+            ),
+            F.col("ypid") < F.col("x.pid"),
+            "left",
+        )
+        .groupBy(F.col("x.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("yn"), F.lit(0)).alias("offset"))
     )
     w = W.partitionBy("pid").orderBy(*keys)
     return (
-        ranged.join(offset_df, "pid")
+        ranged.join(F.broadcast(offsets), "pid")
         .withColumn("local", F.row_number().over(w))
         .select(
             *keys,

@@ -513,7 +513,10 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = tempfile.mkdtemp(prefix="ivf_lifecycle_")
     try:
-        write_index(spark, index_dir)
+        # one Lloyd pass per (re)build: the lifecycle certifies the
+        # version/pointer/retention protocol, not quantizer quality —
+        # q_knn_ivf owns the recall certification
+        write_index(spark, index_dir, iters=1)
         v1 = current_version(index_dir)
         v1dir = resolve_index_dir(index_dir)
         n1 = spark.read.parquet(f"{v1dir}/lists").count()
@@ -548,7 +551,7 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             and fresh_n == n1 + a
             and sum(stats.values()) == a
         )
-        v2 = rebuild_index(spark, index_dir)
+        v2 = rebuild_index(spark, index_dir, iters=1)
         old_reader_n = spark.read.parquet(f"{v1dir}/lists").count()
         v2dir = resolve_index_dir(index_dir)
         n2 = spark.read.parquet(f"{v2dir}/lists").count()

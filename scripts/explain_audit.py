@@ -96,13 +96,21 @@ EXCHANGE_BUDGET = {
     # and bounded by the quasi-identifier domain
     "q_attribution": 4,  # per-user ordered window (running first/last
     # touch state) + the CHANNELS²-bounded report aggregate
-    "q_curriculum": 4,  # the global-rank frame is checkpointed (its
-    # range exchange is paid inside global_rank_frame); what remains
-    # is the rank⋈difficulty join-back and the 4-row phase aggregate
-    "q_gini": 8,  # rank-frame join-back printed per consumer (entity
-    # count scalar + the Gini fold); live profile is the checkpointed
-    # rank frame, a 1-row broadcast total, and ONE single-row
-    # aggregation over the entity-sized frame
+    "q_curriculum": 14,  # r10 lazy global_rank_frame: the rank
+    # subtree (range exchange + pid-count agg + triangular offset
+    # join) is PRINTED under each of its consumers — identical
+    # canonical copies, runtime ReuseExchange reads ONE shuffle
+    # (pinned by test_views.test_global_rank_single_range_exchange).
+    # Live: the range exchange, the tiny pid aggregates, the
+    # rank⋈difficulty join-back, and the 4-row phase aggregate
+    "q_gini": 40,  # r10 lazy global_rank_frame: the rank subtree
+    # (range exchange + pid aggregates + triangular offset join) is
+    # PRINTED once per consumer and the Gini fold reads the rank frame
+    # several times — all copies canonicalize identically so runtime
+    # ReuseExchange dedups (pinned by
+    # test_views.test_global_rank_single_range_exchange). Live: the
+    # entity aggregation, ONE range exchange, the tiny pid/offset
+    # aggregates, a 1-row broadcast total, and the single-row fold
     "q_autocorr": 4,  # corpus → DAYS-sized daily series aggregation
     # (two-phase); the lag window and final corr singleton run on the
     # bounded series (documented global-window exception)
@@ -115,10 +123,9 @@ EXCHANGE_BUDGET = {
     # rollup; text never shuffles
     "q_coverage_curve": 8,  # ONE token-stream scan → VOCAB-sized
     # term frequencies (two-phase); total is the sum of that table
-    # (subtree printed per consumer), the top-1024 is TakeOrdered fed
-    # into global_rank_frame (range exchange + broadcast offsets —
-    # r10, no single-partition window), and the curve is a 5×1024
-    # range join
+    # (subtree printed per consumer), the top-1024 is TakeOrdered +
+    # a limit-bounded rank (GLOBAL_WINDOW_OK), and the curve is a
+    # 5×1024 range join
     "q_anomaly_seasonal": 6,  # corpus → date×hour observation grid
     # (map-combined two-phase); the 168-cell profile aggregates from
     # the grid (its subtree printed per consumer) and joins back
@@ -246,10 +253,19 @@ EXCHANGE_BUDGET = {
     # runtime. Live: distinct-words agg, df agg, the doc_id pair
     # join, pair-count agg, and the top-k sort — every wide row is a
     # (doc, frequent-word) pair or smaller
-    "q_zipf": 4,  # token-count agg (two-phase) + global_rank_frame's
-    # range exchange over the vocabulary (r10: replaced the single-
-    # partition rank window; offsets ride back broadcast) + the
-    # single-row regr fit
+    "q_global_ids": 12,  # r10 lazy global_rank_frame over the
+    # lineitem scan: the rank subtree (range exchange + pid-count agg
+    # + triangular offset join) is PRINTED per consumer — identical
+    # canonical copies, runtime ReuseExchange reads ONE shuffle
+    # (pinned by test_views.test_global_rank_single_range_exchange).
+    # Live: ONE range exchange of the fact plus the tiny pid/offset
+    # aggregates
+    "q_zipf": 14,  # token-count agg (two-phase, persisted — the
+    # range partitioner's sampling pass reads the cache) +
+    # global_rank_frame's range exchange over the vocabulary (r10:
+    # replaced the single-partition rank window) + the tiny
+    # pid/offset aggregates + the single-row regr fit; the rank
+    # subtree is PRINTED per consumer, runtime ReuseExchange dedups
     "q_ab_test": 4,  # variant aggregation (two-phase) + the 2-row
     # pivot-to-scalars aggregation; everything after the scan is ≤ 2
     # rows
@@ -616,6 +632,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "sized death table (day-granular tenure domain)",
     "q_token_budget": "cumulative window over <=101 rounded "
     "stopword-ratio buckets (ratio in [0,1] rounded to 2 decimals)",
+    "q_pmi": "rank over the PMI_TOP(=20)-row TakeOrdered result — "
+    "limit-bounded by construction; the distributed work is the "
+    "top-k itself",
+    "q_coverage_curve": "rank over the top-1024 TakeOrdered result — "
+    "limit-bounded by construction",
 }
 
 

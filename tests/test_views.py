@@ -16,3 +16,27 @@ def test_ensure_views_tracks_sf_dir_changes(spark):
     # and switching back re-registers again
     semantics.ensure_views(spark, "/root/testdata/sf0.001")
     assert spark.table("tasks").count() == n_small
+
+
+def test_global_rank_single_range_exchange(spark):
+    """global_rank_frame's r10 lazy form hangs two consumers (the
+    pid-count aggregate and the ranking pass) off ONE
+    repartitionByRange: ranks must be exact against a driver sort,
+    and the executed plan must show the exchange REUSED, not
+    recomputed — pid consistency between the passes rides on it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyanamo_spark.operators.windows import global_rank_frame
+
+    vals = list(range(1000))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "k long"
+    ).repartition(8)
+    out = global_rank_frame(df, "k", base=1)
+    got = {r.k: r.rank for r in out.collect()}
+    assert got == {v: v + 1 for v in range(1000)}
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in plan, plan[:2000]
