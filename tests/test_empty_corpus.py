@@ -17,7 +17,14 @@ load_all()
 #: contract is a clear ValueError, not an empty result
 #: (q_logit_score left this set in r08 — it now scores through frozen
 #: literal coefficients and must return an EMPTY confusion matrix)
-FIT_QUERIES = {"q_pca_project", "q_knn_ivf", "q_semantic_prune"}
+FIT_QUERIES = {
+    "q_pca_project",
+    "q_knn_ivf",
+    "q_semantic_prune",
+    # builds the same IVF quantizer as q_knn_ivf (write_index), so the
+    # lifecycle certification raises the same clear no-model ValueError
+    "q_index_lifecycle",
+}
 
 #: queries whose CORRECT empty-input output is non-empty: ungrouped
 #: aggregates yield their single zero/null row (SQL semantics), the
