@@ -424,8 +424,22 @@ def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 hash (q_hash_split contract), so both engines build
     identical folds; coefficients round before scoring so both score
     the identical models.
+
+    The narrow 4-column projection is spread (session.spread) before
+    the md5 fold expression: both passes compute it, and the fixture
+    scan's 3 parquet splits otherwise cap those stages at 3 tasks;
+    the spread exchanges canonicalize identically so ReuseExchange
+    ships the rebalance once (r10).
     """
-    keyed = spark.table("lineitem").select(
+    from pyanamo_spark.session import spread
+
+    keyed = spread(
+        spark.table("lineitem"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ).select(
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
         # engine-portable fold: first md5 hex byte as int (q_hash_split

@@ -1177,9 +1177,14 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigrams come from ONE lag window over the positional
     token stream (partitioned by doc — bounded by the longest
     document, the same exchange any sequence op pays), collapsing
-    immediately to the BIGRAM-VOCAB-sized count table; the context
-    and corpus totals are windows over that bounded table, and the
-    entropy fold is one LANGS-sized aggregation.
+    immediately to the BIGRAM-VOCAB-sized count table. The context
+    total stays a window (partitioned by (lang, prev) — a
+    high-cardinality key, frames bounded by a context's successor
+    vocabulary), but the per-LANGUAGE total is a LANGS-sized aggregate
+    broadcast back (r10): a ``partitionBy(lang)`` window funnels a
+    whole language's bigram vocabulary through ONE task at 100x —
+    low-cardinality partition keys are the same single-task trap as
+    no key at all. The entropy fold is one LANGS-sized aggregation.
     """
     split_col = F.split(F.col("text"), " ")
     toks = _spread(spark.table("documents"), "doc_id", "lang", "text").select(
@@ -1192,12 +1197,12 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "tok", F.lag("tok").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
     cab = big.groupBy("lang", "prev", "tok").agg(F.count("*").alias("c_ab"))
+    totals = cab.groupBy("lang").agg(F.sum("c_ab").alias("n"))
     ctx = cab.select(
         "lang",
         "c_ab",
         F.sum("c_ab").over(W.partitionBy("lang", "prev")).alias("c_a"),
-        F.sum("c_ab").over(W.partitionBy("lang")).alias("n"),
-    )
+    ).join(F.broadcast(totals), "lang")
     p_ab = F.col("c_ab") / F.col("n")
     return ctx.groupBy("lang").agg(
         F.max("n").cast("long").alias("n_bigrams"),

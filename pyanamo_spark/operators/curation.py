@@ -296,11 +296,13 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns, engines, and partitionings — and the "sample" is just a
     rank filter any engine can replay.
 
-    Scale: the window sorts within each stratum; for strata of
-    billions of rows the same result is produced cheaply by
-    pre-filtering on a generous hash-prefix threshold (expected
-    several×k survivors — the q_stratified_sample move) and ranking
-    only the survivors, keeping the sort bounded."""
+    Scale: the rank<=k filter plans as WindowGroupLimit in
+    partial+final mode (verified in the formatted plan, r10) — every
+    map task keeps only its k smallest hashes per stratum BEFORE the
+    exchange, so the per-stratum window never sorts a
+    billion-row stratum; the shuffle carries at most
+    k x strata x tasks rows and the final rank runs over
+    k x tasks rows per stratum."""
     w = W.partitionBy("lang").orderBy(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#k"))),
         "doc_id",
