@@ -54,6 +54,14 @@ HOT_QUERIES = [
     # web-ingest chain (r06): expression dedup/extraction + the two
     # bytes-local mapInPandas parser stacks
     "q_dedup_url", "q_html_extract", "q_warc_ingest", "q_pdf_extract",
+    # r10 additions — remaining expensive paths whose input tables
+    # scale at sf1 (lineitem/documents/embeddings; q_table_stats &c
+    # read verbatim-copied dims and would ratio trivially):
+    # two-pass sufficient-stats CV, doc-word PMI pairing, vocabulary
+    # rank fit, triplet mining + audit, and the stored-index
+    # lifecycle certification at 10x corpus
+    "q_crossval", "q_pmi", "q_zipf", "q_contrastive_pairs",
+    "q_index_lifecycle",
 ]
 
 DATA_RATIO = 10.0  # sf1 / sf0.1
