@@ -373,3 +373,38 @@ def test_embed_float32_candidates_superset_of_float64(spark):
         got = block_candidates(pdf, THRESHOLD - CAND_MARGIN)
         got_pairs = set(zip(got["vec_a"].tolist(), got["vec_b"].tolist()))
         assert exact64 <= got_pairs, (n, exact64 - got_pairs)
+
+
+def test_ngram_mega_bucket_routes_through_skew_join(spark):
+    """The r10 grouped bucket emission's skew valve: a boilerplate
+    mega-cluster (every doc identical, so every prefix bucket holds
+    far more members than MAX_COMBO_BUCKET) must route through the
+    AQE-splittable self-join branch and still yield EXACTLY the
+    all-pairs set — completeness and precision, both branches."""
+    from pyanamo_spark.dedup import ngram_index
+    from pyanamo_spark.dedup.minhash import MAX_COMBO_BUCKET
+    from pyanamo_spark.dedup.ngram import verified_ngram_pairs
+
+    n = MAX_COMBO_BUCKET + 44  # forces the big-bucket branch
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    # odd ids: corpus_with_mutants plants mutants at doc_id % 100 == 0,
+    # which would add near-dup pairs beyond the clean expectation
+    rows = [(2 * i + 1, same, "en") for i in range(n)]
+    rows += [
+        (9001 + 2 * i, " ".join(f"u{i}x{j}" for j in range(14)), "en")
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang"]
+    ).createOrReplaceTempView("documents")
+    try:
+        idx = ngram_index(spark, "ngram-mega-sentinel")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in verified_ngram_pairs(idx).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    ids = sorted(2 * i + 1 for i in range(n))
+    want = {(a, b) for a in ids for b in ids if a < b}
+    assert got == want
