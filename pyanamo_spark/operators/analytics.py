@@ -707,7 +707,17 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    ranked = global_rank_frame(pc, "rev", "o_custkey", base=1)
+    ranked = global_rank_frame(
+        pc,
+        "rev",
+        "o_custkey",
+        base=1,
+        # pc is an aggregate output — at most shuffle-width wide, so
+        # skip rank_width's plan-compiling probe (r10)
+        width=int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        ),
+    )
     total = ranked.agg(F.max("rank").alias("n_total"))
     n = F.max("rank").cast("double")
     return ranked.join(F.broadcast(total)).agg(
