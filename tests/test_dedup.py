@@ -375,7 +375,7 @@ def test_embed_float32_candidates_superset_of_float64(spark):
         assert exact64 <= got_pairs, (n, exact64 - got_pairs)
 
 
-def test_ngram_mega_bucket_routes_through_skew_join(spark):
+def test_ngram_mega_bucket_routes_through_skew_join(spark, planted_views):
     """The r10 grouped bucket emission's skew valve: a boilerplate
     mega-cluster (every doc identical, so every prefix bucket holds
     far more members than MAX_COMBO_BUCKET) must route through the
