@@ -199,11 +199,15 @@ EXCHANGE_BUDGET = {
     # map-combined to VOCAB size) + the K-row TakeOrdered vocabulary;
     # the vocab flag joins back as a broadcast and the readout is a
     # LANGS-sized aggregate — the token stream itself never shuffles
-    "q_bigram_entropy": 8,  # r08 _spread repartition (narrow doc
-    # rows, spreads the posexplode) + positional token stream → per-doc lag
-    # window (one doc-keyed exchange) → bigram-vocab-sized count
-    # aggregate; the context/corpus-total windows and the entropy fold
-    # all run over that bounded table
+    "q_bigram_entropy": 18,  # r08 _spread repartition (narrow doc
+    # rows, spreads the posexplode) + positional token stream → per-doc
+    # lag window (one doc-keyed exchange) → bigram-vocab-sized count
+    # aggregate, whose subtree is PRINTED per consumer since r10 made
+    # the per-language total an aggregate+broadcast (the old
+    # partitionBy(lang) window funneled a language's bigram vocab
+    # through one task) — identical canonical copies, runtime
+    # ReuseExchange dedups; the (lang, prev) context window and the
+    # entropy fold run over the bounded count table
     "q_mv_refresh": 8,  # the orders scan subtree is PRINTED per
     # consumer (old image, mutated new image, stored-view aggregate) —
     # copies canonicalize so ReuseExchange dedups at runtime. Live
@@ -237,12 +241,15 @@ EXCHANGE_BUDGET = {
     # + the confusion-matrix report aggregation; IRLS re-aggregates
     # per iteration but each pass is the SAME two-exchange shape over
     # the persisted feature frame
-    "q_crossval": 8,  # the fold-stats subtree is PRINTED twice (its
+    "q_crossval": 14,  # the fold-stats subtree is PRINTED twice (its
     # own consumer + the totals derivation) and the fact is scanned
-    # twice (stats pass + residual pass) — copies canonicalize so
-    # ReuseExchange dedups at runtime. Live: one k-row fold-stats
-    # shuffle, a singleton totals agg, the broadcast model join, and
-    # the final k-row report agg
+    # twice (stats pass + residual pass), each pass now led by the r10
+    # _spread repartition of the narrow 4-column projection (the md5
+    # fold key otherwise computes on the scan's 3 splits) — copies
+    # canonicalize so ReuseExchange dedups at runtime. Live: the
+    # spread rebalance, one k-row fold-stats shuffle, a singleton
+    # totals agg, the broadcast model join, and the final k-row
+    # report agg
     "q_drift": 16,  # the (sources x buckets) filled grid feeds four
     # consumers (per-bucket totals, per-source windows, corpus total,
     # PSI fold) and each PRINTS its subtree; all post-scan frames are
