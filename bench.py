@@ -38,18 +38,32 @@ def main() -> None:
     warm.collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(3):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            # materialize every row without shipping them to the driver
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                # materialize every row without shipping them to the
+                # driver
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — one rep may hit
+                # a transient executor fault (e.g. the Spark 4.1.2
+                # "SparkPlan.session() is null" NPE observed once on a
+                # cached-plan re-execution); the other passes still
+                # time the query, and a query missing from `timings`
+                # after all 3 passes surfaces in `errors` instead of
+                # crashing the whole per-round record
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                spark.catalog.clearCache()
+                continue
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
             # queries may persist() intermediates (dedup self-joins);
             # drop them so one query's cache doesn't occupy executor
             # storage for the rest of the suite
             spark.catalog.clearCache()
+    errors = {n: e for n, e in errors.items() if n not in timings}
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -58,6 +72,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "errors": errors,
     }
     # Full per-query detail goes to a file: a 97-query dict makes the
     # stdout line ~3 KB, and the driver's capture keeps only a tail of
@@ -92,6 +107,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "queries_file": str(full_path),
+        "errors": errors,
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 2000, f"summary line too long ({len(line)} B)"
