@@ -39,6 +39,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    rep_errors: dict[str, int] = {}
     for _pass in range(3):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
@@ -55,6 +56,7 @@ def main() -> None:
                 # after all 3 passes surfaces in `errors` instead of
                 # crashing the whole per-round record
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                rep_errors[name] = rep_errors.get(name, 0) + 1
                 spark.catalog.clearCache()
                 continue
             dt = round(time.perf_counter() - t0, 4)
@@ -63,6 +65,10 @@ def main() -> None:
             # drop them so one query's cache doesn't occupy executor
             # storage for the rest of the suite
             spark.catalog.clearCache()
+    # `errors` keeps only queries with NO surviving rep (the hard
+    # failures); `rep_errors` records every per-rep fault count, so a
+    # query that fails cold but succeeds warm is still visible in the
+    # artifact instead of recording a silently clean timing (ADVICE r10)
     errors = {n: e for n, e in errors.items() if n not in timings}
 
     total = round(sum(timings.values()), 4)
@@ -73,6 +79,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "errors": errors,
+        "rep_errors": rep_errors,
     }
     # Full per-query detail goes to a file: a 97-query dict makes the
     # stdout line ~3 KB, and the driver's capture keeps only a tail of
@@ -108,6 +115,7 @@ def main() -> None:
         "queries": slowest,
         "queries_file": str(full_path),
         "errors": errors,
+        "rep_errors": rep_errors,
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 2000, f"summary line too long ({len(line)} B)"

@@ -152,8 +152,15 @@ def verified_ngram_pairs(idx) -> DataFrame:
             ).alias("ms")
         )
         .filter(F.size("ms") > 1)
-        .persist()
     )
+    if idx.cacheable:
+        # persisted only for the duration of this build — released
+        # below once the memoized pairs frame is materialized (ADVICE
+        # r10: the old unconditional persist leaked a postings-bucket
+        # cache per corpus into executor storage). Non-cacheable
+        # (sentinel test) corpora skip the persist: their single-action
+        # recompute of the tiny aggregation is cheaper than a leak.
+        buckets = buckets.persist()
     ratio_ok = F.least("a.n_sh", "b.n_sh") >= F.lit(THRESHOLD).cast(
         "double"
     ) * F.greatest("a.n_sh", "b.n_sh")
@@ -235,6 +242,11 @@ def verified_ngram_pairs(idx) -> DataFrame:
     if idx.cacheable:
         pairs = pairs.persist()
         idx.ngram_pairs = pairs
+        # materialize the memo NOW so the bucket cache can be released:
+        # the count scans (and therefore caches) every pairs partition,
+        # after which no consumer ever re-reads buckets (ADVICE r10)
+        pairs.count()
+        buckets.unpersist()
     return pairs
 
 

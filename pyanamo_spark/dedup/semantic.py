@@ -198,11 +198,13 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join rows and corrupt verdicts silently — fail loudly instead
     # (ADVICE r09)
     max_id = emb.agg(F.max("vec_id")).first()[0]
-    assert max_id is None or max_id < _COPY_OFFSET, (
-        f"audit-corpus id collision: max natural vec_id {max_id} >= "
-        f"planted offset {_COPY_OFFSET}; raise the offset above the "
-        f"id domain before trusting the audit verdicts"
-    )
+    if max_id is not None and max_id >= _COPY_OFFSET:
+        # ValueError, not assert: stripped under python -O (ADVICE r10)
+        raise ValueError(
+            f"audit-corpus id collision: max natural vec_id {max_id} >= "
+            f"planted offset {_COPY_OFFSET}; raise the offset above the "
+            f"id domain before trusting the audit verdicts"
+        )
     copies = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
     )

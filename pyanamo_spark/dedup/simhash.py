@@ -411,11 +411,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead (ADVICE r09); fixture corpora stay far below the offsets
     max_id = spark.table("documents").agg(F.max("doc_id")).first()[0]
     min_offset = min(MUTANT_OFFSET, _COPY_OFFSET)
-    assert max_id is None or max_id < min_offset, (
-        f"audit-corpus id collision: max natural doc_id {max_id} >= "
-        f"planted offset {min_offset}; raise the offsets above the id "
-        f"domain before trusting the audit verdicts"
-    )
+    if max_id is not None and max_id >= min_offset:
+        # ValueError, not assert: stripped under python -O (ADVICE r10)
+        raise ValueError(
+            f"audit-corpus id collision: max natural doc_id {max_id} >= "
+            f"planted offset {min_offset}; raise the offsets above the id "
+            f"domain before trusting the audit verdicts"
+        )
     copies = (
         spark.table("documents")
         .filter(F.col("doc_id") % 100 == 0)

@@ -376,8 +376,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the row counts would diverge and the driver compare would fail
     # SPURIOUSLY. Surface that precondition as a clear error instead
     # (ADVICE r09): the fixture corpora all satisfy it.
-    if merges:
-        assert len(merges) == N_MERGES, (
+    if merges and len(merges) != N_MERGES:
+        # ValueError, not assert: stripped under python -O, which would
+        # silently restore the spurious-failure path (ADVICE r10)
+        raise ValueError(
             f"train_bpe stopped early ({len(merges)} of {N_MERGES} "
             f"merges) — the q_bpe_train oracle emits a fixed "
             f"{N_MERGES}-row table, so this corpus cannot be "

@@ -899,21 +899,31 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the helper ranks ascending; negating the integer count is
         # exact and flips to the required (freq DESC, w ASC) order
         .withColumn("nfreq", -F.col("freq"))
-        # persisted so the range partitioner's sampling pass reads the
-        # cache instead of re-running the corpus aggregation (the
-        # helper's documented caveat); vocab-sized, worth
-        # materializing at any scale before ranking it
-        .persist()
     )
+    # deliberately UNPERSISTED (r11): caching counts here looked like a
+    # win (the range partitioner's sampling pass re-runs the corpus
+    # aggregation otherwise) but an InMemoryRelation child defeats
+    # AQE's exchange-stage reuse — the executed plan then carries THREE
+    # independently-sampled range exchanges whose boundaries may
+    # disagree, the exact pid-consistency hazard global_rank_frame
+    # guards against (caught by the r11 ReusedExchange consumer test;
+    # it also leaked a vocab-sized cache per run, ADVICE r10). The
+    # uncached agg child reuses into ONE exchange; the sampling pass's
+    # extra aggregation compute is the price of guaranteed-consistent
+    # pids.
     ranked = global_rank_frame(
         counts,
         "nfreq",
         "w",
         base=1,
-        extra=("freq",),
-        # counts is an aggregate output: at most shuffle-width wide
+        # NO extra= ride-along: the count pass prunes extras out of its
+        # exchange input, the projections then canonicalize differently
+        # and ReuseExchange silently fails — the exact failure mode the
+        # helper guards against (ADVICE r10, caught by
+        # test_global_rank_consumers_reuse_range_exchange). freq is
+        # derivable from the key instead.
         width=int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-    )
+    ).withColumn("freq", -F.col("nfreq"))
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rank").cast("double"))
     return ranked.agg(

@@ -108,7 +108,12 @@ def mine_contrastive_parts(
         .localCheckpoint()
     )
     ranks = global_ranks(corpus.select("doc_id"), "doc_id")
-    n_docs = ranks.count()
+    # n_docs from the corpus directly, NOT ranks.count(): the rank
+    # frame emits one row per corpus row by construction, but counting
+    # it would execute the whole range-exchange + window + offset-join
+    # subtree as an extra job — counting the corpus is a plain
+    # (often metadata-pruned) aggregate (VERDICT r10 item 1 profile)
+    n_docs = corpus.select("doc_id").count()
     if n_docs == 0:
         empty = positives.withColumns(
             {"slot": F.lit(0), "negative_id": F.lit(None).cast("long")}

@@ -74,13 +74,26 @@ def global_rank_frame(
     ``localCheckpoint`` plus a driver ``collect`` of the counts: two
     extra job rounds, ~0.8 s per call at sf0.1). Both consumers of the
     range exchange — the pid-count aggregate and the ranking pass —
-    canonicalize identically, so runtime ReuseExchange reads ONE
-    shuffle and ``spark_partition_id`` is trivially consistent between
-    them; even recomputed, an explicit-width repartitionByRange of the
-    same input re-samples the same deterministic boundaries (and AQE
-    never coalesces a user-specified width, so pids are stable).
-    ``tests/test_views.py::test_global_rank_single_range_exchange``
-    pins the reuse.
+    canonicalize identically when their projections match, so runtime
+    ReuseExchange reads ONE shuffle and ``spark_partition_id`` is
+    trivially consistent between them.
+    ``tests/test_views.py`` pins the reuse in every registered
+    consumer's EXECUTED plan.
+
+    Reuse is an optimizer behavior, not a guarantee (ADVICE r10): a
+    diverging projection (column pruning of ``extra`` on the count
+    side), an AQE re-plan, or a Spark upgrade could silently recompute
+    the exchange, and RangePartitioner's reservoir seed derives from
+    the RDD id — a recomputed exchange may sample DIFFERENT boundaries
+    and the two passes then disagree on pid→range mapping. So ranks
+    carry a runtime guard: the broadcast offsets row also carries each
+    pid's counted ``n``, and the rank expression raises if any local
+    row_number exceeds it. Detection is complete — both passes
+    partition the same N rows, so any pid-count disagreement forces
+    SOME partition to hold more rows than its count, and that
+    partition's last row trips the guard. Corruption therefore
+    surfaces as a loud error, never as silently wrong ranks; the cost
+    is one codegen'd branch per row.
 
     ``width``: callers ranking an AGGREGATE output should pass the
     session shuffle width — an agg's output is at most that wide by
@@ -104,7 +117,8 @@ def global_rank_frame(
     pidc = ranged.groupBy("pid").agg(F.count("*").alias("n"))
     # offsets via a triangular join on the #partitions-sized count
     # frame: offset(p) = sum of counts of partitions before p — no
-    # driver round-trip, no unpartitioned window
+    # driver round-trip, no unpartitioned window. Each pid's own count
+    # rides along for the runtime consistency guard below.
     offsets = (
         pidc.alias("x")
         .join(
@@ -114,20 +128,35 @@ def global_rank_frame(
             F.col("ypid") < F.col("x.pid"),
             "left",
         )
-        .groupBy(F.col("x.pid").alias("pid"))
+        .groupBy(F.col("x.pid").alias("pid"), F.col("x.n").alias("n"))
         .agg(F.coalesce(F.sum("yn"), F.lit(0)).alias("offset"))
     )
     w = W.partitionBy("pid").orderBy(*keys)
+    rank = (F.col("offset") + F.col("local") - 1 + F.lit(base)).cast(
+        "long"
+    )
+    # loud-failure guard (ADVICE r10): if the count pass and the
+    # ranking pass ever see DIFFERENT range boundaries (exchange reuse
+    # silently failing + reservoir re-sampling), some partition must
+    # hold more rows than its broadcast count — raise instead of
+    # emitting silently corrupt ranks
+    guarded = F.when(F.col("local") <= F.col("n"), rank).otherwise(
+        F.raise_error(
+            F.format_string(
+                "global_rank_frame pid consistency violated: partition "
+                "%s holds row %s but counted %s — the range exchange "
+                "was recomputed with different boundaries (ReuseExchange "
+                "failed); ranks would be silently wrong",
+                F.col("pid"),
+                F.col("local"),
+                F.col("n"),
+            )
+        ).cast("long")
+    )
     return (
         ranged.join(F.broadcast(offsets), "pid")
         .withColumn("local", F.row_number().over(w))
-        .select(
-            *keys,
-            *extra,
-            (F.col("offset") + F.col("local") - 1 + F.lit(base))
-            .cast("long")
-            .alias("rank"),
-        )
+        .select(*keys, *extra, guarded.alias("rank"))
     )
 
 

@@ -41,19 +41,17 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r10 window (VERDICT r09: polish round): 5 canaries + the 2 ids
-    # with NO driver record yet (q_capacity_plan — the one declared
-    # query of 195 without a CORRECTNESS row, VERDICT item 1 — and
-    # q_index_lifecycle, new this round certifying the stored-IVF
-    # rebuild/vacuum/reader-isolation contract, VERDICT item 6) + 4
-    # changed-this-round re-seats (q_zipf / q_pmi / q_coverage_curve
-    # moved their global ranks onto global_rank_frame, and
-    # q_contrastive_pairs fused its audit legs into one aggregation
-    # pass — plans changed, outputs re-certified) + the 34 stalest
-    # greens (every remaining r05-recorded id, incl. q_dedup_ngram
-    # whose candidate stage moved to grouped bucket emission) + the 5
-    # alphabetically-first r06 ids. The remaining r06 greens rotate
-    # in r11.
+    # r11 window (VERDICT r10 item 5 — finish the staleness rotation):
+    # 5 canaries + 7 changed-this-round re-seats (the global_rank_frame
+    # pid-consistency guard changed every rank consumer's plan —
+    # q_zipf additionally dropped its reuse-defeating counts cache;
+    # q_contrastive_pairs and q_index_lifecycle got their VERDICT cost
+    # trims; q_dedup_ngram gained PPJoin positional filtering and
+    # q_dedup_clusters consumes its pair graph) + ALL 35 remaining
+    # r06-recorded greens (after this window no id's driver record is
+    # older than 5 rounds) + the 3 alphabetically-first r07 ids to
+    # fill the 50. q_gini / q_dedup_contain sit in the r06 set and are
+    # ALSO changed-plan re-seats.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -63,55 +61,54 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # never driver-recorded
-    "q_capacity_plan",
-    "q_index_lifecycle",
     # changed-this-round re-seats
     "q_zipf",
-    "q_pmi",
-    "q_coverage_curve",
-    "q_contrastive_pairs",
-    # stale-proofing: every remaining r05-recorded green
-    "q_dedup_embed",
-    "q_dedup_incremental",
-    "q_dedup_ngram",
-    "q_dedup_stats",
-    "q_dup_passages",
-    "q_embed_covariance",
-    "q_equidepth",
-    "q_funnel_latency",
     "q_global_ids",
-    "q_group_sample",
-    "q_group_split",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_join_asof",
-    "q_join_auto",
-    "q_lm_score",
-    "q_merge_upsert",
-    "q_mixture_weights",
-    "q_model_score",
-    "q_percentiles",
-    "q_retention",
-    "q_salted_join",
-    "q_scd2",
-    "q_scrub",
-    "q_setops_fused",
-    "q_skew_profile",
-    "q_snapshot_diff",
-    "q_source_overlap",
-    "q_source_similarity",
-    "q_stratified_sample",
-    "q_table_stats",
-    "q_tfidf",
-    "q_validate",
-    "q_weighted_sample",
-    # oldest r06 greens (alphabetical; the rest rotate in r11)
-    "q_basket_rules",
-    "q_big_orders",
-    "q_bm25",
-    "q_brand_revenue",
-    "q_crossval",
+    "q_curriculum",
+    "q_contrastive_pairs",
+    "q_index_lifecycle",
+    "q_dedup_ngram",
+    "q_dedup_clusters",
+    # stale-proofing: every remaining r06-recorded green
+    "q_custdist",
+    "q_dataset_card",
+    "q_dedup_contain",
+    "q_drift",
+    "q_excess_suppliers",
+    "q_fingerprint",
+    "q_funnel",
+    "q_gini",
+    "q_heavy_hitters",
+    "q_hybrid_search",
+    "q_idle_customers",
+    "q_important_stock",
+    "q_join_cardinality",
+    "q_kanon",
+    "q_lang_id",
+    "q_ltv",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_mv_refresh",
+    "q_pagerank",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_share",
+    "q_quality_score",
+    "q_returned_customers",
+    "q_session_events",
+    "q_shard_plan",
+    "q_shipmode_priority",
+    "q_small_qty_revenue",
+    "q_supplier_parts",
+    "q_survival",
+    "q_token_budget",
+    "q_token_count",
+    "q_transitions",
+    "q_waiting_suppliers",
+    # oldest r07 greens (alphabetical; the rest rotate in r12)
+    "q_ab_test",
+    "q_anomaly_seasonal",
+    "q_attribution",
 )
 
 

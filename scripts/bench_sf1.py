@@ -92,6 +92,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failures: list[str] = []
+    rep_errors: dict[str, int] = {}
     for name in HOT_QUERIES:
         best = None
         for _ in range(2):
@@ -106,8 +107,11 @@ def main() -> int:
                 # "SparkPlan.session() is null" NPE seen once on a
                 # cached-plan re-execution); the other rep still
                 # counts, and the query only records a failure when
-                # EVERY rep raised
+                # EVERY rep raised — but every per-rep fault is counted
+                # in the artifact so a fails-cold/succeeds-warm query
+                # cannot record a silently clean timing (ADVICE r10)
                 print(f"[ERR ] {name}: {type(exc).__name__}: {exc}")
+                rep_errors[name] = rep_errors.get(name, 0) + 1
                 continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -144,6 +148,7 @@ def main() -> int:
             q: round(t / ref[q], 2) for q, t in timings.items() if ref.get(q)
         },
         "failures": failures,
+        "rep_errors": rep_errors,
     }
     (REPO / f"BENCH_sf1_r{rnd:02d}.json").write_text(
         json.dumps(out, indent=1)

@@ -1,5 +1,6 @@
-"""Second-order scale gate: the five worst sf1 scalers at sf10
-(100x sf0.1 data) — VERDICT r09 item 5.
+"""Second-order scale gate: the worst sf1 scalers plus the dedup/ANN
+family heads at sf10 (100x sf0.1 data) — VERDICT r09 item 5, widened
+per VERDICT r10 item 6.
 
 BENCH_sf1 gives one order-of-magnitude data point; this adds a second
 so the 100 TB extrapolation rests on interpolation for exactly the
@@ -37,6 +38,12 @@ HOT_QUERIES = [
     "q_pdf_extract",
     "q_dedup_embed",
     "q_html_extract",
+    # r11 (VERDICT r10 item 6): the dedup/ANN family heads the 100 TB
+    # claims lean hardest on — previously sf1-only evidence
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_contrastive_pairs",
 ]
 
 DATA_RATIO = 100.0  # sf10 / sf0.1
@@ -70,6 +77,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failures: list[str] = []
+    rep_errors: dict[str, int] = {}
     for name in HOT_QUERIES:
         best = None
         for _ in range(2):
@@ -84,8 +92,11 @@ def main() -> int:
                 # "SparkPlan.session() is null" NPE seen once on a
                 # cached-plan re-execution); the other rep still
                 # counts, and the query only records a failure when
-                # EVERY rep raised
+                # EVERY rep raised — but every per-rep fault is counted
+                # in the artifact so a fails-cold/succeeds-warm query
+                # cannot record a silently clean timing (ADVICE r10)
                 print(f"[ERR ] {name}: {type(exc).__name__}: {exc}")
+                rep_errors[name] = rep_errors.get(name, 0) + 1
                 continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -122,6 +133,7 @@ def main() -> int:
             q: round(t / ref[q], 2) for q, t in timings.items() if ref.get(q)
         },
         "failures": failures,
+        "rep_errors": rep_errors,
     }
     (REPO / f"BENCH_sf10_r{rnd:02d}.json").write_text(
         json.dumps(out, indent=1)

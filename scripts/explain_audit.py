@@ -267,12 +267,15 @@ EXCHANGE_BUDGET = {
     # (pinned by test_views.test_global_rank_single_range_exchange).
     # Live: ONE range exchange of the fact plus the tiny pid/offset
     # aggregates
-    "q_zipf": 14,  # token-count agg (two-phase, persisted — the
-    # range partitioner's sampling pass reads the cache) +
-    # global_rank_frame's range exchange over the vocabulary (r10:
-    # replaced the single-partition rank window) + the tiny
-    # pid/offset aggregates + the single-row regr fit; the rank
-    # subtree is PRINTED per consumer, runtime ReuseExchange dedups
+    "q_zipf": 20,  # token-count agg (two-phase, UNPERSISTED r11 — an
+    # InMemoryRelation child defeated AQE exchange-stage reuse, giving
+    # three independently-sampled range exchanges; uncached, the
+    # printed per-consumer copies canonicalize identically) +
+    # global_rank_frame's range exchange over the vocabulary + the
+    # tiny pid/offset aggregates + the single-row regr fit; the whole
+    # agg+rank subtree is PRINTED per consumer (hence the high static
+    # count), runtime ReuseExchange reads ONE shuffle — pinned by
+    # test_global_rank_consumers_reuse_range_exchange
     "q_ab_test": 4,  # variant aggregation (two-phase) + the 2-row
     # pivot-to-scalars aggregation; everything after the scan is ≤ 2
     # rows

@@ -38,42 +38,39 @@ CANARIES = {
     "q_dedup_exact",
 }
 
-#: ids with NO driver record before r10: q_capacity_plan (the one
-#: declared query of 195 lacking a CORRECTNESS row — VERDICT r09 item
-#: 1) and q_index_lifecycle (new this round — the stored-IVF
-#: rebuild/vacuum/reader-isolation certification, VERDICT item 6)
-NEVER_RECORDED_R10 = {
-    "q_capacity_plan",
-    "q_index_lifecycle",
-}
-
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
-#: r10 — a changed query must re-record or its cumulative row is stale
-CHANGED_R10 = {
-    "q_zipf",             # full-vocab rank moved onto global_rank_frame
-    "q_pmi",              # top-k + bounded rank via global_rank_frame
-    "q_coverage_curve",   # same two-level rank swap
-    "q_contrastive_pairs",  # audit legs fused into one aggregation
-    # pass; recall judged on the pre-fan-out positive pair set
+#: r11 — a changed query must re-record or its cumulative row is stale
+CHANGED_R11 = {
+    # the global_rank_frame pid-consistency guard (ADVICE r10) changed
+    # every rank consumer's plan; q_zipf additionally dropped its
+    # reuse-defeating counts cache
+    "q_zipf",
+    "q_global_ids",
+    "q_curriculum",
+    # VERDICT r10 cost trims
+    "q_contrastive_pairs",  # item 1: sf1 11.8s -> <=6s
+    "q_index_lifecycle",    # item 2: sampled scratch index
+    "q_dedup_ngram",        # item 3: PPJoin positional filtering
+    "q_dedup_clusters",     # item 7: consumes the ngram pair graph
 }
 
-#: stale-proof re-seats: every id whose last driver record is r05
-#: (all 34 survivors, incl. q_dedup_ngram whose candidate stage moved
-#: to grouped bucket emission this round), plus the 5 alphabetically-
-#: first r06 ids; the remaining r06 greens rotate in r11
-STALE_R10 = {
-    "q_dedup_embed", "q_dedup_incremental", "q_dedup_ngram",
-    "q_dedup_stats", "q_dup_passages", "q_embed_covariance",
-    "q_equidepth", "q_funnel_latency", "q_global_ids",
-    "q_group_sample", "q_group_split", "q_grouping_sets",
-    "q_hash_split", "q_join_asof", "q_join_auto", "q_lm_score",
-    "q_merge_upsert", "q_mixture_weights", "q_model_score",
-    "q_percentiles", "q_retention", "q_salted_join", "q_scd2",
-    "q_scrub", "q_setops_fused", "q_skew_profile", "q_snapshot_diff",
-    "q_source_overlap", "q_source_similarity", "q_stratified_sample",
-    "q_table_stats", "q_tfidf", "q_validate", "q_weighted_sample",
-    "q_basket_rules", "q_big_orders", "q_bm25", "q_brand_revenue",
-    "q_crossval",
+#: stale-proof re-seats: every id whose last driver record is r06
+#: (all 35 survivors — after this window no id's record is older than
+#: 5 rounds; q_gini and q_dedup_contain are ALSO changed-plan r11
+#: re-seats), plus the 3 alphabetically-first r07 ids; the remaining
+#: r07 greens rotate in r12
+STALE_R11 = {
+    "q_custdist", "q_dataset_card", "q_dedup_contain", "q_drift",
+    "q_excess_suppliers", "q_fingerprint", "q_funnel", "q_gini",
+    "q_heavy_hitters", "q_hybrid_search", "q_idle_customers",
+    "q_important_stock", "q_join_cardinality", "q_kanon", "q_lang_id",
+    "q_ltv", "q_market_share", "q_min_cost_supplier", "q_mv_refresh",
+    "q_pagerank", "q_pivot", "q_product_profit", "q_promo_share",
+    "q_quality_score", "q_returned_customers", "q_session_events",
+    "q_shard_plan", "q_shipmode_priority", "q_small_qty_revenue",
+    "q_supplier_parts", "q_survival", "q_token_budget",
+    "q_token_count", "q_transitions", "q_waiting_suppliers",
+    "q_ab_test", "q_anomaly_seasonal", "q_attribution",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
@@ -151,17 +148,10 @@ def test_canaries_hold_their_seats():
         assert n in DECLARED, n
 
 
-def test_r10_window_composition():
-    # the never-recorded seats carry oracles (both are audit-recipe
-    # queries with pinned-flag oracles)
-    for n in NEVER_RECORDED_R10:
-        assert n in ORACLES, n
-    # window is exactly canaries + never-recorded + changed re-seats +
-    # the stale-proof cohort
-    assert (
-        set(DECLARED)
-        == CANARIES | NEVER_RECORDED_R10 | CHANGED_R10 | STALE_R10
-    )
+def test_r11_window_composition():
+    # window is exactly canaries + changed re-seats + the stale-proof
+    # cohort
+    assert set(DECLARED) == CANARIES | CHANGED_R11 | STALE_R11
 
 
 def test_declared_ids_all_registered():

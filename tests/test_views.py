@@ -40,3 +40,34 @@ def test_global_rank_single_range_exchange(spark):
     assert got == {v: v + 1 for v in range(1000)}
     plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name", ["q_gini", "q_curriculum", "q_global_ids", "q_zipf"]
+)
+def test_global_rank_consumers_reuse_range_exchange(spark, name):
+    """ADVICE r10 (medium): rank correctness in the lazy
+    global_rank_frame depends on ReuseExchange deduplicating the range
+    exchange between the pid-count pass and the ranking pass — if
+    reuse silently failed (complex consumer plan, AQE re-plan, Spark
+    upgrade), a recomputed repartitionByRange could re-sample
+    different boundaries and the two passes would disagree on
+    pid→range mapping, corrupting ranks SILENTLY. Pin the reuse in
+    every registered consumer's EXECUTED plan, not just the trivial
+    synthetic shape above."""
+    from pyanamo_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows  # executed — the adaptive plan below is final
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in plan, (
+        f"{name}: executed plan shows NO ReusedExchange — the "
+        f"global_rank_frame pid-count and ranking passes each "
+        f"computed their own range exchange, so ranks are not "
+        f"guaranteed consistent\n{plan[:3000]}"
+    )
