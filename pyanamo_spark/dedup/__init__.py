@@ -96,6 +96,11 @@ class NgramIndex:
         self.postings = postings
         self.prefix_pool = prefix_pool
         self.cacheable = cacheable
+        #: additional persisted scratch frames tied to this corpus's
+        #: lifetime (e.g. the postings-bucket table) — released by the
+        #: same eviction loop that unpersists prepped/prefix_pool, so
+        #: retention stays bounded at one corpus (ADVICE r10)
+        self.scratch: list[DataFrame] = []
         #: lazily-memoized VERIFIED (doc_a, doc_b, jaccard) frame —
         #: q_dedup_ngram's output IS q_dedup_clusters' input graph, so
         #: the family computes candidates+verify once per corpus
@@ -105,13 +110,18 @@ class NgramIndex:
         self.ngram_pairs = None
 
     def prefix(self, t: float):
-        """(doc_id, lang, size_bucket, n_sh, h) rows of each doc's
-        ``|A| - ceil(t·|A|) + 1`` rarest df>=2 shingles."""
+        """(doc_id, lang, size_bucket, n_sh, h, rnk, n2) rows of each
+        doc's ``|A| - ceil(t·|A|) + 1`` rarest df>=2 shingles; ``rnk``
+        is the shingle's position in the doc's global (df, h) order
+        and ``n2`` the doc's df>=2 universe size — the PPJoin
+        positional-filter inputs (r11)."""
         assert t >= FAMILY_MIN_T, "prefix pool is cut at FAMILY_MIN_T"
         return self.prefix_pool.filter(
             F.col("rnk")
             <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
-        ).select("doc_id", "lang", "size_bucket", "n_sh", "h")
+        ).select(
+            "doc_id", "lang", "size_bucket", "n_sh", "h", "rnk", "n2"
+        )
 
 
 #: one live index per (application, corpus); stale corpora unpersist
@@ -153,6 +163,8 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
             try:
                 old.prepped.unpersist()
                 old.prefix_pool.unpersist()
+                for frame in old.scratch:
+                    frame.unpersist()
                 if old.ngram_pairs is not None:
                     old.ngram_pairs.unpersist()
             except Exception:
@@ -201,13 +213,21 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     # shingles, while a window would sort-shuffle EVERY posting row by
     # h (measured 1.6x worse on the sf1 gate)
     df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = postings.join(
-        df_tab.filter(F.col("df") >= 2), "h"
-    ).withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "h")
-        ),
+    ranked = (
+        postings.join(df_tab.filter(F.col("df") >= 2), "h")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        # n2 = the doc's df>=2 shingle count — the universe size the
+        # PPJoin positional bound counts "elements after position rnk"
+        # in (r11). Same partitioning as the rank window, no orderBy,
+        # so it shares the exchange+sort and adds no shuffle.
+        .withColumn(
+            "n2", F.count("*").over(Window.partitionBy("doc_id"))
+        )
     )
     prefix_pool = ranked.filter(
         F.col("rnk")

