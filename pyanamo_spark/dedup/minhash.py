@@ -219,8 +219,19 @@ _MUTANT_CANDIDATES: dict[tuple[str, str], DataFrame] = {}
 def mutant_candidate_pairs(
     spark: SparkSession, sf_dir: str | None
 ) -> DataFrame:
-    """candidate_pairs over the mutant corpus, persisted + memoized
-    per (application, fixture dir)."""
+    """(doc_a, doc_b, jaccard_raw) for every LSH candidate pair of the
+    mutant corpus — the EXACT unrounded shingle Jaccard, computed once
+    and memoized per (application, fixture dir).
+
+    r11: the memo stores the verified-jaccard table, not the
+    array-carrying candidate frame it used to — both family consumers
+    (q_dedup_near at 0.5, q_contrastive_pairs at 0.35) only ever
+    filtered a jaccard derived from the arrays, so persisting the
+    shingle arrays per pair (~2 KB/row, ~800 MB at sf1) materialized
+    content no one re-read; the verify expression now streams through
+    one pipeline into a 24 B/row cache. |A∪B| is computed as
+    |A|+|B|-|A∩B| (identical integers → identical double) to skip the
+    per-row array_union allocation."""
     import os
 
     cacheable = bool(sf_dir) and os.path.isdir(sf_dir)
@@ -231,7 +242,14 @@ def mutant_candidate_pairs(
         if lvl.useMemory or lvl.useDisk:
             return cached
         _MUTANT_CANDIDATES.pop(key)
-    pairs = candidate_pairs(spark, corpus_with_mutants(spark))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = candidate_pairs(spark, corpus_with_mutants(spark)).select(
+        "doc_a",
+        "doc_b",
+        (
+            inter / (F.size("sh_a") + F.size("sh_b") - inter)
+        ).alias("jaccard_raw"),
+    )
     if cacheable:
         for k in [k for k in _MUTANT_CANDIDATES if k != key]:
             _MUTANT_CANDIDATES.pop(k).unpersist()
@@ -247,11 +265,8 @@ def near_dup_pairs(
     verified by exact shingle Jaccard ≥ 0.5 over the mutant corpus —
     the raw pair output q_dedup_near's audit certifies."""
     pairs = mutant_candidate_pairs(spark, sf_dir)
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
     return (
-        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        pairs.withColumn("jaccard", F.round("jaccard_raw", 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -81,32 +81,55 @@ def mine_contrastive_parts(
     jaccard_min: float = JACCARD_MIN,
     n_negatives: int = N_NEGATIVES,
     pairs: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(positives, triplets): the verified positive PAIR set plus the
-    mined triplets. The audit consumes both — recall is judged on the
-    pair set BEFORE negative fan-out, so a planted pair whose every
-    negative slot drops as an accidental positive still counts as
-    found (the miner did find it; slot survival is a separate
-    contract)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(positives, triplets, marked): the verified positive PAIR set,
+    the mined triplets, and the pre-filter candidate-triplet frame
+    whose ``_fn`` marker column identifies accidental-positive
+    negatives (null = clean). ``triplets`` is exactly ``marked``
+    filtered to null markers; the structure audit consumes ``marked``
+    so certifying the no-false-negative guarantee reuses the ONE join
+    that enforces it instead of re-running a second 500k-row join per
+    action (r11). Recall is judged on the pair set BEFORE negative
+    fan-out, so a planted pair whose every negative slot drops as an
+    accidental positive still counts as found (the miner did find it;
+    slot survival is a separate contract)."""
     if pairs is None:
         pairs = candidate_pairs(spark, corpus)
-    positives = (
-        pairs.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    if "jaccard_raw" not in pairs.columns:
+        # ad-hoc corpora hand in raw array-carrying candidates; the
+        # declared query hands in minhash.mutant_candidate_pairs'
+        # memoized (doc_a, doc_b, jaccard_raw) table, where the verify
+        # already ran inside the shared build (r11)
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        pairs = pairs.withColumn(
+            "jaccard_raw",
+            # |A∪B| as na+nb-|A∩B|: same integers, same double, no
+            # per-row array_union allocation (r11)
+            inter / (F.size("sh_a") + F.size("sh_b") - inter),
         )
+    positives = (
+        pairs.withColumn("jaccard", F.col("jaccard_raw"))
         .filter(F.col("jaccard") >= jaccard_min)
         .select(
             F.col("doc_a").alias("anchor_id"),
             F.col("doc_b").alias("positive_id"),
             F.round("jaccard", 6).alias("jaccard"),
         )
-        # pairs-sized; three consumers below (slot fan-out, both
-        # anti-join orientations) — materialize once or each re-runs
-        # the whole LSH band pipeline
-        .localCheckpoint()
     )
+    # positives has four consumers (recall leg, both pair-set
+    # orientations, slot fan-out): without a materialization each
+    # would re-run the whole LSH band pipeline — worse, they schedule
+    # as parallel subtrees of ONE action, so even a lazy persist can
+    # compute the build several times concurrently. When the caller
+    # handed in an already-persisted pair table (the memoized
+    # jaccard-verified frame), one cheap eager count populates that
+    # cache and the consumers just re-filter 24 B/row cached rows;
+    # otherwise (ad-hoc corpora) checkpoint the positives themselves.
+    lvl = pairs.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        pairs.count()
+    else:
+        positives = positives.localCheckpoint()
     ranks = global_ranks(corpus.select("doc_id"), "doc_id")
     # n_docs from the corpus directly, NOT ranks.count(): the rank
     # frame emits one row per corpus row by construction, but counting
@@ -118,7 +141,7 @@ def mine_contrastive_parts(
         empty = positives.withColumns(
             {"slot": F.lit(0), "negative_id": F.lit(None).cast("long")}
         ).limit(0)
-        return positives, empty
+        return positives, empty, empty.withColumn("_fn", F.lit(None).cast("int"))
     slots = positives.select(
         "*",
         F.explode(
@@ -137,29 +160,39 @@ def mine_contrastive_parts(
         "neg_rank",
     ).drop("neg_rank")
     # drop self-hits and accidental near-dup negatives (both pair
-    # orientations) — never train on a false negative
-    pair_set = positives.select("anchor_id", "positive_id").unionByName(
-        positives.select(
-            F.col("positive_id").alias("anchor_id"),
-            F.col("anchor_id").alias("positive_id"),
+    # orientations) — never train on a false negative. The removal is
+    # a LEFT join carrying a marker instead of an anti-join: filtering
+    # null markers is the identical anti-semantics (the pair set is
+    # duplicate-free: candidate pairs are distinct with doc_a < doc_b,
+    # so the two orientations cannot collide — dropDuplicates below is
+    # a cheap guard on that invariant), and the marked frame doubles
+    # as the structure audit's evidence, saving its second
+    # triplets-sized join (r11)
+    pair_set = (
+        positives.select("anchor_id", "positive_id")
+        .unionByName(
+            positives.select(
+                F.col("positive_id").alias("anchor_id"),
+                F.col("anchor_id").alias("positive_id"),
+            )
         )
+        .dropDuplicates(["anchor_id", "positive_id"])
     )
-    triplets = (
-        neg.filter(
-            (F.col("negative_id") != F.col("anchor_id"))
-            & (F.col("negative_id") != F.col("positive_id"))
-        )
-        .join(
-            pair_set.select(
-                "anchor_id",
-                F.col("positive_id").alias("negative_id"),
-            ),
-            ["anchor_id", "negative_id"],
-            "left_anti",
-        )
-        .select("anchor_id", "positive_id", "jaccard", "slot", "negative_id")
+    marked = neg.filter(
+        (F.col("negative_id") != F.col("anchor_id"))
+        & (F.col("negative_id") != F.col("positive_id"))
+    ).join(
+        pair_set.select(
+            "anchor_id",
+            F.col("positive_id").alias("negative_id"),
+        ).withColumn("_fn", F.lit(1)),
+        ["anchor_id", "negative_id"],
+        "left",
     )
-    return positives, triplets
+    triplets = marked.filter(F.col("_fn").isNull()).select(
+        "anchor_id", "positive_id", "jaccard", "slot", "negative_id"
+    )
+    return positives, triplets, marked
 
 
 @register(
@@ -224,7 +257,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyanamo_spark.dedup.minhash import mutant_candidate_pairs
 
     corpus = corpus_with_mutants(spark)
-    positives, trips = mine_contrastive_parts(
+    positives, trips, marked = mine_contrastive_parts(
         spark, corpus, pairs=mutant_candidate_pairs(spark, sf_dir)
     )
 
@@ -273,7 +306,13 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the VERIFIED near-dup set (both orientations) the no-false-
     # negative guarantee is stated against — from the checkpointed
-    # positives, so deriving it re-runs nothing
+    # positives, so deriving it re-runs nothing. Deliberately a
+    # SECOND, independently-built join (rename + distinct + its own
+    # key expressions), not the miner's own `_fn` marker: reusing the
+    # marker would make no_false_neg_ok true BY DEFINITION of the
+    # filter, certifying nothing — this form catches a mis-keyed or
+    # orientation-dropping removal join (tried fusing in r11, reverted
+    # for exactly that reason; the independent join costs ~1s at sf1).
     sym_pairs = (
         positives.select(
             F.col("anchor_id").alias("a"), F.col("positive_id").alias("n")
@@ -286,7 +325,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # at most one match per triplet row: the join
         # marker below must not duplicate rows under the fused counts
-        .withColumn("_fn", F.lit(1))
+        .withColumn("_audit_fn", F.lit(1))
     )
     # ONE aggregation pass computes all three structure flags (r09 ran
     # three crossJoined legs over the persisted triplets):
@@ -310,7 +349,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(1),
         ).alias("neg_distinct_ok"),
-        (F.count(F.col("_fn")) == 0).cast("int").alias("no_false_neg_ok"),
+        (F.count(F.col("_audit_fn")) == 0)
+        .cast("int")
+        .alias("no_false_neg_ok"),
         (
             F.count_distinct("anchor_id", "positive_id", "slot")
             == F.count("*")
