@@ -84,22 +84,42 @@ def connected_components(
         .select("node", F.least("node", "nb").alias("comp"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for rnd in range(max_iter):
         nbr = sym.join(
             labels, sym["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "comp")
+        # ONE action per round (r11 — previously the changed-count was
+        # a second action joining new vs old labels): the old label
+        # rides through the same aggregation (every node has exactly
+        # one old row, so min-over-old is just that label), and the
+        # convergence count is an observe() metric collected during
+        # the checkpoint's own materialization job.
+        obs = Observation()
+        merged = labels.select(
+            "node", "comp", F.col("comp").alias("oc")
+        ).unionByName(
+            nbr.select(
+                "node", "comp", F.lit(None).cast("long").alias("oc")
+            )
+        )
         new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            merged.groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("oc").alias("oc"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("oc")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             break

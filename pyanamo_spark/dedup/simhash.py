@@ -6,9 +6,11 @@ can't do cheaply); everything downstream is DataFrame ops:
 
   - identical signatures collapse before any pairing (duplicate mass
     multiplies blocking buckets quadratically otherwise)
-  - candidate blocking over DISTINCT signatures: 9 blocks, join on
-    every PAIR of block values (pigeonhole: ≤7 differing bits touch
-    ≤7 blocks, so ≥2 agree). Detection within the radius is
+  - candidate blocking over DISTINCT signatures, block-key width
+    ADAPTIVE to the measured corpus: pairs of 9 blocks (≥2 agree
+    within radius 7) under the crossover, triples of 10 blocks (≥3
+    agree) above it — see the scheme comment. Detection within the
+    radius is
     guaranteed, not probabilistic; pairs beyond it are out of scope
     (the classic SimHash blocking trade)
   - verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side
@@ -136,17 +138,40 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return _simhash_batch(texts)
 
 
-#: pair-of-blocks blocking: 9 blocks of 7-8 bits each. Hamming ≤ 7
-#: touches ≤ 7 blocks, so ≥ 2 blocks agree on any true pair — the
-#: pair of agreeing blocks is the join key (C(9,2)=36 keys per sig).
-#: The old single-block scheme had only 8 keys × 256 values = 2048
-#: buckets in total, so candidates grew QUADRATICALLY with corpus
-#: size — the r05 sf1 gate measured 98× cost at 10× data.
-_N_BLOCKS = 9
+#: ADAPTIVE block scheme (r11). Two regimes drive candidate volume:
+#:   - structured matches: a true near-dup pair agreeing on m blocks
+#:     matches in C(m, r) buckets — multiplicity ×C(9,2)=36 for pair
+#:     keys, ×C(10,3)=120 for triple keys. Dominates DENSE corpora.
+#:   - random collisions: ~keys · n²/2^(key bits) for n distinct
+#:     signatures — ~n²/910 for 14-bit pair keys, negligible for
+#:     ~20-bit triple keys. Dominates LARGE corpora.
+#: Neither key width wins both (measured, sf1 vs sf10: pairs 5.7 s /
+#: 137 s, triples 12.6 s / 13.7 s), so the scheme picks by the
+#: measured distinct-signature count: pair keys below the crossover,
+#: triple keys above. Both carry the identical pigeonhole guarantee
+#: at radius 7 — ≤7 differing bits touch ≤7 blocks, leaving ≥2 of 9
+#: (pairs) or ≥3 of 10 (triples) agreeing — so detection inside the
+#: radius is guaranteed under either. A first-agreeing-key emission
+#: filter was also tried and reverted: it cuts the dedup exchange but
+#: pays ~15 extra ops on every MATCHED row, and the match enumeration
+#: itself, not the exchange, is the cost (sf1 5.7→8.3 s).
+#: Evolution: r05's single-block scheme (8 keys × 256 values) grew
+#: candidates quadratically — 98× cost at 10× data.
+_PAIR_BLOCKS = 9
+_TRIPLE_BLOCKS = 10
+#: distinct-signature crossover: above this, pair-key random
+#: collisions (~n²/910) swamp the ×120/×36 structured-multiplicity
+#: ratio at any plausible duplication rate; calibrated on the sf1
+#: (37k sigs → pairs) and sf10 (446k sigs → triples) fixtures
+_TRIPLE_SWITCH = 150_000
 
 
-def _balanced_blocks(distinct_sigs: DataFrame) -> list[list[int]]:
-    """Assign the 64 signature bits to 9 blocks by measured balance.
+def _balanced_blocks(
+    distinct_sigs: DataFrame,
+) -> tuple[list[list[int]], int]:
+    """Assign the 64 signature bits to blocks by measured balance,
+    returning (blocks, n_distinct) — the distinct count also picks the
+    block scheme (pair keys under _TRIPLE_SWITCH, triple keys above).
 
     Real-corpus SimHash bits are wildly unequal: bits whose vote is
     dominated by the common vocabulary are near-constant across docs,
@@ -156,8 +181,9 @@ def _balanced_blocks(distinct_sigs: DataFrame) -> list[list[int]]:
     signatures measures each bit's 1-frequency; bits are ranked by
     distance from 0.5 and dealt round-robin so every block carries
     its share of the high-entropy bits. The pigeonhole guarantee is
-    untouched — any partition of the 64 bits into 9 blocks works —
-    only bucket sizes change. Cost: a 64-number driver model.
+    untouched — any partition of the 64 bits into the scheme's block
+    count works — only bucket sizes change. Cost: a 64-number driver
+    model.
     """
     row = distinct_sigs.agg(
         F.count("*").alias("n"),
@@ -168,12 +194,15 @@ def _balanced_blocks(distinct_sigs: DataFrame) -> list[list[int]]:
             for b in range(64)
         ],
     ).first()
+    n_blocks = (
+        _PAIR_BLOCKS if row["n"] <= _TRIPLE_SWITCH else _TRIPLE_BLOCKS
+    )
     n = max(row["n"], 1)
     order = sorted(range(64), key=lambda b: abs((row[f"b{b}"] or 0) / n - 0.5))
-    blocks: list[list[int]] = [[] for _ in range(_N_BLOCKS)]
+    blocks: list[list[int]] = [[] for _ in range(n_blocks)]
     for rank, bit in enumerate(order):
-        blocks[rank % _N_BLOCKS].append(bit)
-    return blocks
+        blocks[rank % n_blocks].append(bit)
+    return blocks, row["n"]
 
 
 def _block_value(sig_col: str, bits: list[int]):
@@ -188,18 +217,27 @@ def _block_value(sig_col: str, bits: list[int]):
     return v
 
 
-def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
-    """Explode each signature into its C(9,2)=36 (pair_idx, key_val)
-    rows: one per pair of signature blocks, key_val = both blocks'
-    values packed.
+def _key_combos(n_blocks: int) -> list[tuple[int, ...]]:
+    """The block combinations in pair_idx order: (i, j) pairs for the
+    9-block scheme, (i, j, k) triples for the 10-block one."""
+    from itertools import combinations
 
-    The 9 block values are projected ONCE before the explode — the
-    naive form embeds both blocks' full bit-gather expressions inside
-    every struct, which multiplies the 64 shift/mask extractions to
-    ~500 expression terms (each block value appears in 8 pairs) and
-    the whole-stage-codegen compile of that tree measured ~2 s cold
-    per plan. With the pre-projection the Generate node only combines
-    two input columns per key."""
+    r = 2 if n_blocks == _PAIR_BLOCKS else 3
+    return list(combinations(range(n_blocks), r))
+
+
+def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
+    """Explode each signature into its (pair_idx, key_val) rows: one
+    per block combination — C(9,2)=36 pair keys or C(10,3)=120 triple
+    keys — with the member block values packed at 256-stride (blocks
+    carry ≤8 bits under either scheme).
+
+    The block values are projected ONCE before the explode — the
+    naive form embeds every block's full bit-gather expression inside
+    every struct, which multiplies the 64 shift/mask extractions into
+    hundreds of expression terms and the whole-stage-codegen compile
+    of that tree measured ~2 s cold per plan. With the pre-projection
+    the Generate node only combines the member columns per key."""
     bvals = sigs.select(
         sig_col,
         *[
@@ -207,19 +245,20 @@ def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
             for i, bits in enumerate(blocks)
         ],
     )
-    structs = []
-    pid = 0
-    for i in range(len(blocks)):
-        for j in range(i + 1, len(blocks)):
-            structs.append(
-                F.struct(
-                    F.lit(pid).alias("pair_idx"),
-                    (F.col(f"bv{i}") * 256 + F.col(f"bv{j}")).alias(
-                        "key_val"
-                    ),
-                )
-            )
-            pid += 1
+
+    def packed(combo: tuple[int, ...]):
+        v = F.col(f"bv{combo[0]}")
+        for m in combo[1:]:
+            v = v * 256 + F.col(f"bv{m}")
+        return v
+
+    structs = [
+        F.struct(
+            F.lit(pid).alias("pair_idx"),
+            packed(combo).alias("key_val"),
+        )
+        for pid, combo in enumerate(_key_combos(len(blocks)))
+    ]
     return bvals.select(
         sig_col, F.explode(F.array(*structs)).alias("k")
     ).select(sig_col, "k.pair_idx", "k.key_val")
@@ -243,12 +282,14 @@ def simhash_pairs(
          count grows with the SQUARE of the duplication factor.
          Within-group pairs are emitted directly (hamming 0) by a
          sig-keyed self-join — output-sized work
-      3. DISTINCT signatures block on pairs of signature blocks
-         (pigeonhole: ≤7 differing bits touch ≤7 of 9 blocks, so ≥2
-         agree → some pair key matches; detection within the radius
-         stays guaranteed, not probabilistic). Bits are dealt to
-         blocks by measured balance (_balanced_blocks) so correlated
-         low-entropy bits can't produce giant buckets
+      3. DISTINCT signatures block on combinations of signature
+         blocks, key width ADAPTIVE to the measured distinct count
+         (pigeonhole: ≤7 differing bits touch ≤7 blocks, so ≥2 of 9
+         or ≥3 of 10 agree → some combination key matches; detection
+         within the radius stays guaranteed, not probabilistic under
+         either scheme). Bits are dealt to blocks by measured balance
+         (_balanced_blocks) so correlated low-entropy bits can't
+         produce giant buckets
       4. verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side,
          on candidate signature pairs; survivors expand back to doc
          pairs through two joins against the signature frame
@@ -286,24 +327,73 @@ def simhash_pairs(
         F.lit(0).cast("int").alias("hamming"),
     )
     uniq = sigs.select("sig").distinct().persist()
-    blocks = _balanced_blocks(uniq)
+    blocks, _n_distinct = _balanced_blocks(uniq)
     blocked = _with_pair_keys(uniq, "sig", blocks)
-    a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    sig_pairs = (
-        a.join(
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    if len(blocks) == _PAIR_BLOCKS:
+        # small-corpus regime: plain keyed self-join — at ≤150k sigs
+        # the keyed table is a few million skinny rows and the join
+        # beats the grouped form's collect_list buffering (same-window
+        # A/B at sf1: 7.9 s join vs 10.2 s grouped)
+        a, b = blocked.alias("a"), blocked.alias("b")
+        raw_pairs = a.join(
             b,
             (F.col("a.pair_idx") == F.col("b.pair_idx"))
             & (F.col("a.key_val") == F.col("b.key_val"))
             & (F.col("a.sig") < F.col("b.sig")),
-        )
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select(
+        ).select(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
-            "hamming",
         )
+    else:
+        # large-corpus regime: grouped bucket emission (the
+        # minhash/ngram family pattern) — keyed rows shuffle ONCE into
+        # their (pair_idx, key_val) bucket and each bucket emits its
+        # sig combinations with an in-task two-level explode. The
+        # self-join here built per-task hash relations over the whole
+        # keyed table (53M rows at sf10 under the triple scheme) and
+        # OOM'd the 8 GB local JVM; the grouped form's peak memory is
+        # one bucket's sig array, and the same-window sf10 A/B read
+        # 157.7 s (r10 pair join) vs 76.0 s. Buckets above
+        # MAX_COMBO_BUCKET fall back to the AQE-skew-splittable
+        # self-join, exactly as in the siblings.
+        from pyanamo_spark.dedup.minhash import MAX_COMBO_BUCKET
+
+        buckets = (
+            blocked.groupBy("pair_idx", "key_val")
+            .agg(F.array_sort(F.collect_list("sig")).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        small = (
+            buckets.filter(F.size("ms") <= MAX_COMBO_BUCKET)
+            .select("ms", F.posexplode("ms").alias("i", "sig_a"))
+            .select(
+                "sig_a",
+                F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias(
+                    "sig_b"
+                ),
+            )
+        )
+        over = buckets.filter(F.size("ms") > MAX_COMBO_BUCKET).select(
+            "pair_idx", "key_val", F.explode("ms").alias("sig")
+        )
+        big = (
+            over.alias("a")
+            .join(
+                over.alias("b"),
+                (F.col("a.pair_idx") == F.col("b.pair_idx"))
+                & (F.col("a.key_val") == F.col("b.key_val"))
+                & (F.col("a.sig") < F.col("b.sig")),
+            )
+            .select(
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+        )
+        raw_pairs = small.unionByName(big)
+    sig_pairs = (
+        raw_pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .dropDuplicates(["sig_a", "sig_b"])
     )
     cross = (

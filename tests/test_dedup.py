@@ -113,6 +113,33 @@ def test_simhash_finds_mutants_within_radius(spark, sf_dir):
     assert all(r.hamming <= HAMMING_MAX for r in rows)
 
 
+def test_simhash_triple_scheme_matches_pair_scheme(spark, sf_dir):
+    """The adaptive blocking (r11) must be output-invariant: the
+    10-block triple-key scheme only fires above _TRIPLE_SWITCH distinct
+    signatures — beyond every test fixture — so pin it here by forcing
+    the switch to 0 and comparing the full pair set against the
+    default 9-block pair-key scheme. Both carry the same pigeonhole
+    guarantee; any divergence is a blocking-recall bug."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup import simhash as sh
+
+    semantics.ensure_views(spark, sf_dir)
+    base = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in sh.simhash_pairs(spark).collect()
+    )
+    old = sh._TRIPLE_SWITCH
+    sh._TRIPLE_SWITCH = 0  # every corpus takes the triple path
+    try:
+        tri = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in sh.simhash_pairs(spark).collect()
+        )
+    finally:
+        sh._TRIPLE_SWITCH = old
+    assert base == tri
+
+
 def test_simhash_deterministic_across_runs(spark, sf_dir):
     from pyanamo_spark import semantics
     from pyanamo_spark.dedup.simhash import simhash_pairs
