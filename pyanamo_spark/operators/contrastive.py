@@ -81,18 +81,17 @@ def mine_contrastive_parts(
     jaccard_min: float = JACCARD_MIN,
     n_negatives: int = N_NEGATIVES,
     pairs: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(positives, triplets, marked): the verified positive PAIR set,
-    the mined triplets, and the pre-filter candidate-triplet frame
-    whose ``_fn`` marker column identifies accidental-positive
-    negatives (null = clean). ``triplets`` is exactly ``marked``
-    filtered to null markers; the structure audit consumes ``marked``
-    so certifying the no-false-negative guarantee reuses the ONE join
-    that enforces it instead of re-running a second 500k-row join per
-    action (r11). Recall is judged on the pair set BEFORE negative
-    fan-out, so a planted pair whose every negative slot drops as an
-    accidental positive still counts as found (the miner did find it;
-    slot survival is a separate contract)."""
+) -> tuple[DataFrame, DataFrame]:
+    """(positives, triplets): the verified positive PAIR set and the
+    mined triplets. The structure audit in q_contrastive_pairs builds
+    its OWN independent false-negative join rather than reusing the
+    miner's internal ``_fn`` marker — reusing the marker would make
+    the audit true by definition of the filter it certifies (an r11
+    fusion attempt, reverted for exactly that reason), so the marked
+    frame is no longer returned. Recall is judged on the pair set
+    BEFORE negative fan-out, so a planted pair whose every negative
+    slot drops as an accidental positive still counts as found (the
+    miner did find it; slot survival is a separate contract)."""
     if pairs is None:
         pairs = candidate_pairs(spark, corpus)
     if "jaccard_raw" not in pairs.columns:
@@ -141,7 +140,7 @@ def mine_contrastive_parts(
         empty = positives.withColumns(
             {"slot": F.lit(0), "negative_id": F.lit(None).cast("long")}
         ).limit(0)
-        return positives, empty, empty.withColumn("_fn", F.lit(None).cast("int"))
+        return positives, empty
     slots = positives.select(
         "*",
         F.explode(
@@ -161,13 +160,12 @@ def mine_contrastive_parts(
     ).drop("neg_rank")
     # drop self-hits and accidental near-dup negatives (both pair
     # orientations) — never train on a false negative. The removal is
-    # a LEFT join carrying a marker instead of an anti-join: filtering
-    # null markers is the identical anti-semantics (the pair set is
-    # duplicate-free: candidate pairs are distinct with doc_a < doc_b,
-    # so the two orientations cannot collide — dropDuplicates below is
-    # a cheap guard on that invariant), and the marked frame doubles
-    # as the structure audit's evidence, saving its second
-    # triplets-sized join (r11)
+    # a LEFT join carrying a marker, filtered to null markers —
+    # identical anti-join semantics (the pair set is duplicate-free:
+    # candidate pairs are distinct with doc_a < doc_b, so the two
+    # orientations cannot collide — dropDuplicates below is a cheap
+    # guard on that invariant). The structure audit deliberately does
+    # NOT consume this marker (see mine_contrastive_parts docstring).
     pair_set = (
         positives.select("anchor_id", "positive_id")
         .unionByName(
@@ -192,7 +190,7 @@ def mine_contrastive_parts(
     triplets = marked.filter(F.col("_fn").isNull()).select(
         "anchor_id", "positive_id", "jaccard", "slot", "negative_id"
     )
-    return positives, triplets, marked
+    return positives, triplets
 
 
 @register(
@@ -257,7 +255,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyanamo_spark.dedup.minhash import mutant_candidate_pairs
 
     corpus = corpus_with_mutants(spark)
-    positives, trips, marked = mine_contrastive_parts(
+    positives, trips = mine_contrastive_parts(
         spark, corpus, pairs=mutant_candidate_pairs(spark, sf_dir)
     )
 
@@ -284,10 +282,12 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         (F.round(jac, 6) >= JACCARD_MIN).cast("int").alias("expected_match"),
     )
-    # recall judged on the checkpointed positive PAIR set, not the
-    # post-fan-out triplets (ADVICE r09: a pair losing all its
-    # negative slots to the accidental-positive anti-join is still
-    # FOUND)
+    # recall judged on the positive PAIR set, not the post-fan-out
+    # triplets (ADVICE r09: a pair losing all its negative slots to
+    # the accidental-positive anti-join is still FOUND). On this
+    # declared path positives re-filters the memoized pair cache
+    # (mine_contrastive_parts eagerly populated it via pairs.count());
+    # ad-hoc corpora get a localCheckpoint instead.
     found = (
         positives.filter(
             F.col("positive_id") - F.col("anchor_id") == MUTANT_OFFSET
@@ -305,7 +305,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ok"),
     )
     # the VERIFIED near-dup set (both orientations) the no-false-
-    # negative guarantee is stated against — from the checkpointed
+    # negative guarantee is stated against — from the cache-backed
     # positives, so deriving it re-runs nothing. Deliberately a
     # SECOND, independently-built join (rename + distinct + its own
     # key expressions), not the miner's own `_fn` marker: reusing the

@@ -88,12 +88,15 @@ def global_rank_frame(
     and the two passes then disagree on pid→range mapping. So ranks
     carry a runtime guard: the broadcast offsets row also carries each
     pid's counted ``n``, and the rank expression raises if any local
-    row_number exceeds it. Detection is complete — both passes
-    partition the same N rows, so any pid-count disagreement forces
-    SOME partition to hold more rows than its count, and that
-    partition's last row trips the guard. Corruption therefore
-    surfaces as a loud error, never as silently wrong ranks; the cost
-    is one codegen'd branch per row.
+    row_number exceeds it. The offsets attach via a LEFT join (ADVICE
+    r11): an inner join would silently DROP rows that a recomputed
+    exchange routed to a pid the count pass saw as empty (no offsets
+    row at all), so a null ``n`` raises too. With both checks, any
+    pid-count disagreement over the same N rows either lands a row on
+    an uncounted pid (null ``n``) or overfills a counted one
+    (``local > n``) — corruption surfaces as a loud error, never as
+    silently wrong ranks or silently missing rows; the cost is one
+    codegen'd branch per row.
 
     ``width``: callers ranking an AGGREGATE output should pass the
     session shuffle width — an agg's output is at most that wide by
@@ -135,11 +138,13 @@ def global_rank_frame(
     rank = (F.col("offset") + F.col("local") - 1 + F.lit(base)).cast(
         "long"
     )
-    # loud-failure guard (ADVICE r10): if the count pass and the
+    # loud-failure guard (ADVICE r10/r11): if the count pass and the
     # ranking pass ever see DIFFERENT range boundaries (exchange reuse
-    # silently failing + reservoir re-sampling), some partition must
-    # hold more rows than its broadcast count — raise instead of
-    # emitting silently corrupt ranks
+    # silently failing + reservoir re-sampling), either some partition
+    # holds more rows than its broadcast count (local > n) or a row
+    # lands on a pid the count pass never saw (left-join miss, n IS
+    # NULL — an inner join here would silently drop such rows before
+    # the guard could fire). Raise on both, never emit corrupt ranks.
     guarded = F.when(F.col("local") <= F.col("n"), rank).otherwise(
         F.raise_error(
             F.format_string(
@@ -149,12 +154,12 @@ def global_rank_frame(
                 "failed); ranks would be silently wrong",
                 F.col("pid"),
                 F.col("local"),
-                F.col("n"),
+                F.coalesce(F.col("n").cast("string"), F.lit("NULL (pid unseen by count pass)")),
             )
         ).cast("long")
     )
     return (
-        ranged.join(F.broadcast(offsets), "pid")
+        ranged.join(F.broadcast(offsets), "pid", "left")
         .withColumn("local", F.row_number().over(w))
         .select(*keys, *extra, guarded.alias("rank"))
     )

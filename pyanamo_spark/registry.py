@@ -41,17 +41,16 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r11 window (VERDICT r10 item 5 — finish the staleness rotation):
-    # 5 canaries + 7 changed-this-round re-seats (the global_rank_frame
-    # pid-consistency guard changed every rank consumer's plan —
-    # q_zipf additionally dropped its reuse-defeating counts cache;
-    # q_contrastive_pairs and q_index_lifecycle got their VERDICT cost
-    # trims; q_dedup_ngram gained PPJoin positional filtering and
-    # q_dedup_clusters consumes its pair graph) + ALL 35 remaining
-    # r06-recorded greens (after this window no id's driver record is
-    # older than 5 rounds) + the 3 alphabetically-first r07 ids to
-    # fill the 50. q_gini / q_dedup_contain sit in the r06 set and are
-    # ALSO changed-plan re-seats.
+    # r12 window (VERDICT r11 item 6 — keep the rotation contract
+    # rolling): 5 canaries + ALL 27 remaining r07-recorded greens
+    # (after this window no id's driver record is older than 5 rounds)
+    # + 10 changed-this-round re-seats (the global_rank_frame guard
+    # became a left join with a null-n raise, changing every rank
+    # consumer's plan — q_zipf/q_gini/q_curriculum/q_global_ids/
+    # q_contrastive_pairs; the dedup family heads carry this round's
+    # VERDICT cost work — simhash keeper variant, ngram sf10 order,
+    # clusters closure, embed LSH blocking, contain via the shared
+    # index) + the 8 alphabetically-first r08 ids to fill the 50.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -61,54 +60,54 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
+    # stale-proofing: every remaining r07-recorded green
+    "q_autocorr",
+    "q_backtest",
+    "q_bigram_entropy",
+    "q_changepoint",
+    "q_decode_quarantine",
+    "q_dedup_url",
+    "q_degree_stats",
+    "q_dup_by_source",
+    "q_error_context",
+    "q_fuzzy_match",
+    "q_html_extract",
+    "q_ks_drift",
+    "q_langid_eval",
+    "q_lock_protocol",
+    "q_quality_filter",
+    "q_quantize",
+    "q_repetition",
+    "q_rolling_median",
+    "q_score_calibrate",
+    "q_session_stats",
+    "q_sliding_window",
+    "q_streaks",
+    "q_time_split",
+    "q_top_paths",
+    "q_vocab_coverage",
+    "q_warc_ingest",
+    "q_winsorize",
     # changed-this-round re-seats
     "q_zipf",
-    "q_global_ids",
+    "q_gini",
     "q_curriculum",
+    "q_global_ids",
     "q_contrastive_pairs",
-    "q_index_lifecycle",
     "q_dedup_ngram",
     "q_dedup_clusters",
-    # stale-proofing: every remaining r06-recorded green
-    "q_custdist",
-    "q_dataset_card",
     "q_dedup_contain",
-    "q_drift",
-    "q_excess_suppliers",
-    "q_fingerprint",
-    "q_funnel",
-    "q_gini",
-    "q_heavy_hitters",
-    "q_hybrid_search",
-    "q_idle_customers",
-    "q_important_stock",
-    "q_join_cardinality",
-    "q_kanon",
-    "q_lang_id",
-    "q_ltv",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_mv_refresh",
-    "q_pagerank",
-    "q_pivot",
-    "q_product_profit",
-    "q_promo_share",
-    "q_quality_score",
-    "q_returned_customers",
-    "q_session_events",
-    "q_shard_plan",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_supplier_parts",
-    "q_survival",
-    "q_token_budget",
-    "q_token_count",
-    "q_transitions",
-    "q_waiting_suppliers",
-    # oldest r07 greens (alphabetical; the rest rotate in r12)
-    "q_ab_test",
-    "q_anomaly_seasonal",
-    "q_attribution",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    # oldest r08 greens (alphabetical; the rest rotate in r13)
+    "q_bulk_update",
+    "q_date_format",
+    "q_dedup_lines",
+    "q_delete_anti",
+    "q_done_nests",
+    "q_dup_spans",
+    "q_event_window",
+    "q_filter_project",
 )
 
 

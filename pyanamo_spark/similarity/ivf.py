@@ -534,6 +534,12 @@ def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks (AQE's parallelismFirst keeps them un-coalesced). Sizing
     # the width to the data is the same rule the 100 TB design applies
     # in the other direction.
+    # SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r11): the conf is
+    # session-global, so a concurrent query on this SparkSession (or a
+    # frame captured mid-window and actioned later) would plan width-1.
+    # The suite runs queries serially and this body actions everything
+    # it builds, so that cannot happen here; a concurrent deployment
+    # should scope this via spark.newSession() instead.
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
