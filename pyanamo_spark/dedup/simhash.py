@@ -165,9 +165,34 @@ _TRIPLE_BLOCKS = 10
 #: (37k sigs → pairs) and sf10 (446k sigs → triples) fixtures
 _TRIPLE_SWITCH = 150_000
 
+#: broadcast-kernel regime (r12): below this many DISTINCT signatures
+#: the whole blocking problem is a ~16 MB-per-worker numpy job — the
+#: distinct-sig array is collected (8 B/sig, ≤16 MB at the bound),
+#: broadcast, and the block-combination keys are enumerated ACROSS
+#: TASKS instead of exploding keyed rows: the JVM path shuffles
+#: n_sigs × C(b,r) keyed rows (53M rows / 1.2 GB at sf10, 11 s of the
+#: 50 s e2e before any aggregation) to compute a candidate set that is
+#: fully determined by a 3.6 MB array. Shuffling the ALGORITHM'S
+#: combo ids (120-330 ints) instead of the data removes the keyed
+#: exchange, the collect_list aggregation, and the pair-dedup exchange
+#: outright (see _broadcast_sig_pairs' first-agreeing-combo proof).
+#: Above the bound the grouped JVM path below remains the scale form —
+#: at 100 TB distinct sigs are billions and no longer broadcastable.
+_BROADCAST_MAX = 2_000_000
+#: the broadcast regime uses 4-subsets of 11 blocks: ≤7 differing bits
+#: touch ≤7 blocks, leaving ≥4 of 11 agreeing — same pigeonhole
+#: guarantee, chosen over (10,3)/(9,2) because measured on the sf10
+#: distinct sigs the candidate volume drops 2.829e9 → 1.701e9 (the
+#: ~21-bit 4-block keys collide less than ~19-bit triples) and the
+#: numpy kernel's cost is candidate-bound, not combo-bound (sorts are
+#: ~3 ms each; 330 of them cost less than 1.1e9 avoided popcounts)
+_BCAST_BLOCKS = 11
+_BCAST_R = 4
+
 
 def _balanced_blocks(
     distinct_sigs: DataFrame,
+    n_blocks: int | None = None,
 ) -> tuple[list[list[int]], int]:
     """Assign the 64 signature bits to blocks by measured balance,
     returning (blocks, n_distinct) — the distinct count also picks the
@@ -194,9 +219,10 @@ def _balanced_blocks(
             for b in range(64)
         ],
     ).first()
-    n_blocks = (
-        _PAIR_BLOCKS if row["n"] <= _TRIPLE_SWITCH else _TRIPLE_BLOCKS
-    )
+    if n_blocks is None:
+        n_blocks = (
+            _PAIR_BLOCKS if row["n"] <= _TRIPLE_SWITCH else _TRIPLE_BLOCKS
+        )
     n = max(row["n"], 1)
     order = sorted(range(64), key=lambda b: abs((row[f"b{b}"] or 0) / n - 0.5))
     blocks: list[list[int]] = [[] for _ in range(n_blocks)]
@@ -219,10 +245,13 @@ def _block_value(sig_col: str, bits: list[int]):
 
 def _key_combos(n_blocks: int) -> list[tuple[int, ...]]:
     """The block combinations in pair_idx order: (i, j) pairs for the
-    9-block scheme, (i, j, k) triples for the 10-block one."""
+    9-block scheme, (i, j, k) triples for the 10-block one, (i, j, k,
+    l) quads for the broadcast regime's 11-block one."""
     from itertools import combinations
 
-    r = 2 if n_blocks == _PAIR_BLOCKS else 3
+    r = {_PAIR_BLOCKS: 2, _TRIPLE_BLOCKS: 3, _BCAST_BLOCKS: _BCAST_R}[
+        n_blocks
+    ]
     return list(combinations(range(n_blocks), r))
 
 
@@ -264,6 +293,200 @@ def _with_pair_keys(sigs: DataFrame, sig_col: str, blocks: list[list[int]]):
     ).select(sig_col, "k.pair_idx", "k.key_val")
 
 
+#: 16-bit popcount table, built once per process (64 KB)
+_P16: np.ndarray | None = None
+
+
+def _p16() -> np.ndarray:
+    global _P16
+    if _P16 is None:
+        t = np.zeros(65536, dtype=np.uint8)
+        for i in range(16):
+            t[(np.arange(65536) >> i) & 1 == 1] += 1
+        _P16 = t
+    return _P16
+
+
+#: per-worker-process memo of the block-value arrays, keyed by the
+#: identity of the broadcast sig array (pyspark's broadcast registry
+#: returns the same object across tasks within one reused worker, so
+#: the 11 block-gather passes run once per worker, not once per task;
+#: a cache miss just recomputes — correctness never depends on it)
+_BV_CACHE: dict[int, list[np.ndarray]] = {}
+
+
+def _block_value_np(u: np.ndarray, bits: list[int]) -> np.ndarray:
+    v = np.zeros(len(u), dtype=np.uint64)
+    for k, p in enumerate(bits):
+        v |= ((u >> np.uint64(p)) & np.uint64(1)) << np.uint64(k)
+    return v
+
+
+def _combo_survivors(
+    sig: np.ndarray,
+    bv: list[np.ndarray],
+    combo: tuple[int, ...],
+    combo_id: int,
+    lut: np.ndarray,
+    ham_max: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All verified pairs of one block-combination key whose FIRST
+    agreeing combo is this one: (sig_a, sig_b, hamming) arrays.
+
+    One argsort groups the combo's key values; runs of equal keys are
+    batched BY SIZE so the triangular pair expansion is one gather per
+    size class, never a per-bucket Python loop; candidates are
+    popcount-verified through a progressive 16-bit-quarter filter
+    (hamming ≤ {HAMMING_MAX} needs EVERY 16-bit quarter of the XOR at
+    ≤ {HAMMING_MAX} set bits, and a random colliding pair averages ~8
+    per quarter, so each quarter rejects ~60% of the garbage before
+    the next lookup runs)."""
+    key = bv[combo[0]]
+    for m in combo[1:]:
+        key = key * np.uint64(256) + bv[m]
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    brk = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate(([0], brk))
+    lens = np.diff(np.concatenate((starts, [len(ks)])))
+    multi = lens > 1
+    rs, rl = starts[multi], lens[multi]
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int32),
+    )
+    if not len(rs):
+        return empty
+    p16 = _p16()
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    o = np.argsort(rl, kind="stable")
+    rs, rl = rs[o], rl[o]
+    sizes, first = np.unique(rl, return_index=True)
+    for ui, k in enumerate(sizes):
+        hi = first[ui + 1] if ui + 1 < len(sizes) else len(rl)
+        run_starts = rs[first[ui]:hi]
+        iu, ju = np.triu_indices(k, 1)
+        n_pairs = len(iu)
+        # chunk the (runs × pairs) expansion so peak temporaries stay
+        # ~100 MB/worker regardless of bucket-size distribution
+        mchunk = max(1, 8_000_000 // n_pairs)
+        for c0 in range(0, len(run_starts), mchunk):
+            sk = run_starts[c0:c0 + mchunk]
+            idx = order[sk[:, None] + np.arange(k)[None, :]]
+            ia = idx[:, iu].ravel()
+            ib = idx[:, ju].ravel()
+            x = (sig[ia] ^ sig[ib]).view(np.uint64)
+            q = x.view(np.uint16).reshape(-1, 4)
+            h = p16[q[:, 0]].astype(np.int16)
+            alive = h <= ham_max
+            for qi in (1, 2, 3):
+                live = np.flatnonzero(alive)
+                if not len(live):
+                    break
+                h2 = h[live] + p16[q[live, qi]]
+                h[live] = h2
+                alive[live] = h2 <= ham_max
+            ia, ib, hh = ia[alive], ib[alive], h[alive]
+            if not len(ia):
+                continue
+            # first-agreeing-combo filter: emit the pair only if the
+            # minimal combo consistent with its full block-agreement
+            # mask is THIS one — every pair then leaves exactly one
+            # task, so no downstream dedup exchange exists at all
+            mask = np.zeros(len(ia), dtype=np.int32)
+            for b in range(len(bv)):
+                mask |= (bv[b][ia] == bv[b][ib]).astype(np.int32) << b
+            mine = lut[mask] == combo_id
+            ia, ib, hh = ia[mine], ib[mine], hh[mine]
+            if len(ia):
+                sa, sb = sig[ia], sig[ib]
+                out_a.append(np.minimum(sa, sb))
+                out_b.append(np.maximum(sa, sb))
+                out_h.append(hh.astype(np.int32))
+    if not out_a:
+        return empty
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_h),
+    )
+
+
+def _broadcast_sig_pairs(
+    spark: SparkSession, uniq: DataFrame, blocks: list[list[int]]
+) -> DataFrame:
+    """(sig_a, sig_b, hamming) for every distinct-signature pair within
+    HAMMING_MAX — the broadcast-kernel regime of the adaptive scheme.
+
+    The distinct sigs (≤ _BROADCAST_MAX × 8 B) are collected once and
+    torrent-broadcast; the C(11,4)=330 block-combination keys are
+    distributed round-robin as combo-id rows, and each task buckets,
+    pairs, and popcount-verifies its combos in numpy against the
+    shared array. Exchanges shipped: the combo ids (330 ints) out,
+    the TRUE pairs back — never keyed rows, never candidates.
+
+    Exactly-once emission (replaces dropDuplicates): a verified pair's
+    block-agreement mask M ⊇ every combo whose buckets contain it, and
+    the driver-built lut maps M → the minimal such combo; each task
+    keeps only pairs whose minimal agreeing combo is the one it is
+    processing. Since the pair IS in that minimal combo's bucket too
+    (all of its blocks agree by definition of M), it is emitted there
+    and only there — completeness and uniqueness both by construction.
+    """
+    sig_arr = np.array(
+        [r[0] for r in uniq.collect()], dtype=np.int64
+    )
+    combos = _key_combos(len(blocks))
+    # mask → minimal combo fully contained in the agreement mask
+    lut = np.full(1 << len(blocks), -1, dtype=np.int16)
+    combo_bits = [
+        sum(1 << b for b in combo) for combo in combos
+    ]
+    for mask in range(1 << len(blocks)):
+        for ci, cb in enumerate(combo_bits):
+            if cb & mask == cb:
+                lut[mask] = ci
+                break
+    sc = spark.sparkContext
+    bc_sig = sc.broadcast(sig_arr)
+    bc_blocks = sc.broadcast(blocks)
+    bc_lut = sc.broadcast(lut)
+    ham_max = HAMMING_MAX
+
+    def emit(batches):
+        sig = bc_sig.value
+        blks = bc_blocks.value
+        key = id(sig)
+        bv = _BV_CACHE.get(key)
+        if bv is None:
+            u = sig.view(np.uint64)
+            bv = [_block_value_np(u, bs) for bs in blks]
+            _BV_CACHE.clear()  # one corpus at a time per worker
+            _BV_CACHE[key] = bv
+        cmb = _key_combos(len(blks))
+        for pdf in batches:
+            for ci in pdf["combo_id"]:
+                a, b, h = _combo_survivors(
+                    sig, bv, cmb[ci], ci, bc_lut.value, ham_max
+                )
+                yield pd.DataFrame(
+                    {"sig_a": a, "sig_b": b, "hamming": h}
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    combo_df = (
+        spark.range(len(combos))
+        .select(F.col("id").cast("int").alias("combo_id"))
+        .repartition(min(len(combos), 4 * par))
+    )
+    return combo_df.mapInPandas(
+        emit, "sig_a long, sig_b long, hamming int"
+    )
+
+
 def simhash_pairs(
     spark: SparkSession, corpus: DataFrame | None = None
 ) -> DataFrame:
@@ -283,13 +506,17 @@ def simhash_pairs(
          Within-group pairs are emitted directly (hamming 0) by a
          sig-keyed self-join — output-sized work
       3. DISTINCT signatures block on combinations of signature
-         blocks, key width ADAPTIVE to the measured distinct count
-         (pigeonhole: ≤7 differing bits touch ≤7 blocks, so ≥2 of 9
-         or ≥3 of 10 agree → some combination key matches; detection
-         within the radius stays guaranteed, not probabilistic under
-         either scheme). Bits are dealt to blocks by measured balance
-         (_balanced_blocks) so correlated low-entropy bits can't
-         produce giant buckets
+         blocks, the scheme ADAPTIVE to the measured distinct count
+         (pigeonhole: ≤7 differing bits touch ≤7 blocks, so ≥2 of 9,
+         ≥3 of 10, or ≥4 of 11 blocks agree → some combination key
+         matches; detection within the radius stays guaranteed, not
+         probabilistic under every scheme). Bits are dealt to blocks
+         by measured balance (_balanced_blocks) so correlated
+         low-entropy bits can't produce giant buckets. Up to
+         _BROADCAST_MAX distinct sigs the pairing runs in the
+         broadcast numpy kernel (_broadcast_sig_pairs — no keyed-row
+         exchange at all); above it, the grouped JVM emission below
+         is the scale form
       4. verification: F.bit_count(a XOR b) ≤ HAMMING_MAX, JVM-side,
          on candidate signature pairs; survivors expand back to doc
          pairs through two joins against the signature frame
@@ -327,6 +554,13 @@ def simhash_pairs(
         F.lit(0).cast("int").alias("hamming"),
     )
     uniq = sigs.select("sig").distinct().persist()
+    # regime probe: ONE count decides broadcast vs JVM path, and the
+    # broadcast path re-deals the bits into its own 11-block scheme
+    n_distinct = uniq.count()
+    if n_distinct <= _BROADCAST_MAX:
+        blocks, _ = _balanced_blocks(uniq, n_blocks=_BCAST_BLOCKS)
+        sig_pairs = _broadcast_sig_pairs(spark, uniq, blocks)
+        return within.unionByName(_expand_doc_pairs(sig_pairs, sigs))
     blocks, _n_distinct = _balanced_blocks(uniq)
     blocked = _with_pair_keys(uniq, "sig", blocks)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -364,6 +598,17 @@ def simhash_pairs(
             .agg(F.array_sort(F.collect_list("sig")).alias("ms"))
             .filter(F.size("ms") > 1)
         )
+        # materialize ONCE (r12): three consumers read this aggregation
+        # (small combos, and both legs of the over-bucket self-join),
+        # and they schedule as parallel subtrees of one action — without
+        # an eager persist each recomputed the 60M-keyed-row shuffle+agg
+        # (the sf10 profile read 26 s per recompute: 87 s e2e vs 45 s of
+        # once-each stage time). The persisted frame is bucket-sized
+        # (pairs of longs + sig arrays), far smaller than the keyed
+        # rows; released by the suite's per-query clearCache like the
+        # sibling pair persists.
+        buckets = buckets.persist()
+        buckets.count()
         small = (
             buckets.filter(F.size("ms") <= MAX_COMBO_BUCKET)
             .select("ms", F.posexplode("ms").alias("i", "sig_a"))
@@ -396,7 +641,13 @@ def simhash_pairs(
         .filter(F.col("hamming") <= HAMMING_MAX)
         .dropDuplicates(["sig_a", "sig_b"])
     )
-    cross = (
+    return within.unionByName(_expand_doc_pairs(sig_pairs, sigs))
+
+
+def _expand_doc_pairs(sig_pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Survivor (sig_a, sig_b, hamming) pairs back to doc pairs via two
+    joins against the persisted signature frame."""
+    return (
         sig_pairs.join(
             sigs.select(
                 F.col("sig").alias("sig_a"), F.col("doc_id").alias("da")
@@ -415,7 +666,6 @@ def simhash_pairs(
             "hamming",
         )
     )
-    return within.unionByName(cross)
 
 
 @F.pandas_udf(LongType())

@@ -114,12 +114,14 @@ def test_simhash_finds_mutants_within_radius(spark, sf_dir):
 
 
 def test_simhash_triple_scheme_matches_pair_scheme(spark, sf_dir):
-    """The adaptive blocking (r11) must be output-invariant: the
-    10-block triple-key scheme only fires above _TRIPLE_SWITCH distinct
-    signatures — beyond every test fixture — so pin it here by forcing
-    the switch to 0 and comparing the full pair set against the
-    default 9-block pair-key scheme. Both carry the same pigeonhole
-    guarantee; any divergence is a blocking-recall bug."""
+    """The adaptive blocking (r11/r12) must be output-invariant across
+    ALL THREE regimes: the broadcast numpy kernel (the default at
+    fixture scale), the 9-block pair-key JVM join, and the 10-block
+    triple-key grouped JVM emission (the >_BROADCAST_MAX scale form).
+    Each only fires in its measured window, so pin equality here by
+    forcing the switches and comparing full pair sets. All three carry
+    the same pigeonhole guarantee; any divergence is a blocking-recall
+    (or broadcast first-combo-dedup) bug."""
     from pyanamo_spark import semantics
     from pyanamo_spark.dedup import simhash as sh
 
@@ -128,15 +130,21 @@ def test_simhash_triple_scheme_matches_pair_scheme(spark, sf_dir):
         (r.doc_a, r.doc_b, r.hamming)
         for r in sh.simhash_pairs(spark).collect()
     )
-    old = sh._TRIPLE_SWITCH
-    sh._TRIPLE_SWITCH = 0  # every corpus takes the triple path
+    old_bc, old_tri = sh._BROADCAST_MAX, sh._TRIPLE_SWITCH
+    sh._BROADCAST_MAX = 0  # force the JVM pair-key path
     try:
+        pair = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in sh.simhash_pairs(spark).collect()
+        )
+        sh._TRIPLE_SWITCH = 0  # force the JVM triple-key path
         tri = sorted(
             (r.doc_a, r.doc_b, r.hamming)
             for r in sh.simhash_pairs(spark).collect()
         )
     finally:
-        sh._TRIPLE_SWITCH = old
+        sh._BROADCAST_MAX, sh._TRIPLE_SWITCH = old_bc, old_tri
+    assert base == pair
     assert base == tri
 
 
