@@ -69,6 +69,12 @@ def shingles(col, k: int = 3):
 #: (1-t)-prefix whenever t' >= t
 FAMILY_MIN_T = 0.6
 
+#: shared-shingle (df >= 2) vocabulary rows above which the prefix
+#: build's join-back stops broadcasting and falls back to a shuffle
+#: join — ~4M (h, df) rows is ~200 MB as a broadcast hash relation,
+#: the comfortable ceiling for the executor profile this is tuned for
+_DF_BROADCAST_MAX = 4_000_000
+
 
 class NgramIndex:
     """The frames q_dedup_ngram / q_dedup_contain / q_dedup_clusters
@@ -212,9 +218,30 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
     # partial-combines map-side so its exchange carries only distinct
     # shingles, while a window would sort-shuffle EVERY posting row by
     # h (measured 1.6x worse on the sf1 gate)
-    df_tab = postings.groupBy("h").agg(F.count("*").alias("df"))
+    df_tab = df2 = postings.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+    )
+    if cacheable:
+        # adaptive join-back (r12): the df>=2 table is the SHARED-
+        # shingle vocabulary — tiny next to the postings (813k rows /
+        # 13 MB at sf10, vs 27M posting rows). When it fits a
+        # broadcast, the join-back keeps the postings' doc_id
+        # partitioning, so the rank window below needs NO exchange:
+        # both corpus-sized shuffles of the prefix build (postings by
+        # h for the join, df>=2 postings back by doc_id for the
+        # window) disappear — measured 8.7 -> 4.1 s at sf10. The df
+        # aggregation's own exchange still runs, but it carries one
+        # row per distinct shingle, not per posting. Above the bound
+        # (a 100 TB vocabulary is not broadcastable) the plan falls
+        # back to the shuffle join unchanged; the persisted df table
+        # makes the probe count a one-small-frame action either way.
+        df_tab = df_tab.persist()
+        if df_tab.count() <= _DF_BROADCAST_MAX:
+            df2 = F.broadcast(df_tab)
+        else:
+            df2 = df_tab
     ranked = (
-        postings.join(df_tab.filter(F.col("df") >= 2), "h")
+        postings.join(df2, "h")
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -237,5 +264,8 @@ def ngram_index(spark: SparkSession, sf_dir: str) -> NgramIndex:
         prefix_pool = prefix_pool.persist()
     idx = NgramIndex(prepped, postings, prefix_pool, cacheable=cacheable)
     if cacheable:
+        # the persisted df table rides the index's eviction loop like
+        # the bucket scratch frames
+        idx.scratch.append(df_tab)
         _NGRAM_INDEX[key] = idx
     return idx
