@@ -443,3 +443,34 @@ def test_ngram_mega_bucket_routes_through_skew_join(spark, planted_views):
     ids = sorted(2 * i + 1 for i in range(n))
     want = {(a, b) for a in ids for b in ids if a < b}
     assert got == want
+
+
+def test_embed_tiled_candidates_match_block_path(spark, sf_dir):
+    """The sharded tile plan (r12) must be candidate-set-invariant vs
+    the single-block-per-label form: a pair's two shards define exactly
+    one tile, the fan-out puts both members there, and the bipartite
+    kernel compares the sides completely. Forced here by shrinking
+    _SHARD_ROWS so the fixture's labels split into several shards;
+    survivors are compared on the DECLARED output (after exact float64
+    verify, so float32 chunk-order noise inside the margin cannot flip
+    the comparison)."""
+    from pyanamo_spark import semantics
+    from pyanamo_spark.dedup import embedding as em
+    from pyanamo_spark.registry import QUERIES
+
+    semantics.ensure_views(spark, sf_dir)
+    base = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in QUERIES["q_dedup_embed"](spark, sf_dir).collect()
+    )
+    old = em._SHARD_ROWS
+    em._SHARD_ROWS = 37  # every label becomes multiple shards
+    try:
+        tiled = sorted(
+            (r.vec_a, r.vec_b, r.cos_sim)
+            for r in QUERIES["q_dedup_embed"](spark, sf_dir).collect()
+        )
+    finally:
+        em._SHARD_ROWS = old
+    assert base == tiled
+    assert len(base) > 0  # the fixture plants a high-similarity tail
