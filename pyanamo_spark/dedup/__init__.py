@@ -114,6 +114,33 @@ class NgramIndex:
         #: the frame is output-sized — thousands of pairs, not
         #: postings — so the storage cost is trivial)
         self.ngram_pairs = None
+        #: lazily-built per-doc constants table (see doc_stats)
+        self._doc_stats = None
+
+    def doc_stats(self):
+        """(doc_id, n_sh, n2) for every doc with a non-empty prefix —
+        the per-doc constants the pair-dedup aggregation used to ship
+        inside every occurrence struct (r12: the slim agg carries only
+        (doc_a, doc_b, packed ra/rb) through the exchange — 24 B/row
+        instead of 64 — and re-attaches these constants afterwards;
+        measured 7.5 -> 4.4 s on the sf10 emission stage for the
+        identical 4.9M-pair output). One row per candidate-eligible
+        doc; any doc in a bucket has a pool row, so the re-attach
+        joins lose nothing. dropDuplicates needs no exchange: the
+        pool inherits prepped's doc_id partitioning."""
+        if self._doc_stats is not None:
+            lvl = self._doc_stats.storageLevel
+            if not self.cacheable or lvl.useMemory or lvl.useDisk:
+                return self._doc_stats
+            self._doc_stats = None
+        stats = self.prefix_pool.select(
+            "doc_id", "n_sh", "n2"
+        ).dropDuplicates(["doc_id"])
+        if self.cacheable:
+            stats = stats.persist()
+            self.scratch.append(stats)
+        self._doc_stats = stats
+        return stats
 
     def prefix(self, t: float):
         """(doc_id, lang, size_bucket, n_sh, h, rnk, n2) rows of each

@@ -178,11 +178,13 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     sf0.1 COST-FLOOR VERDICT (r12, closing the r10/r11 ≤1.3×-or-
     verdict order): the frozen 2.40 s baseline predates the PPJoin
     pair-graph input. Measured quiet-host best-of-3 at the bench's 32
-    cores: q_dedup_ngram alone (the input this query consumes cold
-    under the bench's clearCache regime) is 3.1 s, and the closure
-    adds ~0.7 s of checkpointed micro-jobs — the e2e floor is
-    ~3.6-3.8 s ≈ 1.55× the stale baseline with the input accounting
-    for all of the excess. The input's own baseline ratio carries the
+    cores after this round's input cuts (df-broadcast prefix build,
+    slim pair-dedup agg): q_dedup_ngram alone (the input this query
+    consumes cold under the bench's clearCache regime) is 2.9 s, and
+    the closure adds ~0.5 s of checkpointed micro-jobs — the e2e
+    floor is ~3.3-3.6 s ≈ 1.4× the stale baseline with the input
+    accounting for all of the excess. The input's own baseline ratio
+    carries the
     same story at 1.2× (its r04 freeze also predates PPJoin), and the
     stages that cost those ratios at sf0.1 are precisely what bought
     ngram 13× and clusters 10× per-100× scaling at sf10. Shrinking

@@ -30,6 +30,12 @@ from pyanamo_spark.registry import register
 
 THRESHOLD = 0.6
 
+#: doc_stats rows above which the pair-dedup re-attach joins stop
+#: broadcasting (one (doc_id, n_sh, n2) row per candidate-eligible
+#: doc; ~4M rows ≈ 200 MB as a hash relation — the same executor
+#: ceiling as dedup.__init__._DF_BROADCAST_MAX)
+_STATS_BROADCAST_MAX = 4_000_000
+
 
 @register(
     "q_dedup_ngram",
@@ -206,6 +212,15 @@ def verified_ngram_pairs(idx) -> DataFrame:
     # extra filter in the generate pipeline cost more than the skipped
     # slices saved; the strict per-pair bound below already removes
     # those pairs before the expensive verification.)
+    # occurrences ship SLIM (r12): (doc_a, doc_b, packed (ra, rb)) —
+    # 24 B/row through the dedup exchange instead of the 64 B struct
+    # with the four per-doc constants, which re-attach after the agg
+    # from the shared doc_stats table (measured 7.5 -> 4.4 s on the
+    # sf10 emission stage, identical pair output). The pack stride
+    # 2^31 keeps min-of-long == lexicographic min over (ra, rb), and
+    # rnk < 2^31 would need a single document with two billion
+    # distinct shingles
+    pk = F.col("a.rnk") * F.lit(1 << 31) + F.col("b.rnk")
     small = (
         buckets.filter(F.size("ms") <= MAX_COMBO_BUCKET)
         .select("ms", F.posexplode("ms").alias("i", "a"))
@@ -217,12 +232,7 @@ def verified_ngram_pairs(idx) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.rnk").alias("ra"),
-            F.col("b.rnk").alias("rb"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-            F.col("a.n2").alias("n2a"),
-            F.col("b.n2").alias("n2b"),
+            pk.alias("pk"),
         )
     )
     over = buckets.filter(F.size("ms") > MAX_COMBO_BUCKET).select(
@@ -254,12 +264,7 @@ def verified_ngram_pairs(idx) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.rnk").alias("ra"),
-            F.col("b.rnk").alias("rb"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-            F.col("a.n2").alias("n2a"),
-            F.col("b.n2").alias("n2b"),
+            pk.alias("pk"),
         )
     )
     # pair dedup upgraded to the STRICT PPJoin bound at no extra
@@ -277,14 +282,35 @@ def verified_ngram_pairs(idx) -> DataFrame:
     # whose tight bound >= |A∩B| >= the required overlap. na/nb/n2
     # ride in the struct tail (constant per pair, past the rnk keys).
     occ = small.unionByName(big)
+    # min over the packed long IS the lexicographic (ra, rb) min the
+    # old struct-min computed: the dropped fields were constant per
+    # (doc_a, doc_b) and never broke a tie
+    m = occ.groupBy("doc_a", "doc_b").agg(F.min("pk").alias("pk"))
+    stats = idx.doc_stats()
+    # per-doc constants re-attach via broadcast while the corpus' doc
+    # count allows it (one row per candidate-eligible doc); beyond the
+    # bound the joins fall back to shuffles, which the deduped
+    # 1-pair-per-row side keeps cheap
+    bcast = not idx.cacheable or stats.count() <= _STATS_BROADCAST_MAX
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("n2").alias("n2a"),
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("n2").alias("n2b"),
+    )
+    if bcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     m = (
-        occ.groupBy("doc_a", "doc_b")
-        .agg(
-            F.min(
-                F.struct("ra", "rb", "na", "nb", "n2a", "n2b")
-            ).alias("m")
+        m.withColumn(
+            "ra", F.floor(F.col("pk") / F.lit(1 << 31)).cast("long")
         )
-        .select("doc_a", "doc_b", "m.*")
+        .withColumn("rb", F.col("pk") % F.lit(1 << 31))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
     )
     tight_ok = F.lit(_t.numerator + _t.denominator) * (
         F.lit(1) + F.least(
