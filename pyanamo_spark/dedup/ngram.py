@@ -441,14 +441,18 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one-sided prefix)."""
     from pyanamo_spark.dedup import ngram_index
 
+    from fractions import Fraction
+
     idx = ngram_index(spark, sf_dir)
     prepped = idx.prepped
     # contained-side prefix: |A| - ceil(T·|A|) + 1 lowest-df shingles
     # (a subset of the cached FAMILY_MIN_T pool — same per-doc order)
-    a_prefix = idx.prefix(CONTAIN_T).select("doc_id", "lang", "n_sh", "h")
+    a_prefix = idx.prefix(CONTAIN_T).select(
+        "doc_id", "lang", "n_sh", "h", "rnk"
+    )
     b_full = idx.postings.select("doc_id", "lang", "n_sh", "h")
     a, b = a_prefix.alias("a"), b_full.alias("b")
-    candidates = (
+    occ = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -469,8 +473,43 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("contained_doc"),
             F.col("b.doc_id").alias("container_doc"),
+            F.col("a.rnk").alias("ra"),
         )
-        .distinct()
+    )
+    # one-sided positional prune (r12 — q_dedup_ngram's min-occurrence
+    # bound, containment edition): the pair-dedup aggregation keeps the
+    # MINIMAL shared prefix position ra*. Shared shingles are ordered
+    # identically in both docs' (df, h) lists, so the pair's first
+    # shared shingle s* has no shared element before it in A, giving
+    # |A∩B| ≤ 1 + (n2_a − ra*); containment ≥ T needs |A∩B| ≥
+    # ⌈T·|A|⌉, and s* is always in A's prefix (if no shared shingle
+    # were, the intersection would fit in the dropped suffix —
+    # impossible) and is exactly the minimum the agg selects, so the
+    # prune never drops a true pair. Exact integer threshold: with
+    # T = num/den, ⌈T·na⌉ ≤ x ⟺ num·na ≤ den·x. The per-doc
+    # constants (n_sh, n2) re-attach from the shared doc_stats table
+    # AFTER the agg — the same slim-exchange trade as
+    # verified_ngram_pairs.
+    _ct = Fraction(str(CONTAIN_T))
+    m = occ.groupBy("contained_doc", "container_doc").agg(
+        F.min("ra").alias("ra")
+    )
+    stats = idx.doc_stats()
+    sa = stats.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.col("n_sh").alias("na"),
+        F.col("n2").alias("n2a"),
+    )
+    if not idx.cacheable or stats.count() <= _STATS_BROADCAST_MAX:
+        sa = F.broadcast(sa)
+    candidates = (
+        m.join(sa, "contained_doc")
+        .filter(
+            F.lit(_ct.numerator) * F.col("na")
+            <= F.lit(_ct.denominator)
+            * (F.lit(1) + F.col("n2a") - F.col("ra"))
+        )
+        .select("contained_doc", "container_doc")
     )
     # verify candidates on the FULL shingle sets (prune-independent)
     full = prepped.select(

@@ -39,38 +39,42 @@ CANARIES = {
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
-#: r11 — a changed query must re-record or its cumulative row is stale
-CHANGED_R11 = {
-    # the global_rank_frame pid-consistency guard (ADVICE r10) changed
-    # every rank consumer's plan; q_zipf additionally dropped its
-    # reuse-defeating counts cache
+#: r12 — a changed query must re-record or its cumulative row is stale
+CHANGED_R12 = {
+    # the global_rank_frame guard became a LEFT join with a null-n
+    # raise (ADVICE r11), changing every rank consumer's plan
     "q_zipf",
-    "q_global_ids",
+    "q_gini",
     "q_curriculum",
-    # VERDICT r10 cost trims
-    "q_contrastive_pairs",  # item 1: sf1 11.8s -> <=6s
-    "q_index_lifecycle",    # item 2: sampled scratch index
-    "q_dedup_ngram",        # item 3: PPJoin positional filtering
-    "q_dedup_clusters",     # item 7: consumes the ngram pair graph
+    "q_global_ids",
+    "q_contrastive_pairs",
+    # VERDICT r11 cost orders: broadcast simhash kernel, ngram
+    # df-broadcast + slim pair dedup, clusters closure trim, embed
+    # tiling + in-kernel verify, contain positional prune
+    "q_dedup_ngram",
+    "q_dedup_clusters",
+    "q_dedup_contain",
+    "q_dedup_simhash",
+    "q_dedup_embed",
 }
 
-#: stale-proof re-seats: every id whose last driver record is r06
-#: (all 35 survivors — after this window no id's record is older than
-#: 5 rounds; q_gini and q_dedup_contain are ALSO changed-plan r11
-#: re-seats), plus the 3 alphabetically-first r07 ids; the remaining
-#: r07 greens rotate in r12
-STALE_R11 = {
-    "q_custdist", "q_dataset_card", "q_dedup_contain", "q_drift",
-    "q_excess_suppliers", "q_fingerprint", "q_funnel", "q_gini",
-    "q_heavy_hitters", "q_hybrid_search", "q_idle_customers",
-    "q_important_stock", "q_join_cardinality", "q_kanon", "q_lang_id",
-    "q_ltv", "q_market_share", "q_min_cost_supplier", "q_mv_refresh",
-    "q_pagerank", "q_pivot", "q_product_profit", "q_promo_share",
-    "q_quality_score", "q_returned_customers", "q_session_events",
-    "q_shard_plan", "q_shipmode_priority", "q_small_qty_revenue",
-    "q_supplier_parts", "q_survival", "q_token_budget",
-    "q_token_count", "q_transitions", "q_waiting_suppliers",
-    "q_ab_test", "q_anomaly_seasonal", "q_attribution",
+#: stale-proof re-seats: ALL 27 remaining r07-recorded greens (after
+#: this window no id's driver record is older than 5 rounds)
+STALE_R12 = {
+    "q_autocorr", "q_backtest", "q_bigram_entropy", "q_changepoint",
+    "q_decode_quarantine", "q_dedup_url", "q_degree_stats",
+    "q_dup_by_source", "q_error_context", "q_fuzzy_match",
+    "q_html_extract", "q_ks_drift", "q_langid_eval", "q_lock_protocol",
+    "q_quality_filter", "q_quantize", "q_repetition",
+    "q_rolling_median", "q_score_calibrate", "q_session_stats",
+    "q_sliding_window", "q_streaks", "q_time_split", "q_top_paths",
+    "q_vocab_coverage", "q_warc_ingest", "q_winsorize",
+}
+
+#: fill seats: the alphabetically-first r08 ids (the rest rotate r13)
+FILL_R12 = {
+    "q_bulk_update", "q_date_format", "q_dedup_lines", "q_delete_anti",
+    "q_done_nests", "q_dup_spans", "q_event_window", "q_filter_project",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
@@ -148,10 +152,12 @@ def test_canaries_hold_their_seats():
         assert n in DECLARED, n
 
 
-def test_r11_window_composition():
+def test_r12_window_composition():
     # window is exactly canaries + changed re-seats + the stale-proof
-    # cohort
-    assert set(DECLARED) == CANARIES | CHANGED_R11 | STALE_R11
+    # cohort + the r08 fill seats
+    assert (
+        set(DECLARED) == CANARIES | CHANGED_R12 | STALE_R12 | FILL_R12
+    )
 
 
 def test_declared_ids_all_registered():
