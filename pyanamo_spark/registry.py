@@ -48,9 +48,10 @@ DECLARED: tuple[str, ...] = (
     # became a left join with a null-n raise, changing every rank
     # consumer's plan — q_zipf/q_gini/q_curriculum/q_global_ids/
     # q_contrastive_pairs; the dedup family heads carry this round's
-    # VERDICT cost work — simhash keeper variant, ngram sf10 order,
-    # clusters closure, embed LSH blocking, contain via the shared
-    # index) + the 8 alphabetically-first r08 ids to fill the 50.
+    # VERDICT cost work — simhash broadcast kernel, ngram df-broadcast
+    # + slim pair dedup, clusters closure trim, embed tiling +
+    # in-kernel verify, contain positional prune) + the 8
+    # alphabetically-first r08 ids to fill the 50.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
