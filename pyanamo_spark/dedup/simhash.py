@@ -231,6 +231,29 @@ def _balanced_blocks(
     return blocks, row["n"]
 
 
+def _balanced_blocks_np(sig_arr: np.ndarray, n_blocks: int) -> list[list[int]]:
+    """Driver-side twin of ``_balanced_blocks`` over the COLLECTED
+    distinct-sig array: identical ranking (bit 1-frequency distance
+    from 0.5, stable ties by bit index) and round-robin deal, computed
+    in numpy. The broadcast regime already holds the array on the
+    driver, so measuring balance there removes a whole Spark job whose
+    64 shift/mask sum expressions cost ~2 s of whole-stage-codegen
+    compile cold (and ~1 s warm) per query — pure fixed overhead at
+    every scale the regime serves (guide §1.2: don't compute things
+    twice; the JVM aggregate form stays for the >_BROADCAST_MAX path,
+    where the sigs are never collected)."""
+    u = sig_arr.view(np.uint64)
+    n = max(len(u), 1)
+    cnt = [
+        int(((u >> np.uint64(b)) & np.uint64(1)).sum()) for b in range(64)
+    ]
+    order = sorted(range(64), key=lambda b: abs(cnt[b] / n - 0.5))
+    blocks: list[list[int]] = [[] for _ in range(n_blocks)]
+    for rank, bit in enumerate(order):
+        blocks[rank % n_blocks].append(bit)
+    return blocks
+
+
 def _block_value(sig_col: str, bits: list[int]):
     """One block's bit-gathered value: Σ ((sig >> p) & 1) << k."""
     col = F.col(sig_col)
@@ -416,7 +439,7 @@ def _combo_survivors(
 
 
 def _broadcast_sig_pairs(
-    spark: SparkSession, uniq: DataFrame, blocks: list[list[int]]
+    spark: SparkSession, sig_arr: np.ndarray, blocks: list[list[int]]
 ) -> DataFrame:
     """(sig_a, sig_b, hamming) for every distinct-signature pair within
     HAMMING_MAX — the broadcast-kernel regime of the adaptive scheme.
@@ -436,9 +459,6 @@ def _broadcast_sig_pairs(
     (all of its blocks agree by definition of M), it is emitted there
     and only there — completeness and uniqueness both by construction.
     """
-    sig_arr = np.array(
-        [r[0] for r in uniq.collect()], dtype=np.int64
-    )
     combos = _key_combos(len(blocks))
     # mask → minimal combo fully contained in the agreement mask
     lut = np.full(1 << len(blocks), -1, dtype=np.int16)
@@ -558,8 +578,15 @@ def simhash_pairs(
     # broadcast path re-deals the bits into its own 11-block scheme
     n_distinct = uniq.count()
     if n_distinct <= _BROADCAST_MAX:
-        blocks, _ = _balanced_blocks(uniq, n_blocks=_BCAST_BLOCKS)
-        sig_pairs = _broadcast_sig_pairs(spark, uniq, blocks)
+        # ONE driver pull serves both the bit-balance model and the
+        # kernel broadcast (uniq is cached by the count above); the
+        # 64-sum JVM aggregate the other regimes use would be a whole
+        # extra job here (r12: ~1-2 s of fixed overhead per query)
+        sig_arr = np.array(
+            [r[0] for r in uniq.collect()], dtype=np.int64
+        )
+        blocks = _balanced_blocks_np(sig_arr, _BCAST_BLOCKS)
+        sig_pairs = _broadcast_sig_pairs(spark, sig_arr, blocks)
         return within.unionByName(_expand_doc_pairs(sig_pairs, sigs))
     blocks, _n_distinct = _balanced_blocks(uniq)
     blocked = _with_pair_keys(uniq, "sig", blocks)
