@@ -795,10 +795,16 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, frequent-word) rows. All probabilities are document
     frequencies over one broadcast corpus count; the final top-k is a
     single ordered limit on the vocab²-bounded pair table."""
-    words = (
-        spark.table("documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .distinct()
+    # per-doc word dedup in-task (r12): (doc_id, w) rows can only
+    # repeat WITHIN a document, so array_distinct before the explode
+    # yields exactly the rows the old corpus-wide .distinct() did —
+    # minus its full posting-sized exchange. words is then a pure map
+    # pipeline off the scan; the only remaining shuffles are the df
+    # aggregation (distinct-word-sized after partial agg) and the
+    # doc_id regroup for pair emission.
+    words = spark.table("documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
     )
     df_ = (
         words.groupBy("w")
@@ -806,15 +812,27 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= PMI_MIN_DF)
     )
     kept = words.join(F.broadcast(df_.select("w")), "w", "semi")
-    a = kept.alias("a")
-    b = kept.alias("b")
+    # grouped pair emission (r12): the old a/b self-join shuffled the
+    # kept postings TWICE by doc_id (kept's distinct partitions on
+    # (doc_id, w), so neither join input reuses it) and probed a hash
+    # relation per pair; grouping each doc's frequent words into one
+    # sorted array and exploding the in-task combinations emits the
+    # identical (wa < wb) pair multiset after ONE doc_id shuffle — the
+    # r09 minhash bucket-emission pattern. Per-doc fan-out is bounded
+    # by |frequent vocab ∩ doc| (the PMI_MIN_DF prune), so no task
+    # holds more than a doc-sized quadratic — the same bound the
+    # self-join's skew-split relied on. The two-level explode keeps
+    # peak row width O(doc), never the O(k²) a flattened combination
+    # array would materialize.
     pair_df = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") < F.col("b.w")),
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("w")).alias("ws"))
+        .select("ws", F.posexplode("ws").alias("i", "wa"))
+        .select(
+            "wa",
+            F.explode(F.expr("slice(ws, i + 2, size(ws))")).alias("wb"),
         )
-        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .groupBy("wa", "wb")
         .agg(F.count("*").alias("df_ab"))
     )
     n_docs = spark.table("documents").agg(F.count("*").alias("n_docs"))

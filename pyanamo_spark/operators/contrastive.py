@@ -115,41 +115,42 @@ def mine_contrastive_parts(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
-    # positives has four consumers (recall leg, both pair-set
-    # orientations, slot fan-out): without a materialization each
-    # would re-run the whole LSH band pipeline — worse, they schedule
-    # as parallel subtrees of ONE action, so even a lazy persist can
-    # compute the build several times concurrently. When the caller
-    # handed in an already-persisted pair table (the memoized
-    # jaccard-verified frame), one cheap eager count populates that
-    # cache and the consumers just re-filter 24 B/row cached rows;
-    # otherwise (ad-hoc corpora) checkpoint the positives themselves.
-    lvl = pairs.storageLevel
-    if lvl.useMemory or lvl.useDisk:
-        pairs.count()
-    else:
-        positives = positives.localCheckpoint()
+    # positives has SEVEN consumers across the miner and the declared
+    # audit (recall leg, both pair-set orientations twice, slot
+    # fan-out): each would re-derive it — against the memoized pair
+    # cache on the declared path, against the whole LSH band pipeline
+    # for ad-hoc corpora — and the duplicated subtrees made the final
+    # action's plan balloon (the r12-start explain was 250 KB of
+    # repeated InMemoryRelation trees). One eager localCheckpoint
+    # materializes the (small, output-sized) verified pair set once:
+    # downstream plans reference a scanned RDD instead of the build
+    # subtree, and on the declared path the checkpoint's own job is
+    # what populates the shared pair cache q_dedup_near reuses (the
+    # old eager pairs.count() did the same work without truncating
+    # anything).
+    positives = positives.localCheckpoint()
     ranks = global_ranks(corpus.select("doc_id"), "doc_id")
-    # n_docs from the corpus directly, NOT ranks.count(): the rank
-    # frame emits one row per corpus row by construction, but counting
-    # it would execute the whole range-exchange + window + offset-join
-    # subtree as an extra job — counting the corpus is a plain
-    # (often metadata-pruned) aggregate (VERDICT r10 item 1 profile)
-    n_docs = corpus.select("doc_id").count()
-    if n_docs == 0:
-        empty = positives.withColumns(
-            {"slot": F.lit(0), "negative_id": F.lit(None).cast("long")}
-        ).limit(0)
-        return positives, empty
+    # n_docs rides the plan as a broadcast one-row aggregate, NOT a
+    # driver-side count(): the count was a whole extra job over the
+    # corpus per query (r12 — the modulus is the only consumer, and
+    # pmod evaluates it lazily per row; an empty corpus yields zero
+    # candidate rows, so the ANSI pmod-by-zero case never evaluates)
+    n_docs_row = corpus.select("doc_id").agg(
+        F.count("*").alias("n_docs")
+    )
     slots = positives.select(
         "*",
         F.explode(
             F.array(*[F.lit(i) for i in range(n_negatives)])
         ).alias("slot"),
     )
-    cand = slots.withColumn(
-        "neg_rank",
-        F.pmod(F.xxhash64("anchor_id", "slot"), F.lit(n_docs)),
+    cand = (
+        slots.crossJoin(F.broadcast(n_docs_row))
+        .withColumn(
+            "neg_rank",
+            F.pmod(F.xxhash64("anchor_id", "slot"), F.col("n_docs")),
+        )
+        .drop("n_docs")
     )
     neg = cand.join(
         ranks.select(
@@ -284,10 +285,10 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # recall judged on the positive PAIR set, not the post-fan-out
     # triplets (ADVICE r09: a pair losing all its negative slots to
-    # the accidental-positive anti-join is still FOUND). On this
-    # declared path positives re-filters the memoized pair cache
-    # (mine_contrastive_parts eagerly populated it via pairs.count());
-    # ad-hoc corpora get a localCheckpoint instead.
+    # the accidental-positive anti-join is still FOUND). positives is
+    # localCheckpoint'ed by mine_contrastive_parts (r12), so this leg
+    # scans the materialized pair set rather than re-filtering the
+    # memoized candidate cache.
     found = (
         positives.filter(
             F.col("positive_id") - F.col("anchor_id") == MUTANT_OFFSET
@@ -305,7 +306,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ok"),
     )
     # the VERIFIED near-dup set (both orientations) the no-false-
-    # negative guarantee is stated against — from the cache-backed
+    # negative guarantee is stated against — from the checkpointed
     # positives, so deriving it re-runs nothing. Deliberately a
     # SECOND, independently-built join (rename + distinct + its own
     # key expressions), not the miner's own `_fn` marker: reusing the

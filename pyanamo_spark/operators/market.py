@@ -79,25 +79,53 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse already covers the recompute, and the forced materialization
     only adds I/O.
     """
-    items = (
-        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    # grouped pair emission (r12): the old plan built
+    # distinct(l_orderkey, l_partkey) — one exchange on both columns —
+    # and then self-joined it on l_orderkey, which reshuffled the item
+    # table TWICE more (the distinct's partitioning doesn't satisfy
+    # the join key). Collapsing each basket to one sorted part-set row
+    # does the dedup and the grouping in a single orderkey exchange
+    # (collect_set partial-aggregates map-side), and the in-task
+    # combinations explode emits each UNORDERED pair once — the
+    # directed (antecedent, consequent) counts are symmetric, so the
+    # pair aggregation carries half the rows and both orientations are
+    # expanded from the counted table afterwards. Identical output by
+    # construction; per-task fan-out stays Σ basket² with the same
+    # largest-basket bound the join relied on. baskets feeds three
+    # consumers but its identical exchange canonicalizes once
+    # (runtime ReuseExchange — the r08 items-checkpoint experiment's
+    # lesson still applies).
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    nb = items.agg(F.count_distinct("l_orderkey").alias("n"))
-    isup = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    nb = baskets.agg(F.count("*").alias("n"))
+    isup = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    und = (
+        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("pb"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("antecedent"),
-            F.col("b.l_partkey").alias("consequent"),
-        )
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= _MIN_BASKETS)
+    )
+    pairs = und.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_baskets",
+    ).unionByName(
+        und.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_baskets",
+        )
     )
     ia = isup.select(
         F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_a")
