@@ -116,17 +116,25 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= _MIN_BASKETS)
     )
+    # both orientations expand from the counted table with ONE in-row
+    # explode rather than a self-union: a union would print (and,
+    # absent runtime exchange reuse, execute) the whole counted
+    # subtree twice
     pairs = und.select(
-        F.col("pa").alias("antecedent"),
-        F.col("pb").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
         "n_baskets",
-    ).unionByName(
-        und.select(
-            F.col("pb").alias("antecedent"),
-            F.col("pa").alias("consequent"),
-            "n_baskets",
-        )
-    )
+    ).select("r.antecedent", "r.consequent", "n_baskets")
     ia = isup.select(
         F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_a")
     )

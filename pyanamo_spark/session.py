@@ -62,6 +62,14 @@ def get_spark(app_name: str = "pyanamo_spark", cpus: int | str | None = None) ->
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true): the r12 A/B of size-based coalescing
+        # (parallelismFirst=false) measured mixed at sf0.1 (hybrid
+        # −20%, crossval +17%, equidepth +12% — inside noise), and the
+        # engine's hot stages (grouped pair emission, bucket
+        # explodes) are CPU-heavy over tiny 20-byte rows, exactly the
+        # shape where coalescing to the 64 MB advisory size would
+        # collapse real parallelism at sf10 and beyond.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
