@@ -788,13 +788,17 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     information — the collocation signal phrase mining / tokenizer
     curricula start from.
 
-    Scale shape: per-doc DISTINCT words first (one aggregation), then
-    a min-df prune via broadcast semi-join BEFORE any pairing — the
-    per-doc pair fan-out is bounded by the frequent vocabulary, never
-    by document length, and the doc_id-keyed pair join shuffles only
-    (doc, frequent-word) rows. All probabilities are document
-    frequencies over one broadcast corpus count; the final top-k is a
-    single ordered limit on the vocab²-bounded pair table."""
+    Scale shape (r12): per-doc word dedup happens IN-TASK
+    (array_distinct before the explode — no corpus-wide distinct
+    exchange), the min-df prune is a broadcast semi-join BEFORE any
+    pairing, and pairs are emitted by an in-task combinations explode
+    after one doc_id regroup — per-doc fan-out bounded by the
+    frequent vocabulary, never by document length. All probabilities
+    are document frequencies over one broadcast corpus count; the
+    final top-k is a single ordered limit on the vocab²-bounded pair
+    table. (The r08-r11 form paid a posting-sized distinct exchange
+    plus a doc-keyed self-join: sf10 45.3 s → 11.2 s from the two
+    changes, A/B'd same-host.)"""
     # per-doc word dedup in-task (r12): (doc_id, w) rows can only
     # repeat WITHIN a document, so array_distinct before the explode
     # yields exactly the rows the old corpus-wide .distinct() did —

@@ -63,21 +63,25 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in ≥{_MIN_BASKETS} orders, support, confidence and lift;
     top-{_TOP_RULES} rules by lift (deterministic key tiebreak).
 
-    Scale shape: candidate pairs come from the within-basket
-    self-join (one basket-keyed shuffle; cost Σ basket², bounded by
-    the largest basket, with AQE covering basket skew) and collapse
-    to the pair-vocabulary count table; item supports are an
-    ITEM-sized aggregate joined back by key (AQE broadcasts); the
-    basket total is a 1-row broadcast scalar; top-k is
-    TakeOrderedAndProject. Nothing is ever all-pairs over the
-    catalog.
+    Scale shape (r12): each basket collapses to one sorted part-set
+    row in a single orderkey exchange (collect_set partial-aggregates
+    map-side — this replaced the r08-r11 distinct + within-basket
+    self-join, which paid three exchanges for the same pair multiset;
+    sf1 11-12 s → 6.3-6.9 s in alternated A/Bs); unordered pairs are
+    emitted by an in-task combinations explode (cost Σ basket²,
+    bounded by the largest basket) and counted once — directed
+    (antecedent, consequent) counts are symmetric, so both
+    orientations expand from the counted table with one in-row
+    explode. Item supports are an ITEM-sized aggregate joined back by
+    key (AQE broadcasts); the basket total is a 1-row broadcast
+    scalar; top-k is TakeOrderedAndProject. Nothing is ever all-pairs
+    over the catalog.
 
-    Reverted experiment (r08): localCheckpoint-ing ``items`` (it feeds
-    four lineages) measured ~1.4x WORSE at sf1 (6.9 s -> 9.9 s
-    best-of-2) — unlike the span/CC cases, the distinct's exchanges
-    canonicalize identically across the self-join legs so runtime
-    reuse already covers the recompute, and the forced materialization
-    only adds I/O.
+    Reverted experiment (r08, kept for the record): localCheckpoint-ing
+    the old ``items`` frame measured ~1.4x WORSE at sf1 — runtime
+    exchange reuse already covered the recompute; the same reasoning
+    is why ``baskets`` below is left unpersisted across its three
+    consumers.
     """
     # grouped pair emission (r12): the old plan built
     # distinct(l_orderkey, l_partkey) — one exchange on both columns —
