@@ -390,14 +390,22 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-column report unpivots from the 1-row aggregate. At 100 TB the
     same query swaps ``count_distinct`` for ``approx_count_distinct``
     (functions/sketches.py HLL) and the Expand disappears — the exact
-    form stays oracle-checkable here."""
+    form stays oracle-checkable here.
+
+    r12: min/max of the CHAR(1) status column ride the aggregate as
+    codepoints (``char(min(ascii(c)))`` — lexicographic order equals
+    codepoint order for a single ASCII char, the column's TPC-H spec
+    type). A STRING min/max buffer is not mutable-fixed-width, which
+    forced the WHOLE Expand rewrite into SortAggregate: two full sorts
+    of the x4-expanded rows. With every buffer slot fixed-width the
+    plan is pure HashAggregate — 4 Sort nodes -> 0, sf0.1
+    2.64 -> 1.15 s, output identical."""
     o = spark.table("orders")
     as_str = lambda c: c.cast("string")  # noqa: E731
     money = lambda c: F.round(c, 2).cast("string")  # noqa: E731
     cols = [
         ("o_orderkey", as_str),
         ("o_custkey", as_str),
-        ("o_orderstatus", as_str),
         ("o_totalprice", money),
     ]
     agg = o.agg(
@@ -410,12 +418,16 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 render(F.min(c)).alias(f"lo_{c}"),
                 render(F.max(c)).alias(f"hi_{c}"),
             )
-        ]
+        ],
+        F.count("o_orderstatus").alias("n_o_orderstatus"),
+        F.count_distinct(F.col("o_orderstatus")).alias("d_o_orderstatus"),
+        F.expr("char(min(ascii(o_orderstatus)))").alias("lo_o_orderstatus"),
+        F.expr("char(max(ascii(o_orderstatus)))").alias("hi_o_orderstatus"),
     )
     structs = ",".join(
         f"struct('{c}' AS col, n_{c} AS n_rows, d_{c} AS n_distinct,"
         f" lo_{c} AS min_val, hi_{c} AS max_val)"
-        for c, _ in cols
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
     return agg.selectExpr(f"inline(array({structs}))")
 
