@@ -677,11 +677,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG/retrieval stack).
 
     Shuffle profile at scale: document text crosses the wire ONCE, as
-    (doc_id, term, tf) triples pre-filtered by a broadcast semi-join
-    on the query vocabulary — the per-doc length table is a second
-    narrow aggregate; df and the corpus stats ride back as broadcasts
-    (query vocab ≪ corpus). Ranking uses the ROUNDED score with a
-    doc_id tie-break so both engines order identically."""
+    (doc_id, term, tf, dl) rows pre-filtered by a broadcast semi-join
+    on the query vocabulary (dl rides the surviving token rows, so no
+    doc-keyed length join re-reads the corpus — r12); df and the
+    corpus stats ride back as broadcasts (query vocab ≪ corpus).
+    Ranking uses the ROUNDED score with a doc_id tie-break so both
+    engines order identically."""
     scored = bm25_scores(spark)
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
@@ -705,13 +706,24 @@ def bm25_scores(spark: SparkSession) -> DataFrame:
         [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
         "query_id string, term string",
     )
-    toks = _spread(spark.table("documents"), "doc_id", "text").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    # dl rides the token pipeline (r12): the old form joined the
+    # corpus-sized (doc_id, dl) table back onto tf by doc_id — a third
+    # full text scan+tokenize plus a doc-keyed join — when every
+    # surviving token row can carry its document's length into the tf
+    # aggregation for 8 bytes each (and only QUERY-MATCHED tokens
+    # survive the broadcast semi-join, so the widened rows are the
+    # tiny filtered set). min(dl) is constant per doc_id; output
+    # verified bit-identical down to the full scores table.
+    words = _spread(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", F.split("text", " ").alias("_w")
+    )
+    toks = words.select(
+        "doc_id", F.size("_w").alias("dl"), F.explode("_w").alias("term")
     )
     tf = (
         toks.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -724,7 +736,6 @@ def bm25_scores(spark: SparkSession) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
-        .join(docs, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(

@@ -142,20 +142,32 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.row_number().over(wl).alias("r")
     )
 
-    cent = query_centroids(spark)
+    # norms hoist OUT of the pair row (r12): nc depends only on the
+    # query (3 rows) and ne only on the document, but the old form
+    # re-folded both 64-dim arrays on every (doc, query) pair — two of
+    # the three per-pair interpreted HOF folds were redundant. Each
+    # norm is now computed once on its own side before the broadcast
+    # cross join (the knn.py _with_norm discipline); the arithmetic is
+    # the identical fold in the identical order, so cos is
+    # bit-identical and the declared output unchanged.
+    cent = query_centroids(spark).withColumn(
+        "nc", F.sqrt(_fold_sum(F.transform("c", lambda x: x * x)))
+    )
     emb = spark.table("embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn(
+        "ne", F.sqrt(_fold_sum(F.transform("e", lambda x: x * x)))
     )
     dot = _fold_sum(F.zip_with("c", "e", lambda a, b: a * b))
-    nc = F.sqrt(_fold_sum(F.transform("c", lambda x: x * x)))
-    ne = F.sqrt(_fold_sum(F.transform("e", lambda x: x * x)))
     dense = (
         emb.crossJoin(F.broadcast(cent))  # GROUPS-sized centroid table
         .select(
             "query_id",
             "doc_id",
-            F.round(dot / F.nullif(nc * ne, F.lit(0.0)), 6).alias("cos"),
+            F.round(
+                dot / F.nullif(F.col("nc") * F.col("ne"), F.lit(0.0)), 6
+            ).alias("cos"),
         )
     )
     wd = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")

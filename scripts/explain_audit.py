@@ -70,12 +70,13 @@ EXCHANGE_BUDGET = {
     "q_bm25": 20,  # the tf subtree is PRINTED thrice (own consumer,
     # each copy now led by the r08 _spread repartition exchange —
     # identical canonical subtrees, so runtime ReuseExchange dedups;
-    # df derivation, scored join) and the doc-length subtree twice
-    # (stats + join) — copies canonicalize identically so
-    # ReuseExchange dedups at runtime, same story as q_tfidf. Live
-    # profile: tf shuffle, df shuffle, doc-length agg, doc_id join,
-    # final per-query window; the query-vocab semi-join prefilter
-    # keeps every exchanged row a (doc, query-term) triple
+    # df derivation, scored join) — same story as q_tfidf. r12: dl
+    # rides the filtered token rows into the tf agg, so the doc-length
+    # table survives only under the 1-row stats aggregate and the
+    # doc_id length join is gone. Live profile: tf shuffle, df
+    # shuffle, doc-length stats agg, final per-query window; the
+    # query-vocab semi-join prefilter keeps every exchanged row a
+    # (doc, query-term) row
     "q_video_frames": 2,
     "q_capacity_plan": 20,  # one two-phase COUNT aggregate per base
     # table (10 tables; each exchanges a single partial-count row) —
@@ -427,14 +428,13 @@ EXCHANGE_BUDGET = {
     # shingle verdict join, the no-false-negative self-semi-join (both
     # orientations), and the slot-distinctness aggregate — all over
     # the triplets/planted frames (ids + flags), never corpus text
-    "q_overlap_estimate": 12,  # the per-source sketch subtree is
-    # PRINTED twice (sketch + its own cardinality estimate) and the
-    # cross-join sides canonicalize identically (ReuseExchange dedups
-    # at runtime); live: one corpus-pass sketch aggregation, then a
-    # C(n,2) pair matrix over the SOURCES-sized sketch table. r09's
-    # audit adds two more corpus-derived legs (the exact shared-gram
-    # matrix it certifies against + per-source word counts for the
-    # tolerance) feeding a sources-sized flag join
+    "q_overlap_estimate": 12,  # r12: the sketch leg and the exact
+    # matrix both read the ONE checkpointed (source, gram_hash) table
+    # (the corpus tokenize pass runs once, at checkpoint build, outside
+    # the printed plan); live: sources-sized sketch agg + its C(n,2)
+    # cross join, the digest self-join pair matrix, the map-side
+    # word-count agg (no exploded-word exchange), and the sources-sized
+    # flag join — everything data-sized happens in the checkpoint
     "q_snapshot_diff": 4,  # CDC's full-outer join cannot broadcast
     # either side by semantics — its two key exchanges are the plan;
     # the derived "new" state is a union read off the same scan (the
