@@ -496,11 +496,19 @@ def _broadcast_sig_pairs(
                     {"sig_a": a, "sig_b": b, "hamming": h}
                 )
 
+    # fan-out = min(combos, cores): each mapInPandas task costs a fixed
+    # ~0.25-0.3 s of Python-boundary overhead regardless of kernel work,
+    # and the combos' cost is near-uniform (random collisions dominate,
+    # ~n²/2^21 per combo), so oversubscribing cores buys no straggler
+    # smoothing — the r12 4×-oversubscribed form paid 4× the overhead
+    # for the same wall (interleaved A/B at sf0.1: 1.3-1.5 s → 0.5 s for
+    # this stage). On a cluster with ≥ C(11,4)=330 cores the fan-out is
+    # combo-capped either way and nothing changes.
     par = spark.sparkContext.defaultParallelism
     combo_df = (
         spark.range(len(combos))
         .select(F.col("id").cast("int").alias("combo_id"))
-        .repartition(min(len(combos), 4 * par))
+        .repartition(min(len(combos), par))
     )
     return combo_df.mapInPandas(
         emit, "sig_a long, sig_b long, hamming int"
@@ -574,17 +582,20 @@ def simhash_pairs(
         F.lit(0).cast("int").alias("hamming"),
     )
     uniq = sigs.select("sig").distinct().persist()
-    # regime probe: ONE count decides broadcast vs JVM path, and the
-    # broadcast path re-deals the bits into its own 11-block scheme
-    n_distinct = uniq.count()
-    if n_distinct <= _BROADCAST_MAX:
-        # ONE driver pull serves both the bit-balance model and the
-        # kernel broadcast (uniq is cached by the count above); the
-        # 64-sum JVM aggregate the other regimes use would be a whole
-        # extra job here (r12: ~1-2 s of fixed overhead per query)
-        sig_arr = np.array(
-            [r[0] for r in uniq.collect()], dtype=np.int64
-        )
+    # regime probe fused with the driver pull (r13): ONE limit-collect
+    # replaces the count job + the collect job. limit(_BROADCAST_MAX+1)
+    # returns the COMPLETE distinct set whenever it is broadcastable
+    # (limit(N) yields all rows when fewer than N exist), and above the
+    # bound it stops at _BROADCAST_MAX+1 rows — the driver never holds
+    # more than the regime cap either way, and the JVM path's own
+    # aggregates finish materializing the persisted distinct.
+    probe = uniq.limit(_BROADCAST_MAX + 1).collect()
+    if len(probe) <= _BROADCAST_MAX:
+        # the single driver pull serves both the bit-balance model and
+        # the kernel broadcast; the 64-sum JVM aggregate the other
+        # regimes use would be a whole extra job here (r12: ~1-2 s of
+        # fixed overhead per query)
+        sig_arr = np.array([r[0] for r in probe], dtype=np.int64)
         blocks = _balanced_blocks_np(sig_arr, _BCAST_BLOCKS)
         sig_pairs = _broadcast_sig_pairs(spark, sig_arr, blocks)
         return within.unionByName(_expand_doc_pairs(sig_pairs, sigs))
