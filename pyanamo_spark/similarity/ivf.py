@@ -161,6 +161,15 @@ def _build_from(
     centroids = seeds
     for _ in range(max(0, iters)):
         centroids = _lloyd_step(emb, centroids)
+    # NOTE (r13 negative result): collecting the N_CENTROIDS-row model
+    # here once and handing consumers a local relation removes the
+    # duplicated seed/Lloyd computation (each _nearest/write collects
+    # this frame independently) but measured consistently SLOWER at
+    # sf0.1 — q_knn_ivf 2.1-2.7 → 3.2 s, q_index_lifecycle 4.5-4.7 →
+    # 6.9-7.6 s across alternated A/B processes: the duplicated
+    # computes run as PARALLEL subtrees inside one action, while the
+    # eager collect serializes them (the r12 eager-checkpoint lesson).
+    # The lazy form stays.
     assignments = _nearest(emb, centroids, 1)
     return assignments, centroids
 
