@@ -153,13 +153,23 @@ def train_bpe(
     round costs a single job. Both paths share tie-break semantics;
     ``tests/test_bpe.py`` pins them equal.
     """
-    vocab = word_vocab(corpus).localCheckpoint()
-    if vocab.count() <= driver_vocab_max:
+    vocab = word_vocab(corpus)
+    # regime probe fused with the driver pull (r13, the simhash
+    # pattern): limit(max+1).collect() returns the COMPLETE vocabulary
+    # whenever it fits the driver bound (limit(N) yields all rows when
+    # fewer than N exist) and stops at max+1 rows above it — one job
+    # where the old eager-checkpoint + count + collect chain ran three.
+    # The merge arithmetic is row-order-independent (pair counts fold
+    # through a dict; ties break on the pair itself), so the probe's
+    # row order is immaterial. The checkpoint moves to the distributed
+    # path, the only one that iterates a plan.
+    probe = vocab.limit(driver_vocab_max + 1).collect()
+    if len(probe) <= driver_vocab_max:
         rows = [
-            (tuple(r["symbols"]), int(r["freq"]))
-            for r in vocab.collect()
+            (tuple(r["symbols"]), int(r["freq"])) for r in probe
         ]
         return _train_driver(rows, n_merges)
+    vocab = vocab.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (

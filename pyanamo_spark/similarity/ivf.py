@@ -161,15 +161,20 @@ def _build_from(
     centroids = seeds
     for _ in range(max(0, iters)):
         centroids = _lloyd_step(emb, centroids)
-    # NOTE (r13 negative result): collecting the N_CENTROIDS-row model
-    # here once and handing consumers a local relation removes the
-    # duplicated seed/Lloyd computation (each _nearest/write collects
-    # this frame independently) but measured consistently SLOWER at
-    # sf0.1 — q_knn_ivf 2.1-2.7 → 3.2 s, q_index_lifecycle 4.5-4.7 →
-    # 6.9-7.6 s across alternated A/B processes: the duplicated
-    # computes run as PARALLEL subtrees inside one action, while the
-    # eager collect serializes them (the r12 eager-checkpoint lesson).
-    # The lazy form stays.
+    if iters > 0:
+        # lazy persist of the refined model (r13): each consumer
+        # (_nearest's eager collect for assignment, probe selection,
+        # the centroids write) otherwise re-runs the whole Lloyd
+        # aggregation — ivf_topk paid it twice. The first collect
+        # materializes the 16-row cache; later ones read it. sf0.1
+        # in-process A/B: q_knn_ivf 2.07 → 1.65 s. Seed-only builds
+        # (iters=0) skip the persist — caching a TakeOrdered costs
+        # more than it saves (measured on q_index_lifecycle). A
+        # collect-to-local-relation variant was tried first and
+        # measured SLOWER on both (the createDataFrame plan swap cost
+        # more than the saved recompute); the persist keeps the plan
+        # identical.
+        centroids = centroids.persist()
     assignments = _nearest(emb, centroids, 1)
     return assignments, centroids
 
@@ -340,7 +345,12 @@ def append_to_index(
     v = vectors.withColumn(
         "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
-    assignments = _nearest(v, centroids, 1)
+    # lazy persist: the assignment plan (the caller's vectors pipeline
+    # + the mapInPandas scorer) has two consumers — the append write
+    # and the returned per-list stats — and re-ran whole for each
+    # (r13). The write materializes the cache; the stats aggregate
+    # reads it. Batch-sized, released right after the stats collect.
+    assignments = _nearest(v, centroids, 1).persist()
     appended = v.join(assignments, "vec_id")
     (
         appended.repartition("centroid_id")
@@ -348,12 +358,14 @@ def append_to_index(
         .partitionBy("centroid_id")
         .parquet(f"{vdir}/lists")
     )
-    return {
+    stats = {
         r.centroid_id: r.n
         for r in assignments.groupBy("centroid_id")
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    assignments.unpersist()
+    return stats
 
 
 def search_index(
