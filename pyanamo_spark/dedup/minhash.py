@@ -141,10 +141,21 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     dominated like pdf/html/spans and spread measured 6.8 -> 4.5 s
     at sf1 (best-of-3) on its own.
     """
-    from pyanamo_spark.session import spread
-
+    # keyed doc_id repartition instead of the round-robin spread (r13,
+    # the ngram_index discipline): the rebalance before the CPU-heavy
+    # shingle/signature stage stays (the fixture scan is 2-4 splits),
+    # but hash-partitioning on the unique doc_id spreads identically
+    # AND the persisted cache's output partitioning then satisfies
+    # both verify join-backs below — the corpus-sized shingle-array
+    # rows shuffle ONCE at build instead of twice more per query (the
+    # pair-id side, output-sized, is all that exchanges). Round-robin
+    # also paid a per-partition sort (sortBeforeRepartition); the hash
+    # form doesn't. Output-identical (partitioning never feeds the
+    # banding dice); sf0.1/sf1 A/B small-positive, the real claim is
+    # the two removed corpus-array exchanges at scale (guide §8).
     prepped = (
-        spread(corpus, "doc_id", "text")
+        corpus.select("doc_id", "text")
+        .repartition("doc_id")
         .withColumn(
             "hs",
             F.array_distinct(

@@ -41,17 +41,14 @@ DECLARED: tuple[str, ...] = (
     # registered and fully replayed by driver_sim/test_parity each
     # round — only the official recording rotates.
     #
-    # r12 window (VERDICT r11 item 6 — keep the rotation contract
-    # rolling): 5 canaries + ALL 27 remaining r07-recorded greens
-    # (after this window no id's driver record is older than 5 rounds)
-    # + 10 changed-this-round re-seats (the global_rank_frame guard
-    # became a left join with a null-n raise, changing every rank
-    # consumer's plan — q_zipf/q_gini/q_curriculum/q_global_ids/
-    # q_contrastive_pairs; the dedup family heads carry this round's
-    # VERDICT cost work — simhash broadcast kernel, ngram df-broadcast
-    # + slim pair dedup, clusters closure trim, embed tiling +
-    # in-kernel verify, contain positional prune) + the 8
-    # alphabetically-first r08 ids to fill the 50.
+    # r13 window (optimization round; rotation contract rolling): 5
+    # canaries + ALL 28 remaining r08-recorded greens (after this
+    # window no id's driver record is older than 5 rounds) + 9
+    # changed-this-round re-seats (simhash combo fan-out + fused
+    # regime probe; ngram-family struct-hashed shingles — ngram/
+    # contain/clusters; IVF centroid/assignment persists — knn_ivf +
+    # index_lifecycle; BPE fused vocabulary probe — encode/pairs/
+    # train) + the 8 alphabetically-first r09 ids to fill the 50.
     #
     # canaries — one per §2 family, never rotated: scan+scalar
     # (q_ingest_csv), the entry() smoke (q_progress_histogram), join
@@ -61,54 +58,54 @@ DECLARED: tuple[str, ...] = (
     "q_state_join",
     "q_rolling_avg",
     "q_dedup_exact",
-    # stale-proofing: every remaining r07-recorded green
-    "q_autocorr",
-    "q_backtest",
-    "q_bigram_entropy",
-    "q_changepoint",
-    "q_decode_quarantine",
-    "q_dedup_url",
-    "q_degree_stats",
-    "q_dup_by_source",
-    "q_error_context",
-    "q_fuzzy_match",
-    "q_html_extract",
-    "q_ks_drift",
-    "q_langid_eval",
-    "q_lock_protocol",
-    "q_quality_filter",
-    "q_quantize",
-    "q_repetition",
-    "q_rolling_median",
-    "q_score_calibrate",
-    "q_session_stats",
-    "q_sliding_window",
-    "q_streaks",
-    "q_time_split",
-    "q_top_paths",
-    "q_vocab_coverage",
-    "q_warc_ingest",
-    "q_winsorize",
+    # stale-proofing: every remaining r08-recorded green
+    "q_item_finalize",
+    "q_item_reset",
+    "q_join_anti",
+    "q_join_equi",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_roundtrip",
+    "q_knn_topk",
+    "q_lang_mix",
+    "q_limit",
+    "q_line_count",
+    "q_local_volume",
+    "q_log_mine",
+    "q_log_route",
+    "q_logit_score",
+    "q_map_align",
+    "q_map_remove",
+    "q_map_update",
+    "q_nation_traffic",
+    "q_nest_build",
+    "q_outliers",
+    "q_point_lookup",
+    "q_pricing_summary",
+    "q_priority_pending",
+    "q_revenue_forecast",
+    "q_threshold_counts",
+    "q_top_orders",
+    "q_top_supplier",
     # changed-this-round re-seats
-    "q_zipf",
-    "q_gini",
-    "q_curriculum",
-    "q_global_ids",
-    "q_contrastive_pairs",
-    "q_dedup_ngram",
-    "q_dedup_clusters",
-    "q_dedup_contain",
     "q_dedup_simhash",
-    "q_dedup_embed",
-    # oldest r08 greens (alphabetical; the rest rotate in r13)
-    "q_bulk_update",
-    "q_date_format",
-    "q_dedup_lines",
-    "q_delete_anti",
-    "q_done_nests",
-    "q_dup_spans",
-    "q_event_window",
-    "q_filter_project",
+    "q_dedup_ngram",
+    "q_dedup_contain",
+    "q_dedup_clusters",
+    "q_knn_ivf",
+    "q_index_lifecycle",
+    "q_bpe_encode",
+    "q_bpe_pairs",
+    "q_bpe_train",
+    # oldest r09 greens (alphabetical; the rest rotate in r14)
+    "q_anomaly",
+    "q_approx_distinct",
+    "q_audio_features",
+    "q_bloom_join",
+    "q_chunk_documents",
+    "q_compress_filter",
+    "q_cube",
+    "q_curation_funnel",
 )
 
 

@@ -39,42 +39,42 @@ CANARIES = {
 }
 
 #: re-seats whose semantics, oracle SQL, or physical plan changed in
-#: r12 — a changed query must re-record or its cumulative row is stale
-CHANGED_R12 = {
-    # the global_rank_frame guard became a LEFT join with a null-n
-    # raise (ADVICE r11), changing every rank consumer's plan
-    "q_zipf",
-    "q_gini",
-    "q_curriculum",
-    "q_global_ids",
-    "q_contrastive_pairs",
-    # VERDICT r11 cost orders: broadcast simhash kernel, ngram
-    # df-broadcast + slim pair dedup, clusters closure trim, embed
-    # tiling + in-kernel verify, contain positional prune
-    "q_dedup_ngram",
-    "q_dedup_clusters",
-    "q_dedup_contain",
+#: r13 — a changed query must re-record or its cumulative row is stale
+CHANGED_R13 = {
+    # simhash: combo fan-out sized to cores, regime probe fused into
+    # one limit-collect
     "q_dedup_simhash",
-    "q_dedup_embed",
+    # ngram family: struct-hashed shingles (no per-shingle string)
+    "q_dedup_ngram",
+    "q_dedup_contain",
+    "q_dedup_clusters",
+    # IVF: refined-centroid persist + append assignment persist
+    "q_knn_ivf",
+    "q_index_lifecycle",
+    # BPE: vocabulary probe fused into one limit-collect
+    "q_bpe_encode",
+    "q_bpe_pairs",
+    "q_bpe_train",
 }
 
-#: stale-proof re-seats: ALL 27 remaining r07-recorded greens (after
+#: stale-proof re-seats: ALL 28 remaining r08-recorded greens (after
 #: this window no id's driver record is older than 5 rounds)
-STALE_R12 = {
-    "q_autocorr", "q_backtest", "q_bigram_entropy", "q_changepoint",
-    "q_decode_quarantine", "q_dedup_url", "q_degree_stats",
-    "q_dup_by_source", "q_error_context", "q_fuzzy_match",
-    "q_html_extract", "q_ks_drift", "q_langid_eval", "q_lock_protocol",
-    "q_quality_filter", "q_quantize", "q_repetition",
-    "q_rolling_median", "q_score_calibrate", "q_session_stats",
-    "q_sliding_window", "q_streaks", "q_time_split", "q_top_paths",
-    "q_vocab_coverage", "q_warc_ingest", "q_winsorize",
+STALE_R13 = {
+    "q_item_finalize", "q_item_reset", "q_join_anti", "q_join_equi",
+    "q_join_range", "q_join_semi", "q_json_roundtrip", "q_knn_topk",
+    "q_lang_mix", "q_limit", "q_line_count", "q_local_volume",
+    "q_log_mine", "q_log_route", "q_logit_score", "q_map_align",
+    "q_map_remove", "q_map_update", "q_nation_traffic", "q_nest_build",
+    "q_outliers", "q_point_lookup", "q_pricing_summary",
+    "q_priority_pending", "q_revenue_forecast", "q_threshold_counts",
+    "q_top_orders", "q_top_supplier",
 }
 
-#: fill seats: the alphabetically-first r08 ids (the rest rotate r13)
-FILL_R12 = {
-    "q_bulk_update", "q_date_format", "q_dedup_lines", "q_delete_anti",
-    "q_done_nests", "q_dup_spans", "q_event_window", "q_filter_project",
+#: fill seats: the alphabetically-first r09 ids (the rest rotate r14)
+FILL_R13 = {
+    "q_anomaly", "q_approx_distinct", "q_audio_features",
+    "q_bloom_join", "q_chunk_documents", "q_compress_filter",
+    "q_cube", "q_curation_funnel",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
@@ -152,11 +152,11 @@ def test_canaries_hold_their_seats():
         assert n in DECLARED, n
 
 
-def test_r12_window_composition():
+def test_r13_window_composition():
     # window is exactly canaries + changed re-seats + the stale-proof
-    # cohort + the r08 fill seats
+    # cohort + the r09 fill seats
     assert (
-        set(DECLARED) == CANARIES | CHANGED_R12 | STALE_R12 | FILL_R12
+        set(DECLARED) == CANARIES | CHANGED_R13 | STALE_R13 | FILL_R13
     )
 
 
