@@ -69,7 +69,11 @@ def hashed_shingles(col, k: int = 3):
     contain the split delimiter, so the word-tuple determines the
     joined string and vice versa; short docs (< k words) hash their
     full word list because xxhash64 skips the NULL out-of-range
-    elements, matching the string form's whole-text shingle.
+    elements, matching the string form's whole-text shingle. The
+    out-of-range access MUST be ``get(w, i)`` (NULL past the end) —
+    ``w[i]`` throws INVALID_ARRAY_INDEX under ANSI mode, caught by
+    the short-doc test corpus (the driver fixtures have no <k-word
+    doc, so driver_sim alone never exercises this branch).
 
     ONLY for consumers whose declared output is hash-value-invariant
     (the ngram family: exact verify, prefix recall holds under any
@@ -80,7 +84,7 @@ def hashed_shingles(col, k: int = 3):
     return F.expr(
         f"transform(array(split({col}, ' ')),"
         f" w -> transform(sequence(1, greatest(size(w) - {k - 1}, 1)),"
-        f"   i -> xxhash64({', '.join(f'w[i + {j} - 1]' for j in range(k))})"
+        f"   i -> xxhash64({', '.join(f'get(w, i + {j} - 1)' for j in range(k))})"
         f"))[0]"
     )
 
