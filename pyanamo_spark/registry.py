@@ -87,7 +87,8 @@ DECLARED: tuple[str, ...] = (
     "q_threshold_counts",
     "q_top_orders",
     "q_top_supplier",
-    # changed-this-round re-seats
+    # changed-this-round re-seats (incl. the minhash keyed-prep
+    # consumers q_dedup_near / q_contrastive_pairs)
     "q_dedup_simhash",
     "q_dedup_ngram",
     "q_dedup_contain",
@@ -97,6 +98,8 @@ DECLARED: tuple[str, ...] = (
     "q_bpe_encode",
     "q_bpe_pairs",
     "q_bpe_train",
+    "q_dedup_near",
+    "q_contrastive_pairs",
     # oldest r09 greens (alphabetical; the rest rotate in r14)
     "q_anomaly",
     "q_approx_distinct",
@@ -104,8 +107,6 @@ DECLARED: tuple[str, ...] = (
     "q_bloom_join",
     "q_chunk_documents",
     "q_compress_filter",
-    "q_cube",
-    "q_curation_funnel",
 )
 
 

@@ -55,6 +55,9 @@ CHANGED_R13 = {
     "q_bpe_encode",
     "q_bpe_pairs",
     "q_bpe_train",
+    # minhash: keyed doc_id prep partitioning (both consumers)
+    "q_dedup_near",
+    "q_contrastive_pairs",
 }
 
 #: stale-proof re-seats: ALL 28 remaining r08-recorded greens (after
@@ -74,7 +77,6 @@ STALE_R13 = {
 FILL_R13 = {
     "q_anomaly", "q_approx_distinct", "q_audio_features",
     "q_bloom_join", "q_chunk_documents", "q_compress_filter",
-    "q_cube", "q_curation_funnel",
 }
 
 #: every id the driver has EVER recorded (cumulative through r08 —
