@@ -135,11 +135,15 @@ def candidate_pairs(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     join-backs, and without materialization each consumer re-tokenizes
     the full corpus (3x the dominant cost). Production materializes
     this table to parquet anyway — it IS the minhash index. The prep
-    runs behind session.spread: the r08 experiment that measured
-    spread 2x WORSE here was against the join-dominated plan; once
-    the grouped emission removed the self-join, the plan is scan-
-    dominated like pdf/html/spans and spread measured 6.8 -> 4.5 s
-    at sf1 (best-of-3) on its own.
+    runs behind a keyed doc_id repartition (r13; previously
+    session.spread — the r08 experiment that measured a rebalance 2x
+    WORSE here was against the join-dominated plan, and once the
+    grouped emission removed the self-join the rebalance won,
+    6.8 -> 4.5 s at sf1): hash-partitioning on the unique doc_id
+    spreads the CPU identically to round-robin, skips round-robin's
+    sortBeforeRepartition, and leaves the persisted cache partitioned
+    for the verify join-backs, so the array rows shuffle once at
+    build (guide §8).
     """
     # keyed doc_id repartition instead of the round-robin spread (r13,
     # the ngram_index discipline): the rebalance before the CPU-heavy
