@@ -430,6 +430,25 @@ def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's 3 parquet splits otherwise cap those stages at 3 tasks;
     the spread exchanges canonicalize identically so ReuseExchange
     ships the rebalance once (r10).
+
+    The explicit ``fold IS NOT NULL`` filter on ``keyed`` is a no-op
+    on the data (md5 over non-null key casts never yields NULL) but
+    load-bearing for the plan (r13): the inner model join infers
+    isnotnull(fold) into the scoring and fold-stats branches' scans,
+    while the totals derivation carried no such filter — so its spread
+    exchange canonicalized DIFFERENTLY and ReuseExchange left an extra
+    full scan + md5 pass live (the r10 note above was only 2/3 true:
+    the executed plan showed two concurrent 3-task rebalance stages).
+    With the filter stated once on keyed, the subtrees canonicalize
+    equal and the duplicate exchange dedups at runtime: executed
+    (isFinalPlan=true) plan goes 8 parquet scans / 2 ReusedExchange →
+    7 scans / 4 ReusedExchange (plans/r13/q_crossval_*.txt). sf0.1
+    wall-clock is parity-in-noise in an interleaved in-process A/B
+    (best 2.11 → 2.11 s, then 1.54 → 1.83 s on the rerun — the extra
+    stage overlaps other subtrees on 32 idle cores); the claim is the
+    removed duplicate corpus scan + md5 pass, which at 100 TB is a
+    full extra pass over the table, not the local seconds. Output
+    oracle-verified at sf0.001/0.01/0.1 after the change.
     """
     from pyanamo_spark.session import spread
 
@@ -462,7 +481,7 @@ def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int")
             % K_FOLDS
         ).cast("long").alias("fold"),
-    )
+    ).filter(F.col("fold").isNotNull())
     fold_stats = keyed.groupBy("fold").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
