@@ -26,6 +26,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyanamo_spark.registry import QUERIES, load_all
 from pyanamo_spark.session import get_spark
 
+# Every query name that has ever appeared in a driver-parsed
+# BENCH_r*.json inline `queries` map (r02-r12). The driver's perf
+# comparison diffs successive rounds' inline maps and reports any name
+# that vanishes as a dropped query (PERF_r12.json recorded 181
+# "queries_dropped" purely because the inline map was the
+# top-15-of-that-run, which changes between rounds). The contract is
+# add-only — never remove or rename an entry — so these names are
+# emitted unconditionally; the rest of the stdout byte budget is
+# filled with the currently slowest queries (see _SUMMARY_BUDGET).
+_PINNED_SUMMARY = (
+    "q_basket_rules", "q_bm25", "q_bpe_encode", "q_contrastive_pairs",
+    "q_crossval", "q_curation_funnel", "q_decontaminate",
+    "q_dedup_clusters", "q_dedup_contain", "q_dedup_incremental",
+    "q_dedup_lines", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dup_passages", "q_dup_spans", "q_equidepth", "q_global_ids",
+    "q_hybrid_search", "q_index_lifecycle", "q_knn_ivf", "q_log_mine",
+    "q_logit_score", "q_outliers", "q_overlap_estimate", "q_pagerank",
+    "q_partition_split", "q_pca_project", "q_percentiles",
+    "q_repetition", "q_semantic_prune", "q_source_overlap",
+    "q_table_stats", "q_tfidf",
+)
+# The driver captures only the LAST 2000 bytes of stdout (BENCH_r01
+# recorded `parsed: null` when the full 97-query line overflowed it),
+# so the printed line must stay comfortably under that including its
+# trailing newline and any stage-progress residue.
+_SUMMARY_BUDGET = 1900
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,27 +127,55 @@ def main() -> None:
     ]
     archive = repo / f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
     archive.write_text(json.dumps(full, indent=1))
-    slowest = dict(
-        sorted(
-            ((k, round(v, 3)) for k, v in timings.items()),
-            key=lambda kv: -kv[1],
-        )[:15]
-    )
+    print(summary_line(timings, total, sf, str(full_path), errors, rep_errors))
+    spark.stop()
+
+
+def summary_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    queries_file: str,
+    errors: dict[str, str],
+    rep_errors: dict[str, int],
+) -> str:
+    """The one stdout JSON line: every _PINNED_SUMMARY name that has a
+    timing (add-only contract — a name the driver has ever parsed must
+    keep appearing), then the currently slowest remaining queries until
+    the _SUMMARY_BUDGET byte budget is reached."""
+    summary = {
+        k: round(timings[k], 3) for k in _PINNED_SUMMARY if k in timings
+    }
     compact = {
         "metric": "declared_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "queries": slowest,
-        "queries_file": str(full_path),
+        "queries": summary,
+        "queries_file": queries_file,
         "errors": errors,
         "rep_errors": rep_errors,
     }
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if k in summary:
+            continue
+        candidate = dict(summary)
+        candidate[k] = round(v, 3)
+        compact["queries"] = candidate
+        if len(json.dumps(compact, separators=(",", ":"))) > _SUMMARY_BUDGET:
+            break
+        summary = candidate
+    compact["queries"] = {n: summary[n] for n in sorted(summary)}
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 2000, f"summary line too long ({len(line)} B)"
-    print(line)
-    spark.stop()
+    if len(line) > _SUMMARY_BUDGET:
+        # only reachable when hard-failure messages inflate `errors`;
+        # keep the line parseable (a missing/truncated JSON line is
+        # worse than a short error text — BENCH_r01's parsed:null)
+        compact["errors"] = {n: e[:60] for n, e in errors.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= _SUMMARY_BUDGET, f"summary line too long ({len(line)} B)"
+    return line
 
 
 if __name__ == "__main__":
